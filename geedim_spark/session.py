@@ -1,0 +1,61 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+The reference bounds its throughput with hand-rolled admission control
+(semaphores, retry loops — /root/reference/geedim/tile.py:110-191).  On Spark
+the equivalents are executor cores, task retries and AQE; we pin the configs
+that matter for the tile workload here so every entrypoint (tests, bench,
+__spark_entry__) gets the same plan environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size bounds per-batch memory in pixel UDFs the same way the
+# reference bounds tile size to 4 MB (tile.py:111): ~1k rows of 40x40 uint16
+# 2-band tiles ≈ 6.4 MB per Arrow batch.
+_DEFAULTS = {
+    # AQE: runtime coalescing + skew-join splitting (north rule requires
+    # explicit skew handling; salting in operators/spatial_join.py is the
+    # belt, AQE is the braces).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "64",
+    # Arrow transport for all pandas UDFs / mapInPandas / applyInPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # Broadcast joins for small dims (ROIs, band_props, score images at test
+    # scale).  64 MB: at 100 TB the ROI/cell tables stay << this.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Keep parquet splits near the reference's 4 MB tile default * 32 tasks.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # quieter logs
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(
+    app_name: str = "geedim_spark",
+    master: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores).  Pass
+    ``local[8]`` / ``local[32]`` explicitly for the N vs 4N scaling runs.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

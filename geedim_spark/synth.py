@@ -1,0 +1,205 @@
+"""Deterministic synthetic images + ROI tables (the engine's test universe).
+
+Shape mandated by BASELINE.json ``input_hint``:
+
+    image_id string, bytes binary, w int, h int, fmt string,
+    caption string, phash bigint
+
+plus derived metadata columns (crs, transform, footprint bbox, time_start,
+props).  Every field is a pure integer-arithmetic function of the row index
+``i`` so the identical table is reproducible in DuckDB SQL (see
+:func:`sql_images` / :func:`sql_rois`) — that is what lets pixel-level
+operators (mask portions, cloud distance) be oracle-checked analytically.
+
+Pixel content ports the reference's strip-mock pattern
+(/root/reference/tests/test_mask.py:24-114): axis-aligned strips of exactly
+known pixel width encode mask conditions, so portions are exact integers.
+
+    band 0 (B1): value v = 1 + i%200 everywhere, 0 (nodata) in the left
+                 f_px = (i%5)*4 columns         -> FILL strip
+    band 1 (QA): bit 3 set in the right c_px = (i%7)*2 columns -> CLOUD strip
+
+Footprints are w*scale-metre boxes placed by a multiplicative scatter over
+the 102.4 km test world; ~1 % of ids collide onto hot positions to create
+join skew on purpose (the salting / AQE path needs something to chew on).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StructField, StructType,
+)
+
+from geedim_spark import codecs
+
+SCALE = 10.0  # metres / pixel
+EPOCH = "2024-01-01 00:00:00"
+
+# placement multipliers (coprime with the 99000/90000 moduli)
+_PX, _PY = 9973, 7919
+_RX, _RY = 31337, 57923
+
+
+def n_images_for_sf(sf: float) -> int:
+    return max(8, int(round(sf * 200000)))
+
+
+def n_rois_for_sf(sf: float) -> int:
+    return max(2, n_images_for_sf(sf) // 100)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    """Parse '.../sf0.01' -> 0.01 (defaults to 0.01)."""
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+def images_meta_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFrame:
+    """Metadata-only images table (no pixel bytes) — pure Catalyst exprs."""
+    i = F.col("i")
+    ext = F.lit(float(w) * SCALE)
+    df = (
+        spark.range(n).withColumnRenamed("id", "i")
+        .withColumn("image_id", F.format_string("IMG/%08d", i))
+        .withColumn(
+            "collection",
+            F.element_at(
+                F.array(
+                    F.lit("MOCK/CONST"),
+                    F.lit("LANDSAT/LC09/C02/T1_L2"),
+                    F.lit("COPERNICUS/S2_SR_HARMONIZED"),
+                ),
+                (i % 3 + 1).cast("int"),
+            ),
+        )
+        .withColumn("w", F.lit(w).cast("int"))
+        .withColumn("h", F.lit(h).cast("int"))
+        .withColumn("fmt", F.when(i % 4 == 3, F.lit("dct8")).otherwise(F.lit("raw")))
+        .withColumn("v", (i % 200 + 1).cast("int"))
+        .withColumn("f_px", ((i % 5) * 4).cast("int"))
+        .withColumn("c_px", ((i % 7) * 2).cast("int"))
+        .withColumn("x0", ((i * _PX) % 99000).cast("double"))
+        .withColumn("y0", ((i * _PY) % 90000).cast("double"))
+        .withColumn("x1", F.col("x0") + ext)
+        .withColumn("y1", F.col("y0") + ext)
+        .withColumn(
+            "caption",
+            F.format_string("caption-%08d-%03d", i, (i * 2654435761) % 997),
+        )
+        .withColumn(
+            "time_start",
+            F.to_timestamp(F.lit(EPOCH)) + F.make_interval(hours=i.cast("int")),
+        )
+        .withColumn("crs", F.lit("EPSG:3857"))
+        .withColumn(
+            "transform",
+            F.array(F.lit(SCALE), F.lit(0.0), F.col("x0"),
+                    F.lit(0.0), -F.lit(SCALE), F.col("y1")),
+        )
+        .withColumn(
+            "props",
+            F.create_map(
+                F.lit("system:index"), F.format_string("%08d", i),
+                F.lit("MEAN_SOLAR_AZIMUTH_ANGLE"), ((i * 37) % 360).cast("string"),
+                F.lit("CLOUD_COVER"), ((i * 13) % 101).cast("string"),
+            ),
+        )
+    )
+    return df
+
+
+_BYTES_SCHEMA = StructType([
+    StructField("i", LongType()),
+    StructField("bytes", BinaryType()),
+    StructField("phash", LongType()),
+])
+
+
+def _gen_bytes_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorised pixel synthesis + encode for one Arrow batch."""
+    out_bytes, out_phash = [], []
+    for i, v, f_px, c_px, w, h, fmt in zip(
+        pdf["i"], pdf["v"], pdf["f_px"], pdf["c_px"], pdf["w"], pdf["h"], pdf["fmt"]
+    ):
+        px = np.zeros((2, h, w), dtype=np.uint16)
+        px[0, :, :] = v
+        px[0, :, :f_px] = 0           # fill strip (nodata)
+        if c_px:
+            px[1, :, w - c_px:] = 8   # QA bit 3 = cloud
+        out_bytes.append(codecs.encode(px, fmt))
+        out_phash.append(codecs.phash64(px))
+    return pd.DataFrame({"i": pdf["i"], "bytes": out_bytes, "phash": out_phash})
+
+
+def images_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFrame:
+    """Full images table incl. encoded pixel ``bytes`` + ``phash``."""
+    meta = images_meta_df(spark, n, w, h)
+    gen_cols = meta.select("i", "v", "f_px", "c_px", "w", "h", "fmt")
+    blobs = gen_cols.mapInPandas(
+        lambda it: (_gen_bytes_batch(pdf) for pdf in it), schema=_BYTES_SCHEMA
+    )
+    return meta.join(blobs, "i")
+
+
+def rois_df(spark: SparkSession, m: int) -> DataFrame:
+    """ROI table: deterministic rectangles 4-13.6 km across the test world."""
+    j = F.col("j")
+    return (
+        spark.range(m).withColumnRenamed("id", "j")
+        .withColumn("roi_id", F.format_string("ROI/%04d", j))
+        .withColumn("rx0", ((j * _RX) % 90000).cast("double"))
+        .withColumn("ry0", ((j * _RY) % 90000).cast("double"))
+        .withColumn("rx1", F.col("rx0") + (4000 + (j % 5) * 2400).cast("double"))
+        .withColumn("ry1", F.col("ry0") + (4000 + ((j * 3) % 5) * 2400).cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle side — identical tables as SQL CTE bodies
+# ---------------------------------------------------------------------------
+
+def sql_images(n: int, w: int = 40, h: int = 40) -> str:
+    """DuckDB SELECT regenerating images_meta_df exactly (no bytes)."""
+    ext = float(w) * SCALE
+    return f"""
+      SELECT range AS i,
+             printf('IMG/%08d', range) AS image_id,
+             ['MOCK/CONST','LANDSAT/LC09/C02/T1_L2','COPERNICUS/S2_SR_HARMONIZED']
+                [(range % 3) + 1] AS collection,
+             CAST({w} AS INT) AS w, CAST({h} AS INT) AS h,
+             CASE WHEN range % 4 = 3 THEN 'dct8' ELSE 'raw' END AS fmt,
+             CAST(range % 200 + 1 AS INT) AS v,
+             CAST((range % 5) * 4 AS INT) AS f_px,
+             CAST((range % 7) * 2 AS INT) AS c_px,
+             CAST((range * {_PX}) % 99000 AS DOUBLE) AS x0,
+             CAST((range * {_PY}) % 90000 AS DOUBLE) AS y0,
+             CAST((range * {_PX}) % 99000 + {ext} AS DOUBLE) AS x1,
+             CAST((range * {_PY}) % 90000 + {ext} AS DOUBLE) AS y1,
+             printf('caption-%08d-%03d', range, (range * 2654435761) % 997) AS caption,
+             TIMESTAMP '{EPOCH}' + INTERVAL (range) HOUR AS time_start,
+             CAST((range * 13) % 101 AS INT) AS cloud_cover
+      FROM range({n})
+    """
+
+
+def sql_rois(m: int) -> str:
+    return f"""
+      SELECT range AS j,
+             printf('ROI/%04d', range) AS roi_id,
+             CAST((range * {_RX}) % 90000 AS DOUBLE) AS rx0,
+             CAST((range * {_RY}) % 90000 AS DOUBLE) AS ry0,
+             CAST((range * {_RX}) % 90000 + 4000 + (range % 5) * 2400 AS DOUBLE) AS rx1,
+             CAST((range * {_RY}) % 90000 + 4000 + ((range * 3) % 5) * 2400 AS DOUBLE) AS ry1
+      FROM range({m})
+    """

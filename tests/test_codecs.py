@@ -1,0 +1,54 @@
+"""Codec oracles: bit-exact raw round trip; PSNR >= 40 dB for lossy dct8
+(BASELINE.json input_hint invariant)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geedim_spark import codecs
+
+
+def _strip_image(v=57, f_px=8, c_px=4, w=40, h=40):
+    px = np.zeros((2, h, w), dtype=np.uint16)
+    px[0, :, :] = v
+    px[0, :, :f_px] = 0
+    px[1, :, w - c_px:] = 8
+    return px
+
+
+def test_raw_roundtrip_bit_exact():
+    for dtype in ["uint8", "int16", "uint16", "int32", "float32", "float64"]:
+        rng = np.random.default_rng(42)
+        px = rng.integers(0, 100, size=(3, 17, 23)).astype(dtype)
+        assert np.array_equal(codecs.decode(codecs.encode_raw(px)), px)
+        assert codecs.decode(codecs.encode_raw(px)).dtype == px.dtype
+
+
+def test_dct8_psnr_above_40db():
+    rng = np.random.default_rng(7)
+    # smooth-ish content (realistic for imagery) + strips
+    base = rng.integers(0, 200, size=(2, 64, 64)).astype(np.uint16)
+    smooth = base // 4 + 100
+    for px in [_strip_image(), smooth]:
+        dec = codecs.decode(codecs.encode_dct8(px))
+        assert codecs.psnr(px, dec, 255.0) >= 40.0
+        assert dec.dtype == px.dtype
+        assert dec.shape == px.shape
+
+
+def test_dct8_deterministic():
+    px = _strip_image()
+    assert codecs.encode_dct8(px) == codecs.encode_dct8(px.copy())
+
+
+def test_nodata_vals_match_reference():
+    """Same per-dtype nodata as /root/reference/geedim/image.py:55-64."""
+    assert codecs.NODATA_VALS["uint8"] == 0
+    assert codecs.NODATA_VALS["int16"] == -(2**15)
+    assert codecs.NODATA_VALS["float32"] == float(np.finfo("float32").min)
+
+
+def test_phash_deterministic_and_discriminative():
+    a = codecs.phash64(_strip_image(v=57))
+    assert a == codecs.phash64(_strip_image(v=57))
+    assert a != codecs.phash64(_strip_image(v=120))
