@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` pairs cover the operator inventory from
+SURVEY.md §2.  Geedim-side operators (spatial join, masks, tiler, cloud
+distance, collection search) run over the deterministic synthetic
+image+caption table from :mod:`geedim_spark.synth` — regenerated identically
+inside each DuckDB oracle via integer-arithmetic CTEs, so even pixel-level
+results (mask portions, EDT distance sums) are value-hash checked against
+closed forms.  Training-data operators (dedup, similarity, text) run on the
+provided documents/embeddings tables; relational operators on the TPC-H-ish
+tables.
+
+Column-name/type parity rules used throughout: ids as strings/BIGINT, counts
+as BIGINT, money as DECIMAL(18,2), ranks from ROW_NUMBER cast to BIGINT,
+floats only in ORDER BY (never in output columns) except where rounded.
 """
 
 from __future__ import annotations
@@ -12,27 +20,387 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from geedim_spark import synth
+from geedim_spark.operators import collection_ops, dedup, masks, similarity, text, tiler
+from geedim_spark.operators import spatial_join as sj
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _sizes(sf_dir: str) -> tuple[int, int]:
+    sf = synth.sf_from_dir(sf_dir)
+    return synth.n_images_for_sf(sf), synth.n_rois_for_sf(sf)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: collection search (date + bounds + portions + custom filter)
+    over the synthetic table at sf0.001 — the geedim `search` lifecycle."""
+    n, m = _sizes("/root/testdata/sf0.001")
+    images = synth.images_df(spark, n).filter("fmt = 'raw'")
+    rois = synth.rois_df(spark, m)
+    return collection_ops.search(
+        images,
+        start="2024-01-01",
+        end="2025-01-01",
+        rois=rois,
+        custom_filter="cast(props['CLOUD_COVER'] as int) <= 80",
+        cloudless_portion=50.0,
+    ).select("image_id", "caption", "time_start", "FILL_PORTION", "CLOUDLESS_PORTION")
+
+
+# ---------------------------------------------------------------------------
+# geedim-side queries (synthetic images + ROI universe)
+# ---------------------------------------------------------------------------
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, m = _sizes(sf_dir)
+    return sj.filter_bounds(
+        synth.images_meta_df(spark, n), synth.rois_df(spark, m)
+    )
+
+
+def q_mask_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n).filter("fmt = 'raw'")
+    return masks.mask_stats(imgs)
+
+
+def q_cloud_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n).filter("fmt = 'raw'")
+    return masks.cloud_dist_stats(imgs, scale=synth.SCALE, max_cloud_dist=5000.0)
+
+
+def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_meta_df(spark, n)
+    tiles = tiler.explode_tiles(imgs, bands=2, max_tile_dim=21, max_tile_bands=1)
+    return tiles.select(
+        "image_id",
+        F.col("band_start").cast("int").alias("band_start"),
+        F.col("band_stop").cast("int").alias("band_stop"),
+        F.col("row_start").cast("int").alias("row_start"),
+        F.col("row_stop").cast("int").alias("row_stop"),
+        F.col("col_start").cast("int").alias("col_start"),
+        F.col("col_stop").cast("int").alias("col_stop"),
+    )
+
+
+def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, m = _sizes(sf_dir)
+    images = synth.images_df(spark, n).filter("fmt = 'raw'")
+    rois = synth.rois_df(spark, m)
+    found = collection_ops.search(
+        images,
+        start="2024-01-01",
+        end="2025-06-01",
+        rois=rois,
+        custom_filter="cast(props['CLOUD_COVER'] as int) <= 50",
+        cloudless_portion=60.0,
+    )
+    return found.select("image_id", "caption", "time_start")
+
+
+def q_date_filter_1ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """end defaults to start + 1 ms (collection.py:597-599): exactly the
+    image captured at that instant survives."""
+    n, _ = _sizes(sf_dir)
+    images = synth.images_meta_df(spark, n)
+    return collection_ops.filter_date(images, "2024-01-01 05:00:00").select(
+        "image_id", "time_start"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational queries (TPC-H-ish provided tables)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            # keep scale 4 (the product's natural scale) — a final cast to
+            # scale 2 would round .xx5 halves differently across engines
+            F.sum(
+                d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))
+            ).cast("decimal(30,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    customer = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("total_spent"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_events_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "rn")
+    )
+
+
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        events.filter(
+            (F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-02-01"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("total_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_doc_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.exact_dup_counts(docs)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.token_stats(docs).select(
+        "doc_id", "n_ws_tokens", "n_alpha", "n_digit", "n_punct"
+    )
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    sig = dedup.minhash_signature(F.col("text"), n_hashes=4, n=5)
+    return docs.select(
+        "doc_id",
+        sig[0].alias("sig_0"), sig[1].alias("sig_1"),
+        sig[2].alias("sig_2"), sig[3].alias("sig_3"),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4, n=5)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return similarity.cosine_topk(emb, n_queries=5, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return similarity.lsh_bucket_topk(emb, n_queries=5, k=10, n_planes=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spatial_join": q_spatial_join,
+        "mask_portions": q_mask_portions,
+        "cloud_dist": q_cloud_dist,
+        "tile_grid": q_tile_grid,
+        "search": q_search,
+        "date_filter_1ms": q_date_filter_1ms,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_recent": q_events_recent,
+        "events_type_stats": q_events_type_stats,
+        "doc_dup_counts": q_doc_dup_counts,
+        "doc_token_stats": q_doc_token_stats,
+        "minhash_sig": q_minhash_sig,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,  # rows-only (banded LSH)
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,  # rows-only (approximate by construction)
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _ducksizes(sf: float) -> tuple[int, int]:
+    return synth.n_images_for_sf(sf), synth.n_rois_for_sf(sf)
 
 
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+def oracle_sql(sf: float = 0.01) -> dict[str, str]:
+    n, m = _ducksizes(sf)
+    images = synth.sql_images(n)
+    rois = synth.sql_rois(m)
+
+    mock = "collection = 'MOCK/CONST'"
+
+    minhash_shingle = (
+        "list_transform("
+        "  list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1) + 1)]),"
+        "  s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 2147483647)"
+    )
+
+    def sig_col(i: int) -> str:
+        a, b = dedup._A[i], dedup._B[i]
+        return (
+            f"list_min(list_transform(sh, h -> ({a} * h + {b}) % 2147483647)) AS sig_{i}"
+        )
+
+    return {
+        "spatial_join": f"""
+            WITH images AS ({images}), rois AS ({rois})
+            SELECT image_id, roi_id FROM images JOIN rois
+            ON x0 <= rx1 AND x1 >= rx0 AND y0 <= ry1 AND y1 >= ry0
+        """,
+        "mask_portions": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(w*h AS BIGINT) AS total_px,
+                   CAST((w - f_px)*h AS BIGINT) AS fill_px,
+                   CAST(CASE WHEN {mock} THEN 0 ELSE c_px*h END AS BIGINT) AS cloud_px,
+                   CAST(0 AS BIGINT) AS shadow_px,
+                   CAST(CASE WHEN {mock} THEN (w - f_px)*h
+                             ELSE (w - f_px - c_px)*h END AS BIGINT) AS cloudless_px
+            FROM images WHERE fmt = 'raw'
+        """,
+        "cloud_dist": f"""
+            WITH images AS ({images}),
+            cols AS (
+              SELECT i.*, x FROM images i, range(40) r(x) WHERE fmt = 'raw'
+            )
+            SELECT image_id,
+                   CAST(SUM(h * LEAST(5000, CAST({synth.SCALE} AS BIGINT) * LEAST(
+                     CASE WHEN f_px > 0 THEN GREATEST(0, x - (f_px - 1)) ELSE 9999999 END,
+                     CASE WHEN c_px > 0 AND NOT ({mock})
+                          THEN GREATEST(0, (w - c_px) - x) ELSE 9999999 END
+                   ))) AS BIGINT) AS dist_sum
+            FROM cols GROUP BY image_id
+        """,
+        "tile_grid": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(b AS INT) AS band_start, CAST(b + 1 AS INT) AS band_stop,
+                   CAST(r AS INT) AS row_start, CAST(LEAST(r + 21, h) AS INT) AS row_stop,
+                   CAST(c AS INT) AS col_start, CAST(LEAST(c + 21, w) AS INT) AS col_stop
+            FROM images, (SELECT unnest([0, 1]) AS b), (SELECT unnest([0, 21]) AS r),
+                 (SELECT unnest([0, 21]) AS c)
+        """,
+        "search": f"""
+            WITH images AS ({images})
+            SELECT image_id, caption, time_start FROM images
+            WHERE fmt = 'raw'
+              AND time_start >= TIMESTAMP '2024-01-01'
+              AND time_start < TIMESTAMP '2025-06-01'
+              AND cloud_cover <= 50
+              AND EXISTS (
+                SELECT 1 FROM ({rois}) r
+                WHERE x0 <= rx1 AND x1 >= rx0 AND y0 <= ry1 AND y1 >= ry0)
+              AND (CASE WHEN {mock} THEN 100.0
+                        ELSE 100.0 * (w - f_px - c_px) / (w - f_px) END) >= 60.0
+        """,
+        "date_filter_1ms": f"""
+            WITH images AS ({images})
+            SELECT image_id, time_start FROM images
+            WHERE time_start >= TIMESTAMP '2024-01-01 05:00:00'
+              AND time_start < TIMESTAMP '2024-01-01 05:00:00.001'
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(30,4)) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY total_spent DESC, c_custkey LIMIT 10
+        """,
+        "events_recent": """
+            SELECT event_id, user_id, rn FROM (
+              SELECT event_id, user_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, event_id) AS BIGINT) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "events_type_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-02-01'
+            GROUP BY event_type
+        """,
+        "doc_dup_counts": """
+            SELECT doc_id,
+                   CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
+            FROM documents
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "minhash_sig": f"""
+            SELECT doc_id, {', '.join(sig_col(i) for i in range(4))}
+            FROM (SELECT doc_id, {minhash_shingle} AS sh FROM documents)
+        """,
+        "ann_topk": """
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 5),
+            sims AS (
+              SELECT query_id, vec_id AS neighbor_id,
+                     list_dot_product(qe, e) /
+                       (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS sim
+              FROM emb, q WHERE vec_id <> query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+              FROM sims) WHERE rank <= 10
+        """,
+    }

@@ -1,0 +1,110 @@
+"""Collection-level operators: search/filter, compatibility checks.
+
+Replicates the reference's ``ImageCollectionAccessor.filter()`` lifecycle
+(/root/reference/geedim/collection.py:542-640):
+
+1. date filter — ``end`` defaults to ``start + 1 ms`` (collection.py:597-599);
+2. spatial bounds filter (collection.py:601-602) -> cell-cover join;
+3. custom filter expression (collection.py:606-611) — applied **before** the
+   expensive portion computation iff it doesn't reference
+   FILL_PORTION / CLOUDLESS_PORTION (the predicate-ordering rule,
+   collection.py:604-611; Catalyst can't reorder across the pixel-UDF
+   barrier, so the API layer does);
+4. portion computation (mask_stats over decoded pixels) + thresholds
+   (collection.py:627-632); requesting portions without a region is an
+   error (collection.py:590-594);
+5. sort by capture time (collection.py:639).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geedim_spark.operators import masks
+from geedim_spark.operators.spatial_join import filter_bounds_semi
+
+_PORTION_PROPS = ("FILL_PORTION", "CLOUDLESS_PORTION")
+
+
+def filter_date(images: DataFrame, start, end=None) -> DataFrame:
+    """[start, end) time filter; end defaults to start + 1 ms
+    (collection.py:597-599 — tested to make a single-instant window)."""
+    start = _to_dt(start)
+    end = _to_dt(end) if end is not None else start + dt.timedelta(milliseconds=1)
+    return images.filter(
+        (F.col("time_start") >= F.lit(start)) & (F.col("time_start") < F.lit(end))
+    )
+
+
+def _to_dt(v):
+    if isinstance(v, str):
+        return dt.datetime.fromisoformat(v)
+    return v
+
+
+def search(
+    images: DataFrame,
+    start=None,
+    end=None,
+    rois: DataFrame | None = None,
+    custom_filter: str | None = None,
+    fill_portion: float | None = None,
+    cloudless_portion: float | None = None,
+    mask_opts: dict | None = None,
+) -> DataFrame:
+    """Filter an image collection; returns matching images + portion columns,
+    sorted by capture time."""
+    want_portions = fill_portion is not None or cloudless_portion is not None
+    if want_portions and rois is None:
+        # collection.py:590-594 guard
+        raise ValueError(
+            "One of fill_portion / cloudless_portion requires a region (rois)."
+        )
+
+    out = images
+    if start is not None:
+        out = filter_date(out, start, end)
+    if rois is not None:
+        out = filter_bounds_semi(out, rois)
+
+    # predicate-ordering rule: cheap custom filter before pixel decode when
+    # it doesn't reference portion properties (collection.py:604-611)
+    pre_applied = False
+    if custom_filter and not any(p.lower() in custom_filter.lower() for p in _PORTION_PROPS):
+        out = out.filter(F.expr(custom_filter))
+        pre_applied = True
+
+    if want_portions or (custom_filter and not pre_applied):
+        stats = masks.with_portions(masks.mask_stats(out, **(mask_opts or {})))
+        out = out.join(
+            stats.select(
+                "image_id",
+                F.col("fill_portion").alias("FILL_PORTION"),
+                F.col("cloudless_portion").alias("CLOUDLESS_PORTION"),
+            ),
+            "image_id",
+        )
+        if fill_portion is not None:
+            out = out.filter(F.col("FILL_PORTION") >= fill_portion)
+        if cloudless_portion is not None:
+            out = out.filter(F.col("CLOUDLESS_PORTION") >= cloudless_portion)
+        if custom_filter and not pre_applied:
+            out = out.filter(F.expr(custom_filter))
+
+    return out.orderBy("time_start")  # collection.py:639
+
+
+def check_compatible_collections(images: DataFrame) -> list[str]:
+    """fromImages compatibility check (collection.py:124-160): all rows must
+    share a collection, or be Landsat variants of the same spacecraft."""
+    ids = [r["collection"] for r in images.select("collection").distinct().collect()]
+    if len(ids) <= 1:
+        return ids
+    roots = {i.split("/")[0] + "/" + i.split("/")[1] if i.startswith("LANDSAT/") else i
+             for i in ids}
+    if len(roots) > 1:
+        raise ValueError(f"Incompatible collections: {sorted(ids)}")
+    return ids

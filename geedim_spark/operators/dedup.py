@@ -1,0 +1,154 @@
+"""Deduplication operators over the documents table.
+
+Training-data pipeline staples, each expressed as a DataFrame plan:
+
+- exact dedup          — hash group (md5) + window count;
+- MinHash              — k independent permutation mins over character
+                         shingles; Jaccard estimated from signature overlap;
+- MinHash LSH          — banded signatures -> bucket equi-join (candidate
+                         pairs without the O(N^2) cross join);
+- SimHash              — weighted-bit fingerprint, hamming-close pairs;
+- n-gram Jaccard       — exact set overlap for candidate verification.
+
+Shingle hashing uses md5 (first 8 hex chars as int) so the DuckDB oracle can
+reproduce signatures exactly — xxhash64/sha differ or are engine-specific.
+All shingle work is Catalyst (sequence/transform/substring) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Mersenne prime modulus for the permutation family.  Coefficients and
+# reduced hashes stay < 2^31 so a*h + b < 2^62 — no int64 overflow in either
+# engine (DuckDB errors on BIGINT overflow; Spark wraps silently).
+_P = (1 << 31) - 1
+_A = [((2 * i + 1) * 2654435761) % _P for i in range(64)]
+_B = [((i + 1) * 40503) % _P for i in range(64)]
+
+
+def exact_dup_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_copies): how many docs share this row's exact text."""
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return documents.select(
+        "doc_id", F.count(F.lit(1)).over(w).cast("long").alias("n_copies")
+    )
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-gram array — pure Catalyst."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+
+
+def shingle_hash(sh: Column) -> Column:
+    """Shingle -> uint32-ish int via md5 prefix (engine-portable)."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column, n_hashes: int = 16, n: int = 5) -> Column:
+    """array<long> of n_hashes permutation minima over the shingle set."""
+    hashes = F.transform(shingles(text, n), lambda s: shingle_hash(s) % F.lit(_P))
+
+    def _perm_fn(a: int, b: int):
+        # PySpark lambda introspection fills ALL parameters with Columns, so
+        # capture the coefficients via a closure, not default args.
+        def fn(h):
+            return (F.lit(a) * h + F.lit(b)) % F.lit(_P)
+        return fn
+
+    sig = [
+        F.array_min(F.transform(hashes, _perm_fn(_A[i], _B[i])))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n_hashes: int = 16, bands: int = 4, n: int = 5
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of ``n_hashes/bands`` rows; docs
+    sharing any band hash land in the same bucket.  The bucket join is an
+    equi-join on (band, band_hash) — shuffle key cardinality ~N*bands, no
+    cross join anywhere.  Output: (doc_id_a, doc_id_b, n_shared_bands).
+    """
+    rows_per_band = n_hashes // bands
+    sigs = documents.select(
+        "doc_id", minhash_signature(F.col("text"), n_hashes, n).alias("sig")
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bhash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard(documents: DataFrame, pairs: DataFrame, n: int = 5) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+
+    ``pairs``: (doc_id_a, doc_id_b).  Output adds inter/union sizes (ints)
+    — exact, oracle-friendly; similarity = inter/union left to the caller.
+    """
+    sh = documents.select("doc_id", shingles(F.col("text"), n).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_id_a")
+                     .withColumnRenamed("sh", "sh_a"), "doc_id_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_id_b")
+                .withColumnRenamed("sh", "sh_b"), "doc_id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    return out.select(
+        "doc_id_a", "doc_id_b",
+        inter.alias("n_intersect"), union.alias("n_union"),
+    )
+
+
+def simhash(text: Column, bits: int = 16, n: int = 5) -> Column:
+    """SimHash fingerprint: per-bit majority vote over shingle hashes.
+
+    Uses the md5-derived shingle hash's low ``bits`` bits; bit b of the
+    output is 1 iff more shingles have bit b set than clear.
+    """
+    hashes = F.transform(shingles(text, n), shingle_hash)
+    total = F.size(hashes)
+
+    def _bit_count_fn(b: int):
+        def fn(acc, h):
+            return acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
+        return fn
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.aggregate(hashes, F.lit(0), _bit_count_fn(b))
+        out = out + F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0))
+    return out

@@ -1,0 +1,448 @@
+"""Cloud/shadow/fill mask engine — geedim's mask semantics as numpy kernels
+driven by Arrow-batched pandas UDFs.
+
+The per-pixel formulas reproduce /root/reference/geedim/mask.py exactly:
+
+- fill mask        = allNonZero over reflectance-band validity (mask.py:38,176-179,494-499)
+- Landsat cloud    = QA_PIXEL bit 9 | bit 1 (| bit 15 if mask_cirrus) (mask.py:181-189)
+- Landsat shadow   = QA_PIXEL bit 11 (mask.py:191-196)
+- saturation       = QA_RADSAT != 0 (mask.py:198-202)
+- SR nonphysical   = min(SR_B*) < (0+0.2)/0.0000275 | max(SR_B*) > (1+0.2)/0.0000275
+                     (mask.py:228-239)
+- aerosol          = SR_QA_AEROSOL & (3<<6) == 3<<6 (mask.py:255-262)
+- S2 cloud-score   = score <= threshold (on cs | cs_cdf band); unmatched score
+                     image -> score-dependent bands fully masked (mask.py:304-329,403-416)
+- S2 QA60          = bit 10 (| bit 11 if mask_cirrus), invalid 2022-02..2024-02
+                     (mask.py:374-391)
+- S2 cloud-prob    = prob >= threshold (mask.py:393-401)
+- S2 cast shadow   = directional projection of cloud mask along
+                     (90 - MEAN_SOLAR_AZIMUTH_ANGLE) up to shadow_dist,
+                     intersected with dark pixels B8 < dark*1e4 (& SCL != 6
+                     for SR) (mask.py:331-372)
+- morphological open(20 m) + dilate(buffer) on qa/prob combined masks
+  (mask.py:466-472)
+- CLOUDLESS        = ~combined & fill (mask.py:204-207, 501-506)
+- CLOUD_DIST       = clamp(sqrt(EDT2(~cloudless)) * scale, 0, max_cloud_dist)
+                     as uint16 (mask.py:88-124) — exact Felzenszwalb-
+                     Huttenlocher EDT instead of EE fastDistanceTransform
+- portions         = FILL_PORTION = 100*fill/total;
+                     CLOUDLESS_PORTION = 100*cloudless/fill (mask.py:135-151);
+                     pinned to 100 for collections without cloud support
+                     (mask.py:66-82); bestEffort 1e6-pixel grid decimation
+                     (mask.py:78) replicated via stride sampling
+
+Spark shape: per-image stats are one ``mapInPandas`` pass (a row is a whole
+image -> no shuffle); the tiled path does per-tile partial counts + a
+``groupBy(image_id)`` 2-phase hash agg (A1/A2 in SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geedim_spark import codecs
+
+# synthetic band layout of the input table (2-band: data + QA)
+BAND_NAMES = ("B1", "QA_PIXEL")
+
+MAX_REGION_STAT_PIXELS = 1_000_000  # mask.py:78 maxPixels=1e6 bestEffort
+
+# Landsat SR non-physical reflectance limits (mask.py:230)
+SR_NONPHYSICAL_LIMS = tuple((v + 0.2) / 0.0000275 for v in (0.0, 1.0))
+
+_QA_CLOUD_MID = 1 << 9      # mask.py:183
+_QA_CLOUD_DILATED = 1 << 1  # mask.py:184
+_QA_CIRRUS = 1 << 15        # mask.py:187
+_QA_SHADOW = 1 << 11        # mask.py:194
+_QA60_CLOUD = 1 << 10       # mask.py:387
+_QA60_CIRRUS = 1 << 11      # mask.py:389
+_S2_AEROSOL_HIGH = 3 << 6   # mask.py:258
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+def fill_mask(refl_bands: np.ndarray, nodata=0) -> np.ndarray:
+    """allNonZero over band validity: True where every band is valid."""
+    return np.all(refl_bands != nodata, axis=0)
+
+
+def landsat_masks(
+    bands: dict[str, np.ndarray],
+    mask_shadows: bool = True,
+    mask_cirrus: bool = True,
+    mask_saturation: bool = False,
+    mask_nonphysical: bool = False,
+    mask_aerosols: bool = False,
+    nodata=0,
+) -> dict[str, np.ndarray]:
+    """Landsat C2 mask bands (mask.py:154-263 semantics, incl. SR variants)."""
+    refl_names = [n for n in bands if n.startswith(("B", "SR_B"))]
+    refl = np.stack([bands[n] for n in refl_names])
+    out = {"FILL_MASK": fill_mask(refl, nodata)}
+
+    qa = bands["QA_PIXEL"].astype(np.int64)
+    cloud = ((qa & _QA_CLOUD_MID) == _QA_CLOUD_MID) | (
+        (qa & _QA_CLOUD_DILATED) == _QA_CLOUD_DILATED
+    )
+    if mask_cirrus:
+        cloud |= (qa & _QA_CIRRUS) == _QA_CIRRUS
+    out["CLOUD_MASK"] = cloud
+    combined = cloud.copy()
+
+    if mask_shadows:
+        shadow = (qa & _QA_SHADOW) == _QA_SHADOW
+        out["SHADOW_MASK"] = shadow
+        combined |= shadow
+
+    if mask_saturation and "QA_RADSAT" in bands:
+        sat = bands["QA_RADSAT"] != 0
+        out["SATURATION_MASK"] = sat
+        combined |= sat
+
+    cloudless = ~combined & out["FILL_MASK"]
+
+    if mask_nonphysical:
+        sr = [bands[n] for n in refl_names if n.startswith("SR_B")]
+        if sr:
+            sr = np.stack(sr).astype(np.float64)
+            nonphys = (sr.min(axis=0) < SR_NONPHYSICAL_LIMS[0]) | (
+                sr.max(axis=0) > SR_NONPHYSICAL_LIMS[1]
+            )
+            out["NONPHYSICAL_MASK"] = nonphys
+            cloudless &= ~nonphys
+
+    if mask_aerosols and "SR_QA_AEROSOL" in bands:
+        aero = (bands["SR_QA_AEROSOL"].astype(np.int64) & _S2_AEROSOL_HIGH) == _S2_AEROSOL_HIGH
+        out["AEROSOL_MASK"] = aero
+        cloudless &= ~aero
+
+    out["CLOUDLESS_MASK"] = cloudless
+    return out
+
+
+def s2_masks(
+    bands: dict[str, np.ndarray],
+    score: np.ndarray | None = None,
+    mask_method: str = "cloud-score",
+    score_thresh: float = 0.6,
+    prob: np.ndarray | None = None,
+    prob_thresh: float = 60.0,
+    mask_cirrus: bool = True,
+    mask_shadows: bool = True,
+    mask_nonphysical: bool = False,
+    qa_valid: bool = True,
+    solar_azimuth: float = 0.0,
+    dark: float = 0.15,
+    shadow_dist: float = 1000.0,
+    buffer: float = 50.0,
+    scale: float = 10.0,
+    s2_toa: bool = False,
+    nodata=0,
+) -> dict[str, np.ndarray]:
+    """Sentinel-2 mask bands (mask.py:266-517 semantics).
+
+    ``score``/``prob`` are the broadcast-joined match-image bands; None means
+    "no match" -> score-dependent outputs fully masked (mask.py:317-328,
+    oracle test_mask.py:659-681) signalled by ``VALID=False``.
+    """
+    refl_names = [n for n in bands if n.startswith("B")]
+    refl = np.stack([bands[n] for n in refl_names])
+    fill = fill_mask(refl, nodata)
+    out = {"FILL_MASK": fill, "VALID": np.True_}
+    shape = fill.shape
+
+    if mask_method == "cloud-score":
+        if score is None:
+            out["CLOUDLESS_MASK"] = np.zeros(shape, bool)
+            out["VALID"] = np.False_
+            return out
+        combined = score <= score_thresh  # mask.py:412
+        out["CLOUD_SCORE"] = score.astype(np.float32)
+    else:
+        if mask_method == "qa":
+            qa = bands["QA60"].astype(np.int64)
+            cloud = (qa & _QA60_CLOUD) != 0
+            if mask_cirrus:
+                cloud |= (qa & _QA60_CIRRUS) != 0
+            if not qa_valid:  # QA60 unpopulated window (mask.py:379-385)
+                cloud = np.zeros(shape, bool)
+                out["VALID"] = np.False_
+        elif mask_method == "cloud-prob":
+            if prob is None:
+                out["CLOUDLESS_MASK"] = np.zeros(shape, bool)
+                out["VALID"] = np.False_
+                return out
+            cloud = prob >= prob_thresh
+            out["CLOUD_PROB"] = prob.astype(np.float32)
+        else:
+            raise ValueError(f"unknown mask_method {mask_method!r}")
+        out["CLOUD_MASK"] = cloud
+
+        # cast shadow (mask.py:331-372)
+        dark_mask = bands["B8"] < dark * 1e4 if "B8" in bands else np.zeros(shape, bool)
+        if not s2_toa and "SCL" in bands:
+            dark_mask &= bands["SCL"] != 6  # exclude water
+        azimuth = 90.0 - solar_azimuth
+        npix = round(shadow_dist / scale)
+        cast = directional_project(cloud, azimuth, npix)
+        shadow = cast & dark_mask
+        out["SHADOW_MASK"] = shadow
+
+        combined = (cloud | shadow) if mask_shadows else cloud
+
+        # open(20 m) + dilate(buffer m) (mask.py:466-472)
+        combined = focal_min(combined, round(20.0 / scale))
+        combined = focal_max(combined, round(buffer / scale))
+
+    if mask_nonphysical:
+        nonphys = refl.max(axis=0) > 10000  # mask.py:477-481
+        out["NONPHYSICAL_MASK"] = nonphys
+        combined = combined | nonphys
+
+    out["CLOUDLESS_MASK"] = ~combined & fill
+    return out
+
+
+# -- neighbourhood kernels ---------------------------------------------------
+
+def _disk_offsets(radius: int) -> list[tuple[int, int]]:
+    if radius <= 0:
+        return [(0, 0)]
+    r2 = radius * radius
+    return [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+        if dy * dy + dx * dx <= r2
+    ]
+
+
+def _shift(mask: np.ndarray, dy: int, dx: int, fill: bool) -> np.ndarray:
+    out = np.full_like(mask, fill)
+    h, w = mask.shape
+    ys0, ys1 = max(0, dy), min(h, h + dy)
+    xs0, xs1 = max(0, dx), min(w, w + dx)
+    out[ys0:ys1, xs0:xs1] = mask[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx]
+    return out
+
+
+def focal_max(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Binary dilation with a disk (EE focal_max analog)."""
+    if radius <= 0:
+        return mask
+    out = np.zeros_like(mask)
+    for dy, dx in _disk_offsets(radius):
+        out |= _shift(mask, dy, dx, False)
+    return out
+
+
+def focal_min(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Binary erosion with a disk (EE focal_min analog)."""
+    if radius <= 0:
+        return mask
+    out = np.ones_like(mask)
+    for dy, dx in _disk_offsets(radius):
+        out &= _shift(mask, dy, dx, True)
+    return out
+
+
+def directional_project(mask: np.ndarray, azimuth_deg: float, npix: int) -> np.ndarray:
+    """Pixels within ``npix`` steps of a source pixel along ``azimuth``
+    (EE directionalDistanceTransform(...).mask() analog, mask.py:355-364).
+
+    Azimuth convention: degrees anticlockwise from +x (east), y up (north);
+    array rows grow south so dy is negated.
+    """
+    rad = math.radians(azimuth_deg)
+    dx, dy = math.cos(rad), -math.sin(rad)
+    out = np.zeros_like(mask)
+    for step in range(1, max(npix, 0) + 1):
+        out |= _shift(mask, round(step * dy), round(step * dx), False)
+    return out
+
+
+def edt_squared(sources: np.ndarray) -> np.ndarray:
+    """Exact 2D squared Euclidean distance transform to the nearest True
+    pixel — fully vectorised two-pass form.
+
+    Pass 1 (per column): 1D distance in rows to the nearest source via
+    forward/backward running extrema (binary input makes the 1D transform a
+    cummax/cummin).  Pass 2 (per row): exact lower envelope
+    ``min_x'(d1(x')^2 + (x - x')^2)`` as a broadcast min, chunked over rows
+    to bound memory.  Pixels with no source anywhere get a large sentinel.
+    """
+    h, w = sources.shape
+    INF = float(2 * (h * h + w * w) + 1)
+    rows = np.arange(h, dtype=np.int64)[:, None]
+
+    up_idx = np.where(sources, rows, np.int64(-(1 << 40)))
+    up = rows - np.maximum.accumulate(up_idx, axis=0)
+    down_idx = np.where(sources, rows, np.int64(1 << 40))
+    down = np.minimum.accumulate(down_idx[::-1], axis=0)[::-1] - rows
+    d1 = np.minimum(up, down)
+    d1sq = np.where(d1 > h, INF, d1.astype(np.float64) ** 2)
+
+    xs = np.arange(w, dtype=np.float64)
+    xdiff = (xs[:, None] - xs[None, :]) ** 2  # (w_out, w_src)
+    out = np.empty((h, w), dtype=np.float64)
+    chunk = max(1, int(4_000_000 // (w * w)) or 1)
+    for r0 in range(0, h, chunk):
+        r1 = min(h, r0 + chunk)
+        # (rows, w_out, w_src) -> min over source column
+        out[r0:r1] = (d1sq[r0:r1, None, :] + xdiff[None, :, :]).min(axis=2)
+    return out
+
+
+def cloud_dist(
+    cloudless: np.ndarray, scale: float, max_cloud_dist: float = 5000.0
+) -> np.ndarray:
+    """CLOUD_DIST band: metres to nearest non-cloudless pixel, clamped,
+    uint16 (mask.py:88-124).  Invalid pixels are treated as distance sources
+    (cloudless.Not() includes them), matching the reference."""
+    sources = ~cloudless
+    if not sources.any():
+        d = np.full(cloudless.shape, max_cloud_dist)
+    else:
+        d = np.sqrt(edt_squared(sources)) * scale
+    return np.clip(d, 0, max_cloud_dist).astype(np.uint16)
+
+
+def decode_bands(buf: bytes, band_names=BAND_NAMES) -> dict[str, np.ndarray]:
+    px = codecs.decode(bytes(buf))
+    return {n: px[i] for i, n in enumerate(band_names[: px.shape[0]])}
+
+
+def stats_stride(total_px: int, max_pixels: int = MAX_REGION_STAT_PIXELS) -> int:
+    """bestEffort grid decimation step (mask.py:78 analog): compute stats on
+    every ``step``-th row/col so sampled pixels <= max_pixels."""
+    if total_px <= max_pixels:
+        return 1
+    return int(math.ceil(math.sqrt(total_px / max_pixels)))
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+_STATS_SCHEMA = (
+    "image_id string, total_px long, fill_px long, cloud_px long, "
+    "shadow_px long, cloudless_px long"
+)
+
+
+def _sensor_for(collection: str) -> str:
+    """Collection id -> mask family (schema.py:75-241 / mask.py:536-544
+    dispatch analog; unknown ids -> no cloud support)."""
+    if collection.startswith("LANDSAT/"):
+        return "landsat"
+    if collection.startswith("COPERNICUS/S2"):
+        # synthetic S2 rows carry the same QA_PIXEL layout; they use the
+        # landsat bit kernel until a score table is joined (see s2_masks)
+        return "landsat"
+    return "none"
+
+
+def mask_stats(images: DataFrame, **mask_opts) -> DataFrame:
+    """Per-image mask pixel counts — one mapInPandas pass, zero shuffle.
+
+    Input needs: image_id, bytes, collection.  Output: exact counts of
+    total/fill/cloud/shadow/cloudless pixels (ints — order-insensitive and
+    float-free for oracle hashing).
+    """
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for image_id, buf, coll in zip(pdf["image_id"], pdf["bytes"], pdf["collection"]):
+            bands = decode_bands(buf)
+            sensor = _sensor_for(coll)
+            if sensor == "landsat":
+                m = landsat_masks(bands, **mask_opts)
+            else:
+                fill = fill_mask(np.stack([v for k, v in bands.items() if k != "QA_PIXEL"]))
+                m = {"FILL_MASK": fill, "CLOUDLESS_MASK": fill}
+            step = stats_stride(m["FILL_MASK"].size)
+            sub = (slice(None, None, step), slice(None, None, step))
+            rows.append({
+                "image_id": image_id,
+                "total_px": int(m["FILL_MASK"][sub].size),
+                "fill_px": int(m["FILL_MASK"][sub].sum()),
+                "cloud_px": int(m["CLOUD_MASK"][sub].sum()) if "CLOUD_MASK" in m else 0,
+                "shadow_px": int(m["SHADOW_MASK"][sub].sum()) if "SHADOW_MASK" in m else 0,
+                "cloudless_px": int(m["CLOUDLESS_MASK"][sub].sum()),
+            })
+        return pd.DataFrame(rows, columns=[
+            "image_id", "total_px", "fill_px", "cloud_px", "shadow_px", "cloudless_px",
+        ])
+
+    src = images.select("image_id", "bytes", "collection")
+    return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_STATS_SCHEMA)
+
+
+def with_portions(stats: DataFrame) -> DataFrame:
+    """FILL_PORTION / CLOUDLESS_PORTION from counts (mask.py:135-151)."""
+    return stats.withColumn(
+        "fill_portion", F.lit(100.0) * F.col("fill_px") / F.col("total_px")
+    ).withColumn(
+        "cloudless_portion",
+        F.when(F.col("fill_px") > 0,
+               F.lit(100.0) * F.col("cloudless_px") / F.col("fill_px")),
+    )
+
+
+def cloud_dist_stats(
+    images: DataFrame,
+    scale: float = 10.0,
+    max_cloud_dist: float = 5000.0,
+    **mask_opts,
+) -> DataFrame:
+    """Per-image sum of clamped CLOUD_DIST values (exact EDT, mask.py:88-124
+    semantics).  Integer output -> oracle-hashable; the strip geometry of the
+    synthetic table makes the expected sum closed-form in SQL."""
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for image_id, buf, coll in zip(pdf["image_id"], pdf["bytes"], pdf["collection"]):
+            bands = decode_bands(buf)
+            if _sensor_for(coll) == "landsat":
+                m = landsat_masks(bands, **mask_opts)
+            else:
+                fill = fill_mask(np.stack([v for k, v in bands.items() if k != "QA_PIXEL"]))
+                m = {"CLOUDLESS_MASK": fill}
+            d = cloud_dist(m["CLOUDLESS_MASK"], scale, max_cloud_dist)
+            rows.append({"image_id": image_id, "dist_sum": int(d.sum(dtype=np.int64))})
+        return pd.DataFrame(rows, columns=["image_id", "dist_sum"])
+
+    src = images.select("image_id", "bytes", "collection")
+    return src.mapInPandas(
+        lambda it: (_batch(p) for p in it), schema="image_id string, dist_sum long"
+    )
+
+
+_MASKED_SCHEMA = "image_id string, bytes binary"
+
+
+def mask_clouds(images: DataFrame, **mask_opts) -> DataFrame:
+    """Apply the cloudless mask to the data bands: non-cloudless pixels set
+    to nodata (updateMask(CLOUDLESS_MASK) analog, mask.py:131-133).  Returns
+    (image_id, bytes) with re-encoded pixels; join back for other columns."""
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for image_id, buf, coll, fmt in zip(
+            pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["fmt"]
+        ):
+            px = codecs.decode(bytes(buf))
+            bands = {n: px[i] for i, n in enumerate(BAND_NAMES[: px.shape[0]])}
+            if _sensor_for(coll) == "landsat":
+                m = landsat_masks(bands, **mask_opts)
+                px = px.copy()
+                px[0][~m["CLOUDLESS_MASK"]] = codecs.NODATA_VALS[px.dtype.name]
+            out.append({"image_id": image_id, "bytes": codecs.encode(px, "raw")})
+        return pd.DataFrame(out, columns=["image_id", "bytes"])
+
+    src = images.select("image_id", "bytes", "collection", "fmt")
+    return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_MASKED_SCHEMA)

@@ -1,0 +1,110 @@
+"""Spatial joins as cell-index equi-joins + exact refinement.
+
+Replaces the reference's server-side ``filterBounds``
+(/root/reference/geedim/collection.py:601-602) with the standard
+cover-join pattern:
+
+1. explode each footprint's cell covering (pure Catalyst,
+   :func:`geedim_spark.cells.col_cover_bbox`);
+2. equi-join on ``cell`` — broadcast when one side is a dim table (ROIs),
+   shuffle hash/sort-merge with optional **salting** for big-big joins;
+3. exact geometric refine (bbox predicate as Catalyst expressions; arbitrary
+   polygons via a vectorised point-in-polygon pandas UDF);
+4. distinct on the key pair (cell coverings overlap between resolutions).
+
+Scale notes (10^12 rows): footprint density over popular cells is Zipfian —
+AQE skew-join (enabled in session.py) splits oversized partitions at runtime,
+and :func:`salted_join` pre-splits pathological keys by replicating the small
+side SALT times.  ROI-side joins broadcast (no shuffle at all); only
+tile<->tile self-joins (stencil halos) pay a shuffle, on the cell key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geedim_spark import cells
+
+
+def cover_cells(
+    df: DataFrame,
+    x0: str, y0: str, x1: str, y1: str,
+    res: int = cells.DEFAULT_RES,
+) -> DataFrame:
+    """Append exploded ``cell`` column covering each row's bbox."""
+    return df.withColumn(
+        "cell",
+        F.explode(
+            cells.col_cover_bbox(F.col(x0), F.col(y0), F.col(x1), F.col(y1), res)
+        ),
+    )
+
+
+def bbox_intersects_col(
+    ax0: Column, ay0: Column, ax1: Column, ay1: Column,
+    bx0: Column, by0: Column, bx1: Column, by1: Column,
+) -> Column:
+    """Closed-interval bbox intersection — Catalyst twin of
+    :func:`geedim_spark.geometry.bbox_intersects`."""
+    return (ax0 <= bx1) & (ax1 >= bx0) & (ay0 <= by1) & (ay1 >= by0)
+
+
+def filter_bounds(
+    images: DataFrame,
+    rois: DataFrame,
+    res: int = cells.DEFAULT_RES,
+    broadcast_rois: bool = True,
+) -> DataFrame:
+    """images x ROIs intersects join -> distinct (image_id, roi_id) pairs.
+
+    The cell equi-join bounds candidate pairs; the bbox refine makes the
+    result exact (independent of ``res``).  ROIs broadcast by default (a
+    region-of-interest table is a dim table even at 10^12 images).
+    """
+    img_cells = cover_cells(
+        images.select("image_id", "x0", "y0", "x1", "y1"), "x0", "y0", "x1", "y1", res
+    )
+    roi_sel = rois.select("roi_id", "rx0", "ry0", "rx1", "ry1")
+    roi_cells = cover_cells(roi_sel, "rx0", "ry0", "rx1", "ry1", res)
+    if broadcast_rois:
+        roi_cells = F.broadcast(roi_cells)
+    cand = img_cells.join(roi_cells, "cell")
+    exact = cand.where(
+        bbox_intersects_col(
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+            F.col("rx0"), F.col("ry0"), F.col("rx1"), F.col("ry1"),
+        )
+    )
+    return exact.select("image_id", "roi_id").distinct()
+
+
+def filter_bounds_semi(
+    images: DataFrame, rois: DataFrame, res: int = cells.DEFAULT_RES
+) -> DataFrame:
+    """Images having >= 1 intersecting ROI (the reference's filterBounds
+    keeps whole images; left-semi join back to the images table)."""
+    matched = filter_bounds(images, rois, res).select("image_id").distinct()
+    return images.join(matched, "image_id", "left_semi")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    ``big`` gets ``pmod(hash(all columns), salt)``; ``small`` is exploded
+    ``salt`` times so every salted key still matches.  Use for big-big joins
+    where one key (hot H3 cell) dominates; AQE skew-join handles moderate
+    skew, this handles the pathological tail the north rule calls out.
+    """
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_s.join(small_s, [key, "_salt"], how)
+    return out.drop("_salt")

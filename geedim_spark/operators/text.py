@@ -1,0 +1,112 @@
+"""Text-analysis operators over the documents table — all pure Catalyst
+column expressions (JVM-side regex/string ops, no UDFs).
+
+- token counting (whitespace + a BPE-ish word/punct regex)
+- quality scoring (length / punctuation / stopword / alpha ratios)
+- language-ID (stopword-hit heuristic over common-word lists)
+- document fingerprinting (rolling polynomial hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny common-word lists for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "que", "de", "no", "es", "por", "una", "con"],
+}
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Non-empty whitespace-delimited tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Word / number / punctuation split (BPE-style pre-tokenisation)."""
+    toks = F.split(
+        F.regexp_replace(text, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"),
+        "",
+    )
+    return F.filter(toks, lambda x: F.trim(x) != "")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_alpha, n_digit, n_punct)."""
+    text = F.col("text")
+    return documents.select(
+        "doc_id",
+        F.size(whitespace_tokens(text)).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(text)).cast("long").alias("n_bpe_tokens"),
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(text, "[^0-9]", "")).cast("long").alias("n_digit"),
+        F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")).cast("long").alias("n_punct"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]."""
+    text = F.col("text")
+    n = F.length(text).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    n_tokens = F.size(whitespace_tokens(text)).cast("double")
+    mean_tok_len = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    stop_hits = _stopword_hits(text, _LANG_MARKERS["en"])
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n / F.lit(1000.0), F.lit(1.0)) * 0.2
+        + F.least(alpha_ratio / F.lit(0.8), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio / F.lit(0.3), F.lit(1.0)) * 0.4
+    )
+    return documents.select(
+        "doc_id",
+        alpha_ratio.alias("alpha_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    toks = F.transform(whitespace_tokens(F.lower(text)),
+                       lambda t: F.regexp_replace(t, "[^a-z]", ""))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("double")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred): argmax of stopword hits across marker lists;
+    deterministic tie-break by language code."""
+    text = F.col("text")
+    scored = F.array(*[
+        F.struct(
+            _stopword_hits(text, words).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(_LANG_MARKERS.items())
+    ])
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    return documents.select(
+        "doc_id",
+        F.coalesce(best["code"], F.lit("und")).alias("lang_pred"),
+    )
+
+
+def fingerprint(documents: DataFrame, window: int = 16) -> Column | DataFrame:
+    """(doc_id, fp): rolling polynomial hash of the document prefix —
+    cheap near-identity fingerprint (ints, deterministic)."""
+    text = F.col("text")
+    head = F.substring(text, 1, 64)
+    codes = F.transform(
+        F.split(head, ""), lambda ch: F.when(ch != "", F.ascii(ch)).otherwise(F.lit(0))
+    )
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(1000003) + c.cast("long")) % F.lit((1 << 61) - 1),
+    )
+    return documents.select("doc_id", fp.alias("fp"), F.length(text).cast("long").alias("n_len"))

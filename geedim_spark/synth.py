@@ -15,9 +15,11 @@ Pixel content ports the reference's strip-mock pattern
 (/root/reference/tests/test_mask.py:24-114): axis-aligned strips of exactly
 known pixel width encode mask conditions, so portions are exact integers.
 
-    band 0 (B1): value v = 1 + i%200 everywhere, 0 (nodata) in the left
-                 f_px = (i%5)*4 columns         -> FILL strip
-    band 1 (QA): bit 3 set in the right c_px = (i%7)*2 columns -> CLOUD strip
+    band 0 (B1):       value v = 1 + i%200 everywhere, 0 (nodata) in the left
+                       f_px = (i%5)*4 columns               -> FILL strip
+    band 1 (QA_PIXEL): bit 9 (mid-confidence cloud, the bit geedim's Landsat
+                       mask keys on — mask.py:183) set in the right
+                       c_px = (i%7)*2 columns               -> CLOUD strip
 
 Footprints are w*scale-metre boxes placed by a multiplicative scatter over
 the 102.4 km test world; ~1 % of ids collide onto hot positions to create
@@ -134,9 +136,9 @@ def _gen_bytes_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     ):
         px = np.zeros((2, h, w), dtype=np.uint16)
         px[0, :, :] = v
-        px[0, :, :f_px] = 0           # fill strip (nodata)
+        px[0, :, :f_px] = 0                # fill strip (nodata)
         if c_px:
-            px[1, :, w - c_px:] = 8   # QA bit 3 = cloud
+            px[1, :, w - c_px:] = 1 << 9   # QA_PIXEL bit 9 = cloud (mask.py:183)
         out_bytes.append(codecs.encode(px, fmt))
         out_phash.append(codecs.phash64(px))
     return pd.DataFrame({"i": pdf["i"], "bytes": out_bytes, "phash": out_phash})

@@ -1,0 +1,233 @@
+"""Mask-engine oracles ported from the reference's strip-mock pattern
+(/root/reference/tests/test_mask.py): axis-aligned strips of exactly known
+width encode mask conditions, so every portion is an exact fraction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geedim_spark import synth
+from geedim_spark.operators import masks
+
+
+def _landsat_strip_bands(w=100, h=100):
+    """Strip layout (columns, % of image):
+    fill 0-9, mid-cloud 10-19, dilated 20-29, cirrus 30-39, shadow 40-59,
+    saturation 60-69, nonphysical 70-79, aerosol 80-89."""
+    B1 = np.full((h, w), 10000, np.uint16)
+    SR_B1 = np.full((h, w), 10000, np.uint16)
+    QA = np.zeros((h, w), np.uint16)
+    RADSAT = np.zeros((h, w), np.uint16)
+    AEROSOL = np.zeros((h, w), np.uint16)
+    B1[:, 0:10] = 0
+    SR_B1[:, 0:10] = 0
+    QA[:, 10:20] |= 1 << 9   # mid-confidence cloud
+    QA[:, 20:30] |= 1 << 1   # dilated cloud
+    QA[:, 30:40] |= 1 << 15  # cirrus
+    QA[:, 40:60] |= 1 << 11  # shadow
+    RADSAT[:, 60:70] = 1
+    SR_B1[:, 70:80] = 50000  # > (1+0.2)/0.0000275
+    AEROSOL[:, 80:90] = 3 << 6
+    return {
+        "B1": B1, "SR_B1": SR_B1, "QA_PIXEL": QA,
+        "QA_RADSAT": RADSAT, "SR_QA_AEROSOL": AEROSOL,
+    }
+
+
+def _frac(mask):
+    return mask.mean()
+
+
+def test_landsat_default_portions():
+    """Defaults (shadows+cirrus on): FILL 0.9, CLOUD 0.3, SHADOW 0.2,
+    CLOUDLESS 0.4 (test_mask.py:482-527 pattern)."""
+    m = masks.landsat_masks(_landsat_strip_bands())
+    assert _frac(m["FILL_MASK"]) == 0.9
+    assert _frac(m["CLOUD_MASK"]) == 0.3
+    assert _frac(m["SHADOW_MASK"]) == 0.2
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.4
+
+
+def test_landsat_mask_param_deltas():
+    bands = _landsat_strip_bands()
+    # mask_shadows=False -> shadow strip becomes cloudless: 0.6
+    m = masks.landsat_masks(bands, mask_shadows=False)
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.6
+    # mask_cirrus=False -> CLOUD 0.2, CLOUDLESS 0.5
+    m = masks.landsat_masks(bands, mask_cirrus=False)
+    assert _frac(m["CLOUD_MASK"]) == 0.2
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.5
+    # + saturation -> CLOUDLESS 0.3
+    m = masks.landsat_masks(bands, mask_saturation=True)
+    assert _frac(m["SATURATION_MASK"]) == 0.1
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.3
+    # + nonphysical (SR) -> CLOUDLESS 0.3 (fill strip already excluded)
+    m = masks.landsat_masks(bands, mask_nonphysical=True)
+    assert _frac(m["NONPHYSICAL_MASK"]) == 0.2  # nonphys strip + zeroed fill strip
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.3
+    # + aerosol -> CLOUDLESS 0.3
+    m = masks.landsat_masks(bands, mask_aerosols=True)
+    assert _frac(m["AEROSOL_MASK"]) == 0.1
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.3
+    # everything on
+    m = masks.landsat_masks(
+        bands, mask_saturation=True, mask_nonphysical=True, mask_aerosols=True
+    )
+    assert _frac(m["CLOUDLESS_MASK"]) == pytest.approx(0.1)
+
+
+def _s2_bands(w=100, h=100):
+    B1 = np.full((h, w), 5000, np.uint16)
+    B1[:, 0:10] = 0  # fill strip 10%
+    return {"B1": B1}
+
+
+def test_s2_cloud_score_portions():
+    """Score strips: 0.9 / 0.7 / 0.5 -> CLOUDLESS 0.7 at thresh 0.6,
+    0.4 at thresh 0.8 (test_mask.py:597-656 pattern)."""
+    bands = _s2_bands()
+    score = np.full((100, 100), 0.9)
+    score[:, 50:80] = 0.7
+    score[:, 80:] = 0.5
+    m = masks.s2_masks(bands, score=score, score_thresh=0.6)
+    assert _frac(m["FILL_MASK"]) == 0.9
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.7
+    assert bool(m["VALID"])
+    m = masks.s2_masks(bands, score=score, score_thresh=0.8)
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.4
+
+
+def test_s2_unmatched_score_fully_masked():
+    """No score match -> score-dependent bands fully masked, FILL unaffected
+    (test_mask.py:659-681 port via mask.py:317-328 firstNonNull default)."""
+    m = masks.s2_masks(_s2_bands(), score=None)
+    assert _frac(m["FILL_MASK"]) == 0.9
+    assert _frac(m["CLOUDLESS_MASK"]) == 0.0
+    assert not bool(m["VALID"])
+
+
+def test_s2_qa_method_with_validity_window():
+    bands = _s2_bands()
+    qa = np.zeros((100, 100), np.uint16)
+    qa[:, 20:40] = 1 << 10  # cloud
+    qa[:, 40:50] = 1 << 11  # cirrus
+    bands["QA60"] = qa
+    m = masks.s2_masks(bands, mask_method="qa", buffer=0, scale=25.0, shadow_dist=0)
+    assert _frac(m["CLOUD_MASK"]) == 0.3
+    # cirrus off -> 0.2
+    m = masks.s2_masks(bands, mask_method="qa", mask_cirrus=False, buffer=0,
+                       scale=25.0, shadow_dist=0)
+    assert _frac(m["CLOUD_MASK"]) == 0.2
+    # QA60 invalid window (2022-02..2024-02) -> no cloud info (mask.py:379-385)
+    m = masks.s2_masks(bands, mask_method="qa", qa_valid=False, buffer=0,
+                       scale=25.0, shadow_dist=0)
+    assert _frac(m["CLOUD_MASK"]) == 0.0
+    assert not bool(m["VALID"])
+
+
+def test_s2_nonphysical():
+    bands = _s2_bands()
+    bands["B1"][:, 90:] = 11000  # > 10000 (mask.py:477-481)
+    score = np.full((100, 100), 0.9)
+    m = masks.s2_masks(bands, score=score, mask_nonphysical=True)
+    assert _frac(m["NONPHYSICAL_MASK"]) == 0.1
+    assert _frac(m["CLOUDLESS_MASK"]) == pytest.approx(0.8)
+
+
+# -- neighbourhood kernels ---------------------------------------------------
+
+def test_edt_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    src = rng.random((23, 31)) < 0.05
+    src[0, 0] = True  # ensure at least one source
+    got = masks.edt_squared(src)
+    ys, xs = np.nonzero(src)
+    yy, xx = np.mgrid[0:23, 0:31]
+    want = ((yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2).min(axis=-1)
+    assert np.array_equal(got, want.astype(float))
+
+
+def test_cloud_dist_oracle():
+    """Port of test_mask.py:321-350: 41x31 image @ 1 m scale, single cloud
+    pixel in the bottom-left corner -> min 0, max 50 m; clamp case max 10."""
+    cloudless = np.ones((31, 41), bool)
+    cloudless[30, 0] = False  # the cloud pixel
+    d = masks.cloud_dist(cloudless, scale=1.0, max_cloud_dist=50.0)
+    assert d.dtype == np.uint16
+    assert d.min() == 0
+    assert d.max() == 50  # sqrt(40^2 + 30^2) = 50 exactly
+    d = masks.cloud_dist(cloudless, scale=1.0, max_cloud_dist=10.0)
+    assert d.max() == 10
+
+
+def test_focal_and_directional():
+    m = np.zeros((20, 20), bool)
+    m[10, 10] = True
+    assert masks.focal_max(m, 2).sum() == 13  # disk radius 2
+    assert masks.focal_min(masks.focal_max(m, 2), 2)[10, 10]
+    # single pixel eroded away
+    assert masks.focal_min(m, 1).sum() == 0
+    # open removes small blobs (the reference's focal_min(20).focal_max(buffer))
+    opened = masks.focal_max(masks.focal_min(m, 1), 2)
+    assert opened.sum() == 0
+    # directional projection: azimuth 0 = +x (east)
+    cast = masks.directional_project(m, 0.0, 3)
+    assert cast[10, 11] and cast[10, 13] and not cast[10, 14] and not cast[10, 9]
+    # azimuth 90 = north (up in array = decreasing row)
+    cast = masks.directional_project(m, 90.0, 3)
+    assert cast[9, 10] and cast[7, 10] and not cast[11, 10]
+
+
+# -- Spark operators ----------------------------------------------------------
+
+def test_mask_stats_matches_analytic(spark):
+    """Counts from decoded pixels == closed-form from the strip parameters."""
+    imgs = synth.images_df(spark, 60).filter("fmt = 'raw'")
+    got = {
+        r["image_id"]: r
+        for r in masks.mask_stats(imgs).collect()
+    }
+    for r in imgs.select("image_id", "collection", "f_px", "c_px", "w", "h").collect():
+        g = got[r["image_id"]]
+        w, h, f, c = r["w"], r["h"], r["f_px"], r["c_px"]
+        assert g["total_px"] == w * h
+        assert g["fill_px"] == (w - f) * h
+        if r["collection"] == "MOCK/CONST":
+            # no cloud support -> cloudless == fill (mask.py:66-82 analog)
+            assert g["cloud_px"] == 0
+            assert g["cloudless_px"] == (w - f) * h
+        else:
+            assert g["cloud_px"] == c * h
+            assert g["cloudless_px"] == (w - f - c) * h
+
+
+def test_with_portions(spark):
+    imgs = synth.images_df(spark, 20).filter("fmt = 'raw'")
+    rows = masks.with_portions(masks.mask_stats(imgs)).collect()
+    for r in rows:
+        assert r["fill_portion"] == pytest.approx(100.0 * r["fill_px"] / r["total_px"])
+        if r["fill_px"]:
+            assert r["cloudless_portion"] == pytest.approx(
+                100.0 * r["cloudless_px"] / r["fill_px"]
+            )
+
+
+def test_mask_clouds_applies_nodata(spark):
+    from geedim_spark import codecs
+    imgs = synth.images_df(spark, 8).filter("fmt = 'raw' and c_px > 0")
+    masked = masks.mask_clouds(imgs)
+    row = masked.first()
+    src = {r["image_id"]: r for r in imgs.select("image_id", "c_px", "w").collect()}
+    px = codecs.decode(bytes(row["bytes"]))
+    c_px = src[row["image_id"]]["c_px"]
+    w = src[row["image_id"]]["w"]
+    assert (px[0, :, w - c_px:] == 0).all()       # cloud strip -> nodata
+    assert (px[0, :, w - c_px - 1] != 0).all()    # adjacent column untouched
+
+
+def test_stats_stride_decimation():
+    assert masks.stats_stride(100) == 1
+    assert masks.stats_stride(1_000_000) == 1
+    assert masks.stats_stride(4_000_000) == 2
+    assert masks.stats_stride(100_000_000) == 10

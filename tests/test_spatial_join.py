@@ -1,0 +1,83 @@
+"""Spatial join: Spark cell-cover join + refine vs direct DuckDB bbox join
+(the driver-style oracle), determinism across parallelism, salting."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from geedim_spark import synth
+from geedim_spark.operators import spatial_join as sj
+
+
+def _oracle_pairs(n, m):
+    con = duckdb.connect()
+    q = f"""
+        WITH images AS ({synth.sql_images(n)}), rois AS ({synth.sql_rois(m)})
+        SELECT image_id, roi_id FROM images JOIN rois
+        ON x0 <= rx1 AND x1 >= rx0 AND y0 <= ry1 AND y1 >= ry0
+        ORDER BY image_id, roi_id
+    """
+    return con.execute(q).fetchall()
+
+
+def test_filter_bounds_matches_duckdb_oracle(spark):
+    n, m = 400, 10
+    imgs = synth.images_meta_df(spark, n)
+    rois = synth.rois_df(spark, m)
+    got = sorted(
+        (r["image_id"], r["roi_id"])
+        for r in sj.filter_bounds(imgs, rois).collect()
+    )
+    want = [tuple(r) for r in _oracle_pairs(n, m)]
+    assert len(want) > 20  # non-trivial join
+    assert got == want
+
+
+@pytest.mark.parametrize("res", [5, 7, 9])
+def test_filter_bounds_resolution_invariant(spark, res):
+    """Exact refine makes the result independent of cell resolution."""
+    imgs = synth.images_meta_df(spark, 150)
+    rois = synth.rois_df(spark, 5)
+    got = sorted(
+        (r["image_id"], r["roi_id"])
+        for r in sj.filter_bounds(imgs, rois, res=res).collect()
+    )
+    want = [tuple(r) for r in _oracle_pairs(150, 5)]
+    assert got == want
+
+
+def test_filter_bounds_parallelism_invariant(spark):
+    """North-rule invariant: identical join output at different partitioning."""
+    imgs = synth.images_meta_df(spark, 200)
+    rois = synth.rois_df(spark, 6)
+    a = sorted(map(tuple, sj.filter_bounds(imgs.repartition(1), rois).collect()))
+    b = sorted(map(tuple, sj.filter_bounds(imgs.repartition(16), rois).collect()))
+    assert a == b
+
+
+def test_filter_bounds_semi(spark):
+    imgs = synth.images_meta_df(spark, 200)
+    rois = synth.rois_df(spark, 6)
+    kept = sj.filter_bounds_semi(imgs, rois)
+    matched_ids = {r["image_id"] for r in sj.filter_bounds(imgs, rois).collect()}
+    assert {r["image_id"] for r in kept.select("image_id").collect()} == matched_ids
+    assert set(kept.columns) == set(imgs.columns)
+
+
+def test_salted_join_equals_plain_join(spark):
+    imgs = sj.cover_cells(
+        synth.images_meta_df(spark, 150).select("image_id", "x0", "y0", "x1", "y1"),
+        "x0", "y0", "x1", "y1",
+    ).select("image_id", "cell")
+    rois = sj.cover_cells(
+        synth.rois_df(spark, 5), "rx0", "ry0", "rx1", "ry1"
+    ).select("roi_id", "cell")
+    plain = sorted(
+        map(tuple, imgs.join(rois, "cell").select("image_id", "roi_id").collect())
+    )
+    salted = sorted(
+        map(tuple, sj.salted_join(imgs, rois, "cell", salt=4)
+            .select("image_id", "roi_id").collect())
+    )
+    assert plain == salted
