@@ -23,8 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from geedim_spark import synth
-from geedim_spark.operators import collection_ops, dedup, masks, similarity, text, tiler
+import pandas as pd
+
+from geedim_spark import codecs, synth
+from geedim_spark.operators import (
+    collection_ops, composite, dedup, masks, similarity, text, tiler,
+)
 from geedim_spark.operators import spatial_join as sj
 
 # ---------------------------------------------------------------------------
@@ -119,6 +123,46 @@ def q_date_filter_1ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _column_profile(comp_df: DataFrame, colname: str) -> DataFrame:
+    """Composite (1 row of bytes) -> per-column band-0 values (x, value).
+    Strip images are constant down each column, so row 0 is the profile."""
+    def _go(it):
+        for pdf in it:
+            rows = []
+            for buf in pdf["bytes"]:
+                px = codecs.decode(bytes(buf))
+                for x in range(px.shape[2]):
+                    rows.append({"x": x, colname: float(px[0, 0, x])})
+            yield pd.DataFrame(rows, columns=["x", colname])
+
+    return comp_df.mapInPandas(_go, schema=f"x int, {colname} double")
+
+
+def q_composite_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean/median/mosaic composites over the co-registered MOCK family,
+    checked per-column against analytic SQL (integer sums -> exact floats)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, min(n, 900)).filter(
+        "collection = 'MOCK/CONST' AND fmt = 'raw'"
+    )
+    mean_p = _column_profile(composite.composite_collection(imgs, "mean"), "mean_v")
+    med_p = _column_profile(composite.composite_collection(imgs, "median"), "median_v")
+    mos_p = _column_profile(composite.composite_collection(imgs, "mosaic"), "mosaic_v")
+    return mean_p.join(med_p, "x").join(mos_p, "x")
+
+
+def q_medoid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid composite over cloud-free MOCK images (QA all zero -> pure-B1
+    integer distances, exactly reproducible in SQL)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, min(n, 210)).filter(
+        "collection = 'MOCK/CONST' AND fmt = 'raw' AND c_px = 0"
+    )
+    return _column_profile(
+        composite.composite_collection(imgs, "medoid"), "medoid_v"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational queries (TPC-H-ish provided tables)
 # ---------------------------------------------------------------------------
@@ -204,11 +248,12 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    sig = dedup.minhash_signature(F.col("text"), n_hashes=4, n=5)
-    return docs.select(
+    sigs = dedup.minhash_sig_df(docs, n_hashes=4, n=5)
+    s = F.col("sig")
+    return sigs.select(
         "doc_id",
-        sig[0].alias("sig_0"), sig[1].alias("sig_1"),
-        sig[2].alias("sig_2"), sig[3].alias("sig_3"),
+        s[0].alias("sig_0"), s[1].alias("sig_1"),
+        s[2].alias("sig_2"), s[3].alias("sig_3"),
     )
 
 
@@ -235,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_grid": q_tile_grid,
         "search": q_search,
         "date_filter_1ms": q_date_filter_1ms,
+        "composite_profile": q_composite_profile,
+        "medoid_profile": q_medoid_profile,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_recent": q_events_recent,
@@ -332,6 +379,30 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT image_id, time_start FROM images
             WHERE time_start >= TIMESTAMP '2024-01-01 05:00:00'
               AND time_start < TIMESTAMP '2024-01-01 05:00:00.001'
+        """,
+        "composite_profile": f"""
+            WITH images AS ({synth.sql_images(min(n, 900))}),
+            mock AS (SELECT * FROM images
+                     WHERE collection = 'MOCK/CONST' AND fmt = 'raw'),
+            vals AS (SELECT x, i, v FROM mock, range(40) t(x) WHERE x >= f_px)
+            SELECT CAST(x AS INT) AS x,
+                   CAST(AVG(v) AS DOUBLE) AS mean_v,
+                   CAST(MEDIAN(v) AS DOUBLE) AS median_v,
+                   CAST(max_by(v, i) AS DOUBLE) AS mosaic_v
+            FROM vals GROUP BY x
+        """,
+        "medoid_profile": f"""
+            WITH images AS ({synth.sql_images(min(n, 210))}),
+            mock AS (SELECT * FROM images
+                     WHERE collection = 'MOCK/CONST' AND fmt = 'raw' AND c_px = 0),
+            vals AS (SELECT x, i, v FROM mock, range(40) t(x) WHERE x >= f_px),
+            dist AS (
+              SELECT a.x, a.i, a.v, SUM(ABS(a.v - b.v)) AS d
+              FROM vals a JOIN vals b ON a.x = b.x GROUP BY a.x, a.i, a.v)
+            SELECT CAST(x AS INT) AS x, CAST(v AS DOUBLE) AS medoid_v
+            FROM (SELECT x, v,
+                         ROW_NUMBER() OVER (PARTITION BY x ORDER BY d, i DESC) AS rn
+                  FROM dist) WHERE rn = 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

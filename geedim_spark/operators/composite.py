@@ -1,0 +1,213 @@
+"""Compositing: reduce a stack of co-registered images to one image.
+
+Reference semantics (/root/reference/geedim/collection.py:642-724,
+medoid.py, enums.py:40-63):
+
+- ``mosaic``    — first unmasked pixel in collection order (sorted);
+- ``q-mosaic``  — per-pixel argmax of CLOUD_DIST (quality mosaic,
+                  collection.py:700-701): the pixel furthest from cloud wins;
+- ``median``/``mean``/``mode`` — masked pixelwise statistics;
+- ``medoid``    — per-pixel: value of the image minimising the summed
+                  spectral distance (sqrt-SED) to all other images
+                  (medoid.py:25-117, O(N^2) pairwise);
+- sort orderings: by capture time (default), by |t - date| (descending, so
+  closest-to-date wins the mosaic), by CLOUDLESS_PORTION ascending
+  (collection.py:392-418);
+- composite metadata: ``system:index = '{METHOD}-COMP'``, time range =
+  min/max of inputs (collection.py:710-724).
+
+Spark shape: a pixel stack is a group.  For co-registered collections the
+group key is the tile coordinate; ``applyInPandas`` stacks co-located tiles
+(Arrow batches) and reduces with numpy.  Determinism across parallelism:
+ties and "first" are resolved by explicit (sort_key, image_id) total order —
+never partition order (SURVEY §7.3 hard-part 6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geedim_spark import codecs
+from geedim_spark.operators import masks
+
+METHODS = ("mosaic", "q-mosaic", "median", "mean", "mode", "medoid")
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels over a (N, bands, h, w) stack + (N, h, w) validity
+# ---------------------------------------------------------------------------
+
+def composite_stack(
+    stack: np.ndarray,
+    valid: np.ndarray,
+    method: str,
+    clouddist: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce the image axis.  ``stack`` is ordered worst-to-best (reference
+    sorts ascending so the *last* unmasked wins the EE mosaic; we pre-sort
+    best-first and take the first unmasked — same result, explicit).
+
+    Returns (composite (bands,h,w) float64, out_valid (h,w)).
+    """
+    n, bands, h, w = stack.shape
+    out_valid = valid.any(axis=0)
+    if method == "mosaic":
+        # index of first valid image per pixel
+        first = np.argmax(valid, axis=0)  # (h, w)
+        comp = np.take_along_axis(
+            stack, first[None, None, :, :], axis=0
+        )[0]
+    elif method == "q-mosaic":
+        if clouddist is None:
+            raise ValueError("q-mosaic requires a cloud distance stack")
+        # argmax CLOUD_DIST among valid pixels; ties -> earlier stack index
+        # (stack is pre-sorted by (sort_key desc, image_id) so ties are
+        # deterministic)
+        cd = np.where(valid, clouddist.astype(np.float64), -1.0)
+        best = np.argmax(cd, axis=0)
+        comp = np.take_along_axis(stack, best[None, None, :, :], axis=0)[0]
+    elif method in ("median", "mean"):
+        ma = np.ma.masked_array(
+            stack.astype(np.float64),
+            mask=np.broadcast_to(~valid[:, None, :, :], stack.shape),
+        )
+        comp = (np.ma.median(ma, axis=0) if method == "median"
+                else ma.mean(axis=0)).filled(np.nan)
+    elif method == "mode":
+        comp = _masked_mode(stack, valid)
+    elif method == "medoid":
+        comp = _medoid(stack, valid)
+    else:
+        raise ValueError(f"unknown composite method {method!r}")
+    return comp, out_valid
+
+
+def _masked_mode(stack: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Pixelwise most-frequent value among valid pixels; ties -> smallest
+    value (deterministic)."""
+    n, bands, h, w = stack.shape
+    out = np.full((bands, h, w), np.nan)
+    flat = stack.reshape(n, bands, -1)
+    vflat = valid.reshape(n, -1)
+    for p in range(flat.shape[2]):
+        ok = vflat[:, p]
+        if not ok.any():
+            continue
+        for b in range(bands):
+            vals, counts = np.unique(flat[ok, b, p], return_counts=True)
+            out[b, :, :].reshape(-1)[p] = vals[np.argmax(counts)]
+    return out
+
+
+def _medoid(stack: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Per-pixel medoid: choose the image minimising sum over others of the
+    root sum-of-squared band differences (sqrt-SED, medoid.py:59-63); fully
+    vectorised O(N^2) pairwise distances; invalid pixels excluded."""
+    n = stack.shape[0]
+    s = stack.astype(np.float64)
+    # pairwise spectral distance per pixel: (N, N, h, w)
+    diff = s[:, None] - s[None, :]               # (N, N, bands, h, w)
+    sed = np.sqrt((diff ** 2).sum(axis=2))        # (N, N, h, w)
+    both = valid[:, None] & valid[None, :]
+    sed = np.where(both, sed, 0.0)
+    sumdist = sed.sum(axis=1)                     # (N, h, w)
+    sumdist = np.where(valid, sumdist, np.inf)
+    best = np.argmin(sumdist, axis=0)             # ties -> lowest index
+    return np.take_along_axis(stack, best[None, None, :, :], axis=0)[0].astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+def sort_for_composite(
+    images: DataFrame,
+    method: str,
+    date: str | None = None,
+    by_portion: bool = False,
+) -> DataFrame:
+    """Attach ``sort_key`` (bigger = better / wins).  Mirrors
+    collection.py:392-418: closest-to-date wins when ``date`` given; else
+    highest CLOUDLESS_PORTION when ``by_portion``; else latest capture."""
+    if date is not None:
+        dist = F.abs(
+            F.col("time_start").cast("double") - F.to_timestamp(F.lit(date)).cast("double")
+        )
+        return images.withColumn("sort_key", -dist)
+    if by_portion:
+        return images.withColumn("sort_key", F.col("CLOUDLESS_PORTION"))
+    return images.withColumn("sort_key", F.col("time_start").cast("double"))
+
+
+_COMP_SCHEMA = "group_id string, bytes binary, n_inputs int"
+
+
+def composite_collection(
+    images: DataFrame,
+    method: str = "mosaic",
+    group_col: str | None = None,
+    mask_opts: dict | None = None,
+    scale: float = 10.0,
+) -> DataFrame:
+    """Composite co-registered images (same w/h grid) per group.
+
+    Groups (default: one global group) are stacked inside ``applyInPandas``;
+    order within the stack is (sort_key desc, image_id asc) — explicit total
+    order so results are identical across parallelism.  Output pixels are
+    float64 re-encoded raw; NaN marks all-masked pixels.
+    """
+    mask_opts = mask_opts or {}
+    src = images.withColumn(
+        "group_id",
+        F.col(group_col) if group_col else F.lit("all"),
+    )
+    if "sort_key" not in src.columns:
+        src = src.withColumn("sort_key", F.col("time_start").cast("double"))
+    src = src.select("group_id", "image_id", "bytes", "collection", "sort_key")
+
+    def _comp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["sort_key", "image_id"], ascending=[False, True], ignore_index=True
+        )
+        stacks, valids, dists = [], [], []
+        for buf, coll in zip(pdf["bytes"], pdf["collection"]):
+            px = codecs.decode(bytes(buf))
+            bands = {n: px[i] for i, n in enumerate(masks.BAND_NAMES[: px.shape[0]])}
+            if masks._sensor_for(coll) == "landsat":
+                m = masks.landsat_masks(bands, **mask_opts)
+            else:
+                fill = masks.fill_mask(px[:1])
+                m = {"CLOUDLESS_MASK": fill}
+            stacks.append(px)
+            valids.append(m["CLOUDLESS_MASK"])
+            if method == "q-mosaic":
+                dists.append(masks.cloud_dist(m["CLOUDLESS_MASK"], scale))
+        stack = np.stack(stacks)
+        valid = np.stack(valids)
+        cd = np.stack(dists) if dists else None
+        comp, out_valid = composite_stack(stack, valid, method, cd)
+        comp = np.where(out_valid[None, :, :], comp, np.nan)
+        return pd.DataFrame([{
+            "group_id": pdf["group_id"].iloc[0],
+            "bytes": codecs.encode_raw(comp.astype(np.float64)),
+            "n_inputs": len(pdf),
+        }])
+
+    return src.groupBy("group_id").applyInPandas(_comp, schema=_COMP_SCHEMA)
+
+
+def composite_metadata(images: DataFrame, method: str) -> DataFrame:
+    """'{METHOD}-COMP' index + input time range (collection.py:710-724)."""
+    agg = images.agg(
+        F.min("time_start").alias("time_start"),
+        F.max("time_start").alias("time_end"),
+        F.count(F.lit(1)).cast("long").alias("n_inputs"),
+    )
+    name = method.upper().replace("-", "_")
+    return agg.select(
+        F.lit(f"{name}-COMP").alias("system_index"),
+        "time_start", "time_end", "n_inputs",
+    )

@@ -17,6 +17,10 @@ All shingle work is Catalyst (sequence/transform/substring) — no Python.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -70,6 +74,43 @@ def minhash_signature(text: Column, n_hashes: int = 16, n: int = 5) -> Column:
     return F.array(*sig)
 
 
+def _np_shingle_hashes(text: str, n: int = 5) -> np.ndarray:
+    """Distinct shingle hashes — value-identical to shingle_hash()%P
+    (md5 prefix), but computed kernel-side (the Catalyst expression tree is
+    ~10x slower for long documents)."""
+    if text is None:
+        text = ""
+    sh = {text[i: i + n] for i in range(max(len(text) - (n - 1), 1))}
+    return np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % _P for s in sh),
+        dtype=np.int64, count=len(sh),
+    )
+
+
+def minhash_sig_df(
+    documents: DataFrame, n_hashes: int = 16, n: int = 5
+) -> DataFrame:
+    """(doc_id, sig array<long>) via a vectorised Arrow kernel.
+
+    Same values as :func:`minhash_signature` (tested equivalent); use this
+    in pipelines — one md5 per distinct shingle instead of a Catalyst
+    expression tree per permutation.
+    """
+    a = np.array(_A[:n_hashes], dtype=np.int64)[:, None]
+    b = np.array(_B[:n_hashes], dtype=np.int64)[:, None]
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        sigs = []
+        for text in pdf["text"]:
+            hs = _np_shingle_hashes(text, n)[None, :]
+            sigs.append(((a * hs + b) % _P).min(axis=1))
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        lambda it: (_batch(p) for p in it), schema="doc_id long, sig array<long>"
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame, n_hashes: int = 16, bands: int = 4, n: int = 5
 ) -> DataFrame:
@@ -81,9 +122,7 @@ def minhash_lsh_pairs(
     cross join anywhere.  Output: (doc_id_a, doc_id_b, n_shared_bands).
     """
     rows_per_band = n_hashes // bands
-    sigs = documents.select(
-        "doc_id", minhash_signature(F.col("text"), n_hashes, n).alias("sig")
-    )
+    sigs = minhash_sig_df(documents, n_hashes, n)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -100,6 +139,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bhash")
+    # the self-join consumes `banded` twice — persist so signatures are
+    # computed once (the kernel pass is the expensive stage)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,129 @@
+"""Composite oracles: analytic per-column expectations over co-registered
+strip images (ports the unique-stat pattern of
+/root/reference/tests/test_collection.py:442-604)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geedim_spark import codecs
+from geedim_spark.operators import composite as comp
+
+
+def _stack(vs, f_pxs, c_pxs, w=20, h=10):
+    """Build (stack, valid) from strip params; cloud cols are invalid."""
+    stacks, valids = [], []
+    for v, f, c in zip(vs, f_pxs, c_pxs):
+        px = np.zeros((2, h, w), np.uint16)
+        px[0, :, :] = v
+        px[0, :, :f] = 0
+        valid = np.ones((h, w), bool)
+        valid[:, :f] = False
+        if c:
+            valid[:, w - c:] = False
+        stacks.append(px)
+        valids.append(valid)
+    return np.stack(stacks), np.stack(valids)
+
+
+def test_mosaic_first_valid():
+    # stack pre-sorted best-first: image0 wins where valid
+    stack, valid = _stack([10, 20, 30], [8, 4, 0], [0, 0, 0])
+    out, ov = comp.composite_stack(stack, valid, "mosaic")
+    assert ov.all()
+    assert (out[0, :, 8:] == 10).all()    # image0 valid from col 8
+    assert (out[0, :, 4:8] == 20).all()   # image1 covers cols 4..7
+    assert (out[0, :, :4] == 30).all()    # image2 covers cols 0..3
+
+
+def test_mean_median_masked():
+    stack, valid = _stack([10, 20, 40], [4, 0, 0], [0, 0, 2])
+    out_mean, _ = comp.composite_stack(stack, valid, "mean")
+    out_med, _ = comp.composite_stack(stack, valid, "median")
+    # col 0..3: only images 1,2 valid -> mean 30, median 30
+    assert (out_mean[0, :, 0:4] == 30).all()
+    assert (out_med[0, :, 0:4] == 30).all()
+    # col 4..17: all valid -> mean 70/3, median 20
+    assert np.allclose(out_mean[0, :, 4:18], 70 / 3)
+    assert (out_med[0, :, 4:18] == 20).all()
+    # col 18..19: image2 cloud -> images 0,1 -> mean 15
+    assert (out_mean[0, :, 18:] == 15).all()
+
+
+def test_mode_and_all_masked():
+    stack, valid = _stack([10, 10, 40], [0, 0, 0], [0, 0, 0])
+    out, _ = comp.composite_stack(stack, valid, "mode")
+    assert (out[0] == 10).all()
+    # a fully-masked pixel -> out_valid False
+    stack, valid = _stack([10, 20], [4, 4], [0, 0])
+    out, ov = comp.composite_stack(stack, valid, "mean")
+    assert not ov[:, :4].any() and ov[:, 4:].all()
+
+
+def test_qmosaic_argmax_clouddist():
+    stack, valid = _stack([10, 20], [0, 0], [0, 0])
+    cd = np.zeros((2, 10, 20), np.uint16)
+    cd[0, :, :10] = 100   # image0 further from cloud on the left half
+    cd[1, :, 10:] = 100
+    out, _ = comp.composite_stack(stack, valid, "q-mosaic", clouddist=cd)
+    assert (out[0, :, :10] == 10).all()
+    assert (out[0, :, 10:] == 20).all()
+
+
+def test_medoid_is_median_value_single_band():
+    """With one effective band, the medoid minimises sum |v_i - v_j| —
+    i.e. it picks the median value (medoid.py:25-95 semantics)."""
+    stack, valid = _stack([10, 22, 40], [0, 0, 0], [0, 0, 0])
+    out, _ = comp.composite_stack(stack, valid, "medoid")
+    # band 1 (QA) is all zeros for every image -> distances driven by band 0
+    assert (out[0] == 22).all()
+
+
+def test_composite_collection_spark(spark):
+    """End-to-end: encode strip images, composite via applyInPandas, decode."""
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i, (v, f) in enumerate([(10, 0), (20, 4), (30, 8)]):
+        px = np.zeros((2, 10, 20), np.uint16)
+        px[0, :, :] = v
+        px[0, :, :f] = 0
+        rows.append({
+            "image_id": f"IMG/{i:08d}",
+            "bytes": codecs.encode_raw(px),
+            "collection": "MOCK/CONST",
+            "time_start": base + pd.Timedelta(hours=i),
+        })
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    out = comp.composite_collection(images, "mosaic").collect()
+    assert len(out) == 1 and out[0]["n_inputs"] == 3
+    px = codecs.decode(bytes(out[0]["bytes"]))
+    # sorted by time desc: image2 (v=30, f=8) wins where valid
+    assert (px[0, :, 8:] == 30).all()
+    assert (px[0, :, 4:8] == 20).all()
+    assert (px[0, :, :4] == 10).all()
+
+    meta = comp.composite_metadata(images, "mosaic").first()
+    assert meta["system_index"] == "MOSAIC-COMP"
+    assert meta["n_inputs"] == 3
+
+
+def test_composite_deterministic_across_parallelism(spark):
+    rows = []
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    for i in range(12):
+        px = rng.integers(1, 100, size=(2, 8, 8)).astype(np.uint16)
+        rows.append({
+            "image_id": f"IMG/{i:08d}",
+            "bytes": codecs.encode_raw(px),
+            "collection": "MOCK/CONST",
+            "time_start": base,  # identical sort keys -> tie-break by id
+        })
+    pdf = pd.DataFrame(rows)
+    a = comp.composite_collection(
+        spark.createDataFrame(pdf).repartition(1), "mosaic").first()["bytes"]
+    b = comp.composite_collection(
+        spark.createDataFrame(pdf).repartition(8), "mosaic").first()["bytes"]
+    assert bytes(a) == bytes(b)

@@ -1,0 +1,82 @@
+"""Snapshot manifest: commit, isolation, resume, pruning, metrics."""
+
+from __future__ import annotations
+
+import pytest
+
+from geedim_spark import synth
+from geedim_spark.plans.metrics import PipelineMetrics, mask_stats_with_metrics
+from geedim_spark.sources import snapshots as snap
+
+
+@pytest.fixture
+def table_dir(tmp_path):
+    return str(tmp_path / "tiles_table")
+
+
+def test_commit_and_read_snapshot(spark, table_dir):
+    df = synth.images_meta_df(spark, 30).select("image_id", "collection", "x0")
+    sid = snap.write_snapshot(df, table_dir, "collection", stats_cols=("x0",))
+    assert sid == "00000001"
+    back = snap.read_snapshot(spark, table_dir)
+    assert back.count() == 30
+    assert set(back.columns) == {"image_id", "collection", "x0"}
+    keys = snap.committed_keys(table_dir)
+    assert sorted(keys) == sorted(
+        r["collection"] for r in df.select("collection").distinct().collect()
+    )
+
+
+def test_snapshot_isolation(spark, table_dir):
+    df1 = synth.images_meta_df(spark, 30).select("image_id", "collection", "x0")
+    s1 = snap.write_snapshot(df1, table_dir, "collection", stats_cols=("x0",))
+    # second commit adds a new partition only
+    df2 = (
+        synth.images_meta_df(spark, 10)
+        .selectExpr("image_id", "'NEW/COLL' AS collection", "x0")
+    )
+    s2 = snap.write_snapshot(df2, table_dir, "collection", stats_cols=("x0",))
+    assert snap.read_snapshot(spark, table_dir, s1).count() == 30
+    # snapshot 2 carries partitions forward + the new one
+    assert snap.read_snapshot(spark, table_dir, s2).count() == 40
+    assert snap.current_snapshot(table_dir)["snapshot_id"] == s2
+    assert snap.current_snapshot(table_dir)["parent_id"] == s1
+
+
+def test_resume_pending_keys(spark, table_dir):
+    df = synth.images_meta_df(spark, 30).select("image_id", "collection", "x0")
+    done = df.filter("collection = 'MOCK/CONST'")
+    snap.write_snapshot(done, table_dir, "collection")
+    pending = snap.pending_keys(df, table_dir, "collection")
+    got = {r["collection"] for r in pending.select("collection").distinct().collect()}
+    assert "MOCK/CONST" not in got
+    assert len(got) == 2
+
+
+def test_prune_partitions(spark, table_dir):
+    df = synth.images_meta_df(spark, 60).select("image_id", "collection", "x0")
+    snap.write_snapshot(df, table_dir, "collection", stats_cols=("x0",))
+    all_keys = snap.prune_partitions(table_dir, "x0")
+    assert len(all_keys) == 3
+    none = snap.prune_partitions(table_dir, "x0", lo=1e9)
+    assert none == []
+
+
+def test_metrics_accumulators(spark):
+    imgs = synth.images_df(spark, 24).filter("fmt = 'raw'")
+    metrics = PipelineMetrics(spark)
+    out = mask_stats_with_metrics(imgs, metrics)
+    n = out.count()
+    m = metrics.snapshot()
+    assert m["images"] == n
+    assert m["pixels"] == n * 40 * 40
+    assert 0 < m["fill_coverage"] <= 1.0
+
+
+def test_lineage_emission(spark, tmp_path):
+    from geedim_spark.plans.metrics import emit_lineage
+    p = str(tmp_path / "lineage.jsonl")
+    emit_lineage(spark, p, "test_job", {"rows": 5})
+    import json
+    rec = json.loads(open(p).read().strip())
+    assert rec["job"] == "test_job" and rec["rows"] == 5
