@@ -27,7 +27,7 @@ import pandas as pd
 
 from geedim_spark import codecs, synth
 from geedim_spark.operators import (
-    collection_ops, composite, dedup, masks, similarity, text, tiler,
+    collection_ops, composite, dedup, export_ops, masks, similarity, text, tiler,
 )
 from geedim_spark.operators import spatial_join as sj
 
@@ -95,6 +95,31 @@ def q_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row_stop").cast("int").alias("row_stop"),
         F.col("col_start").cast("int").alias("col_start"),
         F.col("col_stop").cast("int").alias("col_stop"),
+    )
+
+
+def q_export_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile export (decode once -> slice -> encode): verified end-to-end by
+    per-tile pixel sums against the strip closed form."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n).filter("fmt = 'raw'")
+    tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
+
+    def _sums(it):
+        for pdf in it:
+            sums = [
+                int(codecs.decode(bytes(buf)).sum(dtype="int64"))
+                for buf in pdf["tile_bytes"]
+            ]
+            out = pdf[["image_id", "caption", "band_start", "row_start",
+                       "col_start"]].copy()
+            out["pxsum"] = sums
+            yield out
+
+    return tiles.mapInPandas(
+        _sums,
+        schema="image_id string, caption string, band_start int, "
+               "row_start int, col_start int, pxsum long",
     )
 
 
@@ -278,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_portions": q_mask_portions,
         "cloud_dist": q_cloud_dist,
         "tile_grid": q_tile_grid,
+        "export_tiles": q_export_tiles,
         "search": q_search,
         "date_filter_1ms": q_date_filter_1ms,
         "composite_profile": q_composite_profile,
@@ -360,6 +386,27 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(c AS INT) AS col_start, CAST(LEAST(c + 21, w) AS INT) AS col_stop
             FROM images, (SELECT unnest([0, 1]) AS b), (SELECT unnest([0, 21]) AS r),
                  (SELECT unnest([0, 21]) AS c)
+        """,
+        "export_tiles": f"""
+            WITH images AS ({images}),
+            grid AS (
+              SELECT i.*, b, r, c FROM images i,
+                   (SELECT unnest([0, 1]) AS b),
+                   (SELECT unnest([0, 21]) AS r),
+                   (SELECT unnest([0, 21]) AS c)
+              WHERE fmt = 'raw')
+            SELECT image_id, caption,
+                   CAST(b AS INT) AS band_start,
+                   CAST(r AS INT) AS row_start,
+                   CAST(c AS INT) AS col_start,
+                   CAST(
+                     (LEAST(r + 21, h) - r) *
+                     CASE WHEN b = 0
+                          THEN v * GREATEST(0, LEAST(c + 21, w) - GREATEST(c, f_px))
+                          ELSE 512 * GREATEST(0, LEAST(c + 21, w) - GREATEST(c, w - c_px))
+                               * CASE WHEN c_px > 0 THEN 1 ELSE 0 END
+                     END AS BIGINT) AS pxsum
+            FROM grid
         """,
         "search": f"""
             WITH images AS ({images})
