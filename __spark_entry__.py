@@ -188,6 +188,109 @@ def q_medoid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sort_date_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: rank by |t - target date| descending (collection.py:392-398),
+    explicit (dist, image_id) total order."""
+    n, _ = _sizes(sf_dir)
+    images = synth.images_meta_df(spark, n)
+    target = F.to_timestamp(F.lit("2024-02-01 00:00:00")).cast("double")
+    dist = F.abs(F.col("time_start").cast("double") - target)
+    w = Window.orderBy(F.desc(dist), F.asc("image_id"))
+    return images.select(
+        "image_id", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def q_collection_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5: min/max over the collection + aggregate_array
+    (collection.py:719-723; collect_list)."""
+    n, _ = _sizes(sf_dir)
+    images = synth.images_meta_df(spark, n)
+    return images.groupBy("collection").agg(
+        F.min("time_start").alias("min_ts"),
+        F.max("time_start").alias("max_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.slice(F.sort_array(F.collect_list("caption")), 1, 3).alias("first_captions"),
+    )
+
+
+def q_union_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/U1: fromImages union + per-collection distinct count."""
+    n, _ = _sizes(sf_dir)
+    images = synth.images_meta_df(spark, n)
+    a = images.filter("i % 2 = 0")
+    b = images.filter("i % 3 = 0")
+    u = a.unionByName(b).select("image_id", "collection").distinct()
+    return u.groupBy("collection").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 strings: id split (utils.py:90-105), '/'->'-' safe name
+    (download.py:82-86), acronym abbreviation (collection.py:84-97)."""
+    n, _ = _sizes(sf_dir)
+    images = synth.images_meta_df(spark, n)
+    return images.select(
+        "image_id",
+        F.element_at(F.split("image_id", "/"), -1).alias("index_part"),
+        F.regexp_replace("image_id", "/", "-").alias("safe_name"),
+        F.concat_ws(
+            "", F.transform(F.split("collection", "/"), lambda p: p.substr(1, 1))
+        ).alias("abbrev"),
+    )
+
+
+def q_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O5: deterministic top-N (sorted limit, the 5000-image export cap
+    shape, collection.py:102)."""
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    return (
+        events.orderBy(F.asc("ts"), F.asc("event_id")).limit(100)
+        .select("event_id", "user_id")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionisation: 30-min-gap session windows per user (lag + running
+    sum) — the batch analog of streaming session windows."""
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: hop via TIMESTAMP to epoch seconds (session tz UTC)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("ns", new_sess)
+        .withColumn("session_idx", F.sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .select("event_id", "user_id", "session_idx")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.simhash_df(docs, bits=16, n=5)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle Jaccard for consecutive doc pairs (verification-stage
+    op of the dedup pipeline)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = docs.filter("doc_id < 100").select(
+        F.col("doc_id").alias("doc_id_a"), (F.col("doc_id") + 1).alias("doc_id_b")
+    )
+    return dedup.ngram_jaccard(docs, pairs, n=5)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.lang_id(docs)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.fingerprint(docs)
+
+
 # ---------------------------------------------------------------------------
 # relational queries (TPC-H-ish provided tables)
 # ---------------------------------------------------------------------------
@@ -308,6 +411,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_filter_1ms": q_date_filter_1ms,
         "composite_profile": q_composite_profile,
         "medoid_profile": q_medoid_profile,
+        "sort_date_dist": q_sort_date_dist,
+        "collection_minmax": q_collection_minmax,
+        "union_compat": q_union_compat,
+        "string_fns": q_string_fns,
+        "limit_sorted": q_limit_sorted,
+        "events_sessions": q_events_sessions,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_recent": q_events_recent,
@@ -346,6 +459,28 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         a, b = dedup._A[i], dedup._B[i]
         return (
             f"list_min(list_transform(sh, h -> ({a} * h + {b}) % 2147483647)) AS sig_{i}"
+        )
+
+    raw_shingle_hashes = (
+        "list_transform("
+        "  list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1) + 1)]),"
+        "  s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT))"
+    )
+    simhash_bits = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h // {1 << b}) % 2)) "
+        f"> len(hs) THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+
+    from geedim_spark.operators.text import _LANG_MARKERS
+
+    def _hits_sql(words: list[str]) -> str:
+        wl = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        return (
+            r"len(list_filter(list_transform("
+            r"list_filter(regexp_split_to_array(lower(text),'\s+'), x -> x <> ''),"
+            r" t -> regexp_replace(t,'[^a-z]','','g')),"
+            f" t -> list_contains({wl}, t)))"
         )
 
     return {
@@ -450,6 +585,102 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM (SELECT x, v,
                          ROW_NUMBER() OVER (PARTITION BY x ORDER BY d, i DESC) AS rn
                   FROM dist) WHERE rn = 1
+        """,
+        "sort_date_dist": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY ABS(epoch(time_start) - epoch(TIMESTAMP '2024-02-01')) DESC,
+                              image_id) AS BIGINT) AS rank
+            FROM images
+        """,
+        "collection_minmax": f"""
+            WITH images AS ({images})
+            SELECT collection,
+                   MIN(time_start) AS min_ts, MAX(time_start) AS max_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_images,
+                   list_sort(list(caption))[1:3] AS first_captions
+            FROM images GROUP BY collection
+        """,
+        "union_compat": f"""
+            WITH images AS ({images})
+            SELECT collection, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT DISTINCT image_id, collection FROM images
+                  WHERE i % 2 = 0 OR i % 3 = 0)
+            GROUP BY collection
+        """,
+        "string_fns": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   split_part(image_id, '/', -1) AS index_part,
+                   replace(image_id, '/', '-') AS safe_name,
+                   array_to_string(list_transform(string_split(collection, '/'),
+                                                  p -> substr(p, 1, 1)), '') AS abbrev
+            FROM images
+        """,
+        "limit_sorted": """
+            SELECT event_id, user_id FROM events
+            ORDER BY ts, event_id LIMIT 100
+        """,
+        "events_sessions": """
+            SELECT event_id, user_id,
+                   CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                          THEN 1 ELSE 0 END AS ns
+              FROM events)
+        """,
+        "simhash": f"""
+            SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
+            FROM (SELECT doc_id, {raw_shingle_hashes} AS hs FROM documents)
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    FOR i IN range(1, greatest(length(text)-4, 1) + 1)]) AS s
+              FROM documents),
+            pairs AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+                      WHERE doc_id < 100)
+            SELECT a AS doc_id_a, b AS doc_id_b,
+                   CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS BIGINT)
+                     AS n_intersect,
+                   CAST(len(sa.s) + len(sb.s)
+                        - len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS BIGINT)
+                     AS n_union
+            FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN h_fr > 0 AND h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de
+                       THEN 'fr'
+                     WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_de THEN 'es'
+                     WHEN h_en > 0 AND h_en >= h_de THEN 'en'
+                     WHEN h_de > 0 THEN 'de'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM (SELECT doc_id,
+                         {_hits_sql(_LANG_MARKERS['de'])} AS h_de,
+                         {_hits_sql(_LANG_MARKERS['en'])} AS h_en,
+                         {_hits_sql(_LANG_MARKERS['es'])} AS h_es,
+                         {_hits_sql(_LANG_MARKERS['fr'])} AS h_fr
+                  FROM documents)
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(text, 1, 64), ''),
+                                      c -> CASE WHEN c = '' THEN 0 ELSE ascii(c) END)),
+                     (acc, c) -> (acc * 1000003 + c) % 2147483647) AS BIGINT) AS fp,
+                   CAST(length(text) AS BIGINT) AS n_len
+            FROM documents
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -175,6 +175,29 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame, n: int = 5) -> DataFra
     )
 
 
+def simhash_df(documents: DataFrame, bits: int = 16, n: int = 5) -> DataFrame:
+    """(doc_id, simhash) via the Arrow kernel — value-identical to
+    :func:`simhash` (raw md5-prefix hashes, per-bit majority vote)."""
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in pdf["text"]:
+            t = text or ""
+            sh = {t[i: i + n] for i in range(max(len(t) - (n - 1), 1))}
+            hs = np.fromiter(
+                (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh),
+                dtype=np.int64, count=len(sh),
+            )
+            ones = ((hs[:, None] >> np.arange(bits)[None, :]) & 1).sum(axis=0)
+            val = int(((ones * 2 > len(hs)).astype(np.int64)
+                       << np.arange(bits)).sum())
+            out.append(val)
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        lambda it: (_batch(p) for p in it), schema="doc_id long, simhash long"
+    )
+
+
 def simhash(text: Column, bits: int = 16, n: int = 5) -> Column:
     """SimHash fingerprint: per-bit majority vote over shingle hashes.
 

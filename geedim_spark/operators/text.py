@@ -105,8 +105,10 @@ def fingerprint(documents: DataFrame, window: int = 16) -> Column | DataFrame:
     codes = F.transform(
         F.split(head, ""), lambda ch: F.when(ch != "", F.ascii(ch)).otherwise(F.lit(0))
     )
+    # modulus 2^31-1 keeps acc*1000003 < 2^51 — no BIGINT overflow in any
+    # engine (DuckDB errors on overflow, Spark wraps silently)
     fp = F.aggregate(
         codes, F.lit(0).cast("long"),
-        lambda acc, c: (acc * F.lit(1000003) + c.cast("long")) % F.lit((1 << 61) - 1),
+        lambda acc, c: (acc * F.lit(1000003) + c.cast("long")) % F.lit((1 << 31) - 1),
     )
     return documents.select("doc_id", fp.alias("fp"), F.length(text).cast("long").alias("n_len"))
