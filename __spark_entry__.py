@@ -27,7 +27,8 @@ import pandas as pd
 
 from geedim_spark import codecs, synth
 from geedim_spark.operators import (
-    collection_ops, composite, dedup, export_ops, masks, similarity, text, tiler,
+    collection_ops, composite, dedup, export_ops, masks, multimodal,
+    similarity, text, tiler,
 )
 from geedim_spark.operators import spatial_join as sj
 
@@ -185,6 +186,17 @@ def q_medoid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _column_profile(
         composite.composite_collection(imgs, "medoid"), "medoid_v"
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: band-0 mean from decoded pixels,
+    exact vs the strip closed form."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n).filter("fmt = 'raw'")
+    feats = multimodal.image_features(imgs)
+    return feats.select(
+        "image_id", F.element_at("band_means", 1).alias("mean_b1")
     )
 
 
@@ -411,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_filter_1ms": q_date_filter_1ms,
         "composite_profile": q_composite_profile,
         "medoid_profile": q_medoid_profile,
+        "image_features": q_image_features,
         "sort_date_dist": q_sort_date_dist,
         "collection_minmax": q_collection_minmax,
         "union_compat": q_union_compat,
@@ -585,6 +598,12 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM (SELECT x, v,
                          ROW_NUMBER() OVER (PARTITION BY x ORDER BY d, i DESC) AS rn
                   FROM dist) WHERE rn = 1
+        """,
+        "image_features": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(v * (w - f_px) * h AS DOUBLE) / (w * h) AS mean_b1
+            FROM images WHERE fmt = 'raw'
         """,
         "sort_date_dist": f"""
             WITH images AS ({images})

@@ -1,0 +1,33 @@
+"""Streaming ingest: availableNow drain -> snapshot commits -> resume."""
+
+from __future__ import annotations
+
+import pytest
+
+from geedim_spark import synth
+from geedim_spark.sources import snapshots
+from geedim_spark.streaming import ingest
+
+
+def test_stream_ingest_commits_snapshots(spark, tmp_path):
+    source = str(tmp_path / "incoming")
+    table = str(tmp_path / "stats_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    synth.images_df(spark, 30).coalesce(3).write.parquet(source)
+
+    q = ingest.stream_mask_stats(spark, source, table, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    snap = snapshots.current_snapshot(table)
+    assert snap is not None
+    back = snapshots.read_snapshot(spark, table)
+    # every raw image got stats committed
+    n_raw = synth.images_df(spark, 30).filter("fmt = 'raw'").count()
+    assert back.count() == n_raw
+    assert back.groupBy().sum("total_px").first()[0] == n_raw * 40 * 40
+
+    # restart with same checkpoint: no new files -> no new rows (resume)
+    q2 = ingest.stream_mask_stats(spark, source, table, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert snapshots.read_snapshot(spark, table).count() == n_raw
