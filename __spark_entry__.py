@@ -28,7 +28,7 @@ import pandas as pd
 from geedim_spark import codecs, synth
 from geedim_spark.operators import (
     collection_ops, composite, dedup, export_ops, masks, multimodal,
-    similarity, text, tiler,
+    pipeline, similarity, text, tiler,
 )
 from geedim_spark.operators import spatial_join as sj
 
@@ -121,6 +121,23 @@ def q_export_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sums,
         schema="image_id string, caption string, band_start int, "
                "row_start int, col_start int, pxsum long",
+    )
+
+
+def q_tiled_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 as a true 2-phase hash agg over the tiles table: per-tile partial
+    counts from the fused kernel -> groupBy(image_id) final sums."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    tiles = pipeline.mask_and_tile(
+        imgs, scale=synth.SCALE, max_tile_dim=21, max_tile_bands=1,
+        apply_cloud_mask=False,
+    )
+    # band tiles repeat the spatial counts -> aggregate band-0 tiles only
+    return tiles.filter("band_start = 0").groupBy("image_id").agg(
+        F.sum("fill_px").cast("long").alias("fill_px"),
+        F.sum("cloudless_px").cast("long").alias("cloudless_px"),
+        F.count(F.lit(1)).cast("long").alias("n_tiles"),
     )
 
 
@@ -419,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloud_dist": q_cloud_dist,
         "tile_grid": q_tile_grid,
         "export_tiles": q_export_tiles,
+        "tiled_portions": q_tiled_portions,
         "search": q_search,
         "date_filter_1ms": q_date_filter_1ms,
         "composite_profile": q_composite_profile,
@@ -555,6 +573,15 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                                * CASE WHEN c_px > 0 THEN 1 ELSE 0 END
                      END AS BIGINT) AS pxsum
             FROM grid
+        """,
+        "tiled_portions": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST((w - f_px) * h AS BIGINT) AS fill_px,
+                   CAST(CASE WHEN {mock} THEN (w - f_px) * h
+                             ELSE (w - f_px - c_px) * h END AS BIGINT) AS cloudless_px,
+                   CAST(4 AS BIGINT) AS n_tiles
+            FROM images WHERE fmt = 'raw'
         """,
         "search": f"""
             WITH images AS ({images})

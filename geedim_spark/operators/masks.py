@@ -399,11 +399,17 @@ def cloud_dist_stats(
     images: DataFrame,
     scale: float = 10.0,
     max_cloud_dist: float = 5000.0,
+    decimate: int = 1,
     **mask_opts,
 ) -> DataFrame:
     """Per-image sum of clamped CLOUD_DIST values (exact EDT, mask.py:88-124
     semantics).  Integer output -> oracle-hashable; the strip geometry of the
-    synthetic table makes the expected sum closed-form in SQL."""
+    synthetic table makes the expected sum closed-form in SQL.
+
+    ``decimate`` computes the transform on every d-th pixel at scale*d — the
+    reference's compute-at-coarse-projection trick (cloud dist at the 60 m
+    B1 projection, mask.py:510-516) that bounds EDT cost on large tiles.
+    """
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for image_id, buf, coll in zip(pdf["image_id"], pdf["bytes"], pdf["collection"]):
@@ -413,7 +419,10 @@ def cloud_dist_stats(
             else:
                 fill = fill_mask(np.stack([v for k, v in bands.items() if k != "QA_PIXEL"]))
                 m = {"CLOUDLESS_MASK": fill}
-            d = cloud_dist(m["CLOUDLESS_MASK"], scale, max_cloud_dist)
+            mk = m["CLOUDLESS_MASK"]
+            if decimate > 1:
+                mk = mk[::decimate, ::decimate]
+            d = cloud_dist(mk, scale * decimate, max_cloud_dist)
             rows.append({"image_id": image_id, "dist_sum": int(d.sum(dtype=np.int64))})
         return pd.DataFrame(rows, columns=["image_id", "dist_sum"])
 

@@ -1,0 +1,103 @@
+"""Fused export pipeline: one decode -> masks -> coarse cloud distance ->
+tile blobs.  The headline job shape.
+
+Chaining mask_stats + cloud_dist_stats + export_tiles as separate operators
+decodes every image three times; at 100 TB the decode is the dominant cost,
+so the production pipeline fuses them into a single Arrow pass (the same
+fusion EE performs server-side when geedim chains addMaskBands ->
+maskClouds -> toGeoTIFF into one expression, collection.py:893-1004).
+
+Output: one row per tile with mask-coverage stats and the caption riding
+along (input_hint invariant).  Shuffle-free until the caller aggregates or
+writes; tile rows are ~tile_size bytes, so
+``spark.sql.files.maxPartitionBytes`` math carries over unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from geedim_spark import codecs
+from geedim_spark.operators import masks
+from geedim_spark.operators.tiler import tile_shape
+
+_SCHEMA = (
+    "image_id string, caption string, band_start int, band_stop int, "
+    "row_start int, row_stop int, col_start int, col_stop int, "
+    "fill_px long, cloudless_px long, dist_sum long, tile_bytes binary"
+)
+
+
+def mask_and_tile(
+    images: DataFrame,
+    scale: float = 10.0,
+    max_cloud_dist: float = 5000.0,
+    dist_decimate: int = 4,
+    max_tile_size: float = 4,
+    max_tile_dim: int = 10000,
+    max_tile_bands: int = 1024,
+    apply_cloud_mask: bool = True,
+    focal_open_px: int = 0,
+    focal_dilate_px: int = 0,
+    **mask_opts,
+) -> DataFrame:
+    """images -> masked tile rows, single decode per image.
+
+    ``focal_open_px``/``focal_dilate_px`` optionally run the reference's
+    morphological open + dilate on the combined mask (mask.py:466-472 —
+    part of the S2 qa/prob pipelines) before the cloudless mask is applied.
+    """
+    def _batch(pdf: pd.DataFrame):
+        all_rows = []
+        for image_id, caption, buf, coll in zip(
+            pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["collection"]
+        ):
+            px = codecs.decode(bytes(buf))
+            bands = {n: px[i] for i, n in enumerate(masks.BAND_NAMES[: px.shape[0]])}
+            if masks._sensor_for(coll) == "landsat":
+                m = masks.landsat_masks(bands, **mask_opts)
+            else:
+                fill = masks.fill_mask(px[:1])
+                m = {"FILL_MASK": fill, "CLOUDLESS_MASK": fill}
+            cl = m["CLOUDLESS_MASK"]
+            if focal_open_px or focal_dilate_px:
+                cloudy = ~cl
+                cloudy = masks.focal_min(cloudy, focal_open_px)
+                cloudy = masks.focal_max(cloudy, max(focal_open_px, focal_dilate_px))
+                cl = ~cloudy & m["FILL_MASK"]
+            # coarse-projection cloud distance (mask.py:510-516 analog)
+            dk = cl[::dist_decimate, ::dist_decimate]
+            d = masks.cloud_dist(dk, scale * dist_decimate, max_cloud_dist)
+            dist_sum = int(d.sum(dtype=np.int64))
+            if apply_cloud_mask:
+                px = px.copy()
+                px[0][~cl] = codecs.NODATA_VALS[px.dtype.name]
+
+            nbands, h, w = px.shape
+            tb, th, tw = tile_shape(
+                nbands, h, w, px.dtype.name, max_tile_size, max_tile_dim, max_tile_bands
+            )
+            for b0 in range(0, nbands, tb):
+                for r0 in range(0, h, th):
+                    for c0 in range(0, w, tw):
+                        b1 = min(b0 + tb, nbands)
+                        r1, c1 = min(r0 + th, h), min(c0 + tw, w)
+                        all_rows.append({
+                            "image_id": image_id, "caption": caption,
+                            "band_start": b0, "band_stop": b1,
+                            "row_start": r0, "row_stop": r1,
+                            "col_start": c0, "col_stop": c1,
+                            "fill_px": int(m["FILL_MASK"][r0:r1, c0:c1].sum()),
+                            "cloudless_px": int(cl[r0:r1, c0:c1].sum()),
+                            "dist_sum": dist_sum,
+                            "tile_bytes": codecs.encode_raw(px[b0:b1, r0:r1, c0:c1]),
+                        })
+        cols = ["image_id", "caption", "band_start", "band_stop", "row_start",
+                "row_stop", "col_start", "col_stop", "fill_px", "cloudless_px",
+                "dist_sum", "tile_bytes"]
+        return pd.DataFrame(all_rows, columns=cols)
+
+    src = images.select("image_id", "caption", "bytes", "collection")
+    return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_SCHEMA)

@@ -80,11 +80,22 @@ def filter_bounds(
 
 
 def filter_bounds_semi(
-    images: DataFrame, rois: DataFrame, res: int = cells.DEFAULT_RES
+    images: DataFrame,
+    rois: DataFrame,
+    res: int = cells.DEFAULT_RES,
+    broadcast_ids: bool = True,
 ) -> DataFrame:
     """Images having >= 1 intersecting ROI (the reference's filterBounds
-    keeps whole images; left-semi join back to the images table)."""
+    keeps whole images; left-semi join back to the images table).
+
+    ``broadcast_ids=True`` broadcasts the matched-id set so the (bytes-
+    heavy) images table never shuffles — the right default whenever the ROI
+    set selects << the broadcast threshold of ids.  Disable for joins where
+    most of a 10^12-row table matches; the semi-join then shuffles on
+    image_id (AQE picks the strategy)."""
     matched = filter_bounds(images, rois, res).select("image_id").distinct()
+    if broadcast_ids:
+        matched = F.broadcast(matched)
     return images.join(matched, "image_id", "left_semi")
 
 

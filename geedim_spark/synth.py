@@ -32,10 +32,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    BinaryType, LongType, StructField, StructType,
-)
-
 from geedim_spark import codecs
 
 SCALE = 10.0  # metres / pixel
@@ -67,12 +63,27 @@ def sf_from_dir(sf_dir: str) -> float:
 # Spark side
 # ---------------------------------------------------------------------------
 
-def images_meta_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFrame:
-    """Metadata-only images table (no pixel bytes) — pure Catalyst exprs."""
+def _scalar_base(spark: SparkSession, n: int, w: int, h: int) -> DataFrame:
+    """The kernel-input columns: everything the pixel generator needs,
+    all scalar (Arrow-cheap), no shuffle anywhere."""
+    i = F.col("i")
+    return spark.range(n).withColumnRenamed("id", "i").select(
+        "i",
+        (i % 200 + 1).cast("int").alias("v"),
+        ((i % 5) * 4).cast("int").alias("f_px"),
+        ((i % 7) * 2).cast("int").alias("c_px"),
+        F.lit(w).cast("int").alias("w"),
+        F.lit(h).cast("int").alias("h"),
+        F.when(i % 4 == 3, F.lit("dct8")).otherwise(F.lit("raw")).alias("fmt"),
+    )
+
+
+def _decorate_meta(df: DataFrame, w: int, h: int) -> DataFrame:
+    """Add the derived metadata columns (all pure functions of ``i``)."""
     i = F.col("i")
     ext = F.lit(float(w) * SCALE)
-    df = (
-        spark.range(n).withColumnRenamed("id", "i")
+    return (
+        df
         .withColumn("image_id", F.format_string("IMG/%08d", i))
         .withColumn(
             "collection",
@@ -85,12 +96,6 @@ def images_meta_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> Dat
                 (i % 3 + 1).cast("int"),
             ),
         )
-        .withColumn("w", F.lit(w).cast("int"))
-        .withColumn("h", F.lit(h).cast("int"))
-        .withColumn("fmt", F.when(i % 4 == 3, F.lit("dct8")).otherwise(F.lit("raw")))
-        .withColumn("v", (i % 200 + 1).cast("int"))
-        .withColumn("f_px", ((i % 5) * 4).cast("int"))
-        .withColumn("c_px", ((i % 7) * 2).cast("int"))
         .withColumn("x0", ((i * _PX) % 99000).cast("double"))
         .withColumn("y0", ((i * _PY) % 90000).cast("double"))
         .withColumn("x1", F.col("x0") + ext)
@@ -118,18 +123,23 @@ def images_meta_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> Dat
             ),
         )
     )
-    return df
 
 
-_BYTES_SCHEMA = StructType([
-    StructField("i", LongType()),
-    StructField("bytes", BinaryType()),
-    StructField("phash", LongType()),
-])
+def images_meta_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFrame:
+    """Metadata-only images table (no pixel bytes) — pure Catalyst exprs."""
+    return _decorate_meta(_scalar_base(spark, n, w, h), w, h)
+
+
+_GEN_SCHEMA = (
+    "i long, v int, f_px int, c_px int, w int, h int, fmt string, "
+    "bytes binary, phash long"
+)
 
 
 def _gen_bytes_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Vectorised pixel synthesis + encode for one Arrow batch."""
+    """Vectorised pixel synthesis + encode for one Arrow batch.
+    Pass-through of the scalar inputs — the meta columns are re-derived
+    from ``i`` afterwards so generation needs NO join/shuffle."""
     out_bytes, out_phash = [], []
     for i, v, f_px, c_px, w, h, fmt in zip(
         pdf["i"], pdf["v"], pdf["f_px"], pdf["c_px"], pdf["w"], pdf["h"], pdf["fmt"]
@@ -141,17 +151,31 @@ def _gen_bytes_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             px[1, :, w - c_px:] = 1 << 9   # QA_PIXEL bit 9 = cloud (mask.py:183)
         out_bytes.append(codecs.encode(px, fmt))
         out_phash.append(codecs.phash64(px))
-    return pd.DataFrame({"i": pdf["i"], "bytes": out_bytes, "phash": out_phash})
+    out = pdf.copy()
+    out["bytes"] = out_bytes
+    out["phash"] = out_phash
+    return out
 
 
-def images_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFrame:
-    """Full images table incl. encoded pixel ``bytes`` + ``phash``."""
-    meta = images_meta_df(spark, n, w, h)
-    gen_cols = meta.select("i", "v", "f_px", "c_px", "w", "h", "fmt")
-    blobs = gen_cols.mapInPandas(
-        lambda it: (_gen_bytes_batch(pdf) for pdf in it), schema=_BYTES_SCHEMA
+def images_df(
+    spark: SparkSession, n: int, w: int = 40, h: int = 40,
+    scalar_filter: str | None = None,
+) -> DataFrame:
+    """Full images table incl. encoded pixel ``bytes`` + ``phash``.
+    Zero-shuffle: scalar base -> Arrow kernel (bytes appended in-pass) ->
+    Catalyst meta decoration.
+
+    ``scalar_filter`` (e.g. "fmt = 'raw'") is applied *before* the pixel
+    kernel — a late ``.filter`` can't be pushed above the mapInPandas
+    barrier by Catalyst, so rows filtered late still pay encode cost.
+    """
+    base = _scalar_base(spark, n, w, h)
+    if scalar_filter:
+        base = base.filter(scalar_filter)
+    blobs = base.mapInPandas(
+        lambda it: (_gen_bytes_batch(pdf) for pdf in it), schema=_GEN_SCHEMA
     )
-    return meta.join(blobs, "i")
+    return _decorate_meta(blobs, w, h)
 
 
 def rois_df(spark: SparkSession, m: int) -> DataFrame:

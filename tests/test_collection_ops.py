@@ -1,0 +1,68 @@
+"""Collection search semantics ported from the reference
+(/root/reference/tests/test_collection.py:331-429 filter behaviour)."""
+
+from __future__ import annotations
+
+import pytest
+
+from geedim_spark import synth
+from geedim_spark.operators import collection_ops as co
+
+
+def test_portion_without_region_raises(spark):
+    """collection.py:590-594 guard (P7)."""
+    imgs = synth.images_meta_df(spark, 10)
+    with pytest.raises(ValueError, match="requires a region"):
+        co.search(imgs, fill_portion=50.0)
+
+
+def test_filter_date_default_1ms(spark):
+    """end = start + 1 ms default -> only the exact instant survives
+    (collection.py:597-599; test_collection.py:354-358)."""
+    imgs = synth.images_meta_df(spark, 50)
+    hit = co.filter_date(imgs, "2024-01-01 07:00:00")
+    assert [r["image_id"] for r in hit.collect()] == ["IMG/00000007"]
+    miss = co.filter_date(imgs, "2024-01-01 07:30:00")
+    assert miss.count() == 0
+
+
+def test_date_range_containment_and_sort(spark):
+    imgs = synth.images_meta_df(spark, 100)
+    out = co.search(imgs, start="2024-01-01 10:00:00", end="2024-01-02 00:00:00")
+    rows = out.select("image_id", "time_start").collect()
+    assert len(rows) == 14  # hours 10..23
+    ts = [r["time_start"] for r in rows]
+    assert ts == sorted(ts)  # ascending time sort (collection.py:639)
+
+
+def test_custom_filter_pre_vs_post(spark):
+    """P6: a portion-free custom filter must not require pixel decode (it
+    runs against metadata only); portion-referencing filters work too."""
+    imgs = synth.images_df(spark, 60, scalar_filter="fmt = 'raw'")
+    rois = synth.rois_df(spark, 8)
+    pre = co.search(imgs, custom_filter="cast(props['CLOUD_COVER'] as int) <= 50")
+    assert pre.count() > 0
+    assert "FILL_PORTION" not in pre.columns  # no portion stage ran
+    post = co.search(
+        imgs, rois=rois, custom_filter="CLOUDLESS_PORTION >= 50",
+    )
+    assert "CLOUDLESS_PORTION" in post.columns
+    for r in post.select("CLOUDLESS_PORTION").collect():
+        assert r[0] >= 50
+
+
+def test_portion_threshold_filtering(spark):
+    imgs = synth.images_df(spark, 60, scalar_filter="fmt = 'raw'")
+    rois = synth.rois_df(spark, 8)
+    # world-spanning threshold test: every returned row satisfies both
+    out = co.search(imgs, rois=rois, fill_portion=70.0, cloudless_portion=80.0)
+    for r in out.select("FILL_PORTION", "CLOUDLESS_PORTION").collect():
+        assert r[0] >= 70 and r[1] >= 80
+
+
+def test_compatible_collections(spark):
+    ok = synth.images_meta_df(spark, 9).filter("collection = 'MOCK/CONST'")
+    assert co.check_compatible_collections(ok) == ["MOCK/CONST"]
+    mixed = synth.images_meta_df(spark, 9)
+    with pytest.raises(ValueError, match="Incompatible"):
+        co.check_compatible_collections(mixed)
