@@ -23,9 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import numpy as np
 import pandas as pd
 
-from geedim_spark import codecs, synth
+from geedim_spark import codecs, geometry, synth
 from geedim_spark.operators import (
     collection_ops, composite, dedup, export_ops, masks, multimodal,
     pipeline, similarity, text, tiler,
@@ -122,6 +123,56 @@ def q_export_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="image_id string, caption string, band_start int, "
                "row_start int, col_start int, pxsum long",
     )
+
+
+def q_mask_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: vectorise each image's fill and cloud masks into
+    polygons (geometry.mask_to_polygons), then rasterise back
+    (polygon_to_mask) to verify the inverse property in-kernel; outputs
+    polygon counts + exact vector areas (strip masks -> closed forms)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf, tf in zip(pdf["image_id"], pdf["bytes"], pdf["transform"]):
+                px = codecs.decode(bytes(buf))
+                tf = np.asarray(tf, dtype=np.float64)
+                fill = px[0] != 0
+                cloud = (px[1].astype(np.int64) & (1 << 9)) != 0
+                out = {"image_id": image_id}
+                for name, mask in [("fill", fill), ("cloud", cloud)]:
+                    polys = geometry.mask_to_polygons(mask, tf)
+                    back = np.zeros(mask.shape, bool)
+                    area = 0.0
+                    for p in polys:
+                        x0, y0, x1, y1 = geometry.polygon_bounds(p)
+                        area += (x1 - x0) * (y1 - y0)
+                        back |= geometry.polygon_to_mask(p, tf, *mask.shape)
+                    assert np.array_equal(back, mask)  # inverse property
+                    out[f"n_{name}_polys"] = len(polys)
+                    out[f"{name}_area"] = int(round(area))
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "n_fill_polys", "fill_area", "n_cloud_polys", "cloud_area",
+            ])
+
+    src = imgs.select("image_id", "bytes", "transform")
+    return src.mapInPandas(
+        _batch,
+        schema="image_id string, n_fill_polys int, fill_area long, "
+               "n_cloud_polys int, cloud_area long",
+    )
+
+
+def q_s2_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast left-outer join to the cloud-score match table; NULL
+    payload -> fully-masked default (scores exist for even i only)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    scores = synth.scores_df(spark, n)
+    return masks.s2_score_mask_stats(imgs, scores, score_thresh=0.6)
 
 
 def q_tiled_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_grid": q_tile_grid,
         "export_tiles": q_export_tiles,
         "tiled_portions": q_tiled_portions,
+        "mask_polygons": q_mask_polygons,
+        "s2_score_join": q_s2_score_join,
         "search": q_search,
         "date_filter_1ms": q_date_filter_1ms,
         "composite_profile": q_composite_profile,
@@ -573,6 +626,28 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                                * CASE WHEN c_px > 0 THEN 1 ELSE 0 END
                      END AS BIGINT) AS pxsum
             FROM grid
+        """,
+        "s2_score_join": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(w * h AS BIGINT) AS total_px,
+                   CAST((w - f_px) * h AS BIGINT) AS fill_px,
+                   CAST(CASE WHEN i % 2 = 0
+                             THEN GREATEST(0, ((i % 10) * 4) - f_px) * h
+                             ELSE 0 END AS BIGINT) AS cloudless_px,
+                   (i % 2 = 0) AS score_matched
+            FROM images WHERE fmt = 'raw'
+        """,
+        "mask_polygons": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(CASE WHEN f_px < w THEN 1 ELSE 0 END AS INT) AS n_fill_polys,
+                   CAST((w - f_px) * h * {synth.SCALE} * {synth.SCALE} AS BIGINT)
+                     AS fill_area,
+                   CAST(CASE WHEN c_px > 0 THEN 1 ELSE 0 END AS INT) AS n_cloud_polys,
+                   CAST(c_px * h * {synth.SCALE} * {synth.SCALE} AS BIGINT)
+                     AS cloud_area
+            FROM images WHERE fmt = 'raw'
         """,
         "tiled_portions": f"""
             WITH images AS ({images})

@@ -1,0 +1,122 @@
+"""High-level chained pipeline API — the reference CLI's shape as a fluent
+Python API.
+
+geedim's CLI is a chained click group: ``geedim config ... search ...
+composite ... download ...`` (/root/reference/geedim/cli.py:386-396), where
+each stage mutates a shared context (cloud-mask kwargs, found images).  The
+Spark-native equivalent is a fluent :class:`Collection` over a DataFrame:
+
+    (Collection.from_synthetic(spark, 10_000)
+        .config(mask_shadows=False)                 # cli.py:523-537
+        .search(start="2024-01-01", end="2024-03-01",
+                rois=rois, cloudless_portion=60)    # cli.py:616-676
+        .composite("q-mosaic")                      # cli.py:984-1014
+        .download("/data/out_table"))               # cli.py:771-829
+
+Every stage is lazy (returns a new Collection wrapping a DataFrame plan)
+except ``download``, which triggers the snapshot-committed export.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geedim_spark import synth
+from geedim_spark.operators import collection_ops, composite as comp_ops, pipeline
+from geedim_spark.sources import snapshots
+
+
+@dataclass
+class Collection:
+    df: DataFrame
+    cloud_kwargs: dict = field(default_factory=dict)
+
+    # -- sources --------------------------------------------------------
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str) -> "Collection":
+        return cls(spark.read.parquet(path))
+
+    @classmethod
+    def from_synthetic(cls, spark: SparkSession, n: int, **kw) -> "Collection":
+        return cls(synth.images_df(spark, n, **kw))
+
+    @classmethod
+    def from_images(cls, *collections: "Collection") -> "Collection":
+        """fromImages union + compatibility check (collection.py:124-160)."""
+        df = collections[0].df
+        for c in collections[1:]:
+            df = df.unionByName(c.df)
+        collection_ops.check_compatible_collections(df)
+        return cls(df, dict(collections[0].cloud_kwargs))
+
+    # -- chained stages --------------------------------------------------
+    def config(self, **cloud_kwargs) -> "Collection":
+        """Store explicitly-passed cloud-mask kwargs (cli.py:523-537: only
+        explicit flags enter the context)."""
+        merged = dict(self.cloud_kwargs)
+        merged.update(cloud_kwargs)
+        return Collection(self.df, merged)
+
+    def search(
+        self,
+        start=None,
+        end=None,
+        rois: DataFrame | None = None,
+        custom_filter: str | None = None,
+        fill_portion: float | None = None,
+        cloudless_portion: float | None = None,
+    ) -> "Collection":
+        found = collection_ops.search(
+            self.df, start=start, end=end, rois=rois,
+            custom_filter=custom_filter, fill_portion=fill_portion,
+            cloudless_portion=cloudless_portion, mask_opts=self.cloud_kwargs,
+        )
+        return Collection(found, self.cloud_kwargs)
+
+    def composite(self, method: str = "q-mosaic", date: str | None = None,
+                  by_portion: bool = False) -> "Collection":
+        src = comp_ops.sort_for_composite(self.df, method, date=date,
+                                          by_portion=by_portion)
+        out = comp_ops.composite_collection(
+            src, method, mask_opts=self.cloud_kwargs
+        )
+        return Collection(out, self.cloud_kwargs)
+
+    def composite_metadata(self, method: str) -> DataFrame:
+        return comp_ops.composite_metadata(self.df, method)
+
+    # -- sinks ------------------------------------------------------------
+    def download(
+        self,
+        table_dir: str,
+        partition_col: str = "collection",
+        resume: bool = True,
+        **tiler_kwargs,
+    ) -> str:
+        """Mask + tile + snapshot-committed export; returns the snapshot id.
+
+        With ``resume=True`` only partitions not in the current manifest
+        are processed (the reference restarts failed downloads from zero,
+        tile.py:349-378 — this is the checkpointed replacement)."""
+        work = self.df
+        if resume:
+            work = snapshots.pending_keys(work, table_dir, partition_col)
+        tiles = pipeline.mask_and_tile(work, **{**self.cloud_kwargs, **tiler_kwargs})
+        keyed = tiles.join(
+            self.df.select("image_id", partition_col), "image_id"
+        ) if partition_col not in tiles.columns else tiles
+        return snapshots.write_snapshot(
+            keyed, table_dir, partition_col, stats_cols=("fill_px",)
+        )
+
+    # -- conveniences ------------------------------------------------------
+    def count(self) -> int:
+        return self.df.count()
+
+    def show_schema_table(self, n: int = 20) -> None:
+        """Tabular property display (schema.py tables analog)."""
+        cols = [c for c in ("image_id", "collection", "time_start",
+                            "FILL_PORTION", "CLOUDLESS_PORTION") if c in self.df.columns]
+        self.df.select(*cols).show(n, truncate=False)

@@ -395,6 +395,54 @@ def with_portions(stats: DataFrame) -> DataFrame:
     )
 
 
+def s2_score_mask_stats(
+    images: DataFrame,
+    scores: DataFrame,
+    score_thresh: float = 0.6,
+) -> DataFrame:
+    """Sentinel-2 cloud-score masking with the match-image join realised as
+    a **broadcast left-outer equi-join** (J2): the reference's per-image
+    ``match_image`` filter + firstNonNull default (mask.py:304-329) becomes
+
+        images LEFT OUTER JOIN broadcast(scores) ON image_id
+
+    with a NULL score payload producing the fully-masked default
+    (score-dependent bands masked, FILL unaffected — oracle
+    test_mask.py:659-681).  ``scores`` needs (image_id, score_bytes) where
+    score_bytes decodes to a 1-band float raster on the image grid.
+
+    Output: exact counts (total/fill/cloudless px) + score_matched flag.
+    """
+    joined = images.select("image_id", "bytes").join(
+        F.broadcast(scores.select("image_id", "score_bytes")),
+        "image_id", "left_outer",
+    )
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for image_id, buf, sbuf in zip(pdf["image_id"], pdf["bytes"], pdf["score_bytes"]):
+            px = codecs.decode(bytes(buf))
+            bands = {n: px[i] for i, n in enumerate(BAND_NAMES[: px.shape[0]])}
+            score = codecs.decode(bytes(sbuf))[0] if sbuf is not None else None
+            m = s2_masks(bands, score=score, score_thresh=score_thresh)
+            rows.append({
+                "image_id": image_id,
+                "total_px": int(m["FILL_MASK"].size),
+                "fill_px": int(m["FILL_MASK"].sum()),
+                "cloudless_px": int(m["CLOUDLESS_MASK"].sum()),
+                "score_matched": bool(m["VALID"]),
+            })
+        return pd.DataFrame(rows, columns=[
+            "image_id", "total_px", "fill_px", "cloudless_px", "score_matched",
+        ])
+
+    return joined.mapInPandas(
+        lambda it: (_batch(p) for p in it),
+        schema="image_id string, total_px long, fill_px long, "
+               "cloudless_px long, score_matched boolean",
+    )
+
+
 def cloud_dist_stats(
     images: DataFrame,
     scale: float = 10.0,

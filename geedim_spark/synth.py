@@ -178,6 +178,42 @@ def images_df(
     return _decorate_meta(blobs, w, h)
 
 
+def scores_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFrame:
+    """Cloud-score match images (the GOOGLE/CLOUD_SCORE_PLUS analog) for the
+    EVEN-indexed images only — odd images exercise the no-match ->
+    fully-masked default path (mask.py:317-328).
+
+    Score raster: 0.9 (clear) in the left s_px = (i%10)*4 columns, 0.5
+    (cloudy at the 0.6 threshold) elsewhere — exact strip closed forms.
+    """
+    i = F.col("i")
+    base = (
+        spark.range(n).withColumnRenamed("id", "i").filter("i % 2 = 0")
+        .select(
+            "i",
+            F.format_string("IMG/%08d", i).alias("image_id"),
+            ((i % 10) * 4).cast("int").alias("s_px"),
+            F.lit(w).cast("int").alias("w"),
+            F.lit(h).cast("int").alias("h"),
+        )
+    )
+
+    def _gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = []
+        for s_px, w_, h_ in zip(pdf["s_px"], pdf["w"], pdf["h"]):
+            sc = np.full((1, h_, w_), 0.5, dtype=np.float32)
+            sc[0, :, :s_px] = 0.9
+            blobs.append(codecs.encode_raw(sc))
+        out = pdf.copy()
+        out["score_bytes"] = blobs
+        return out
+
+    return base.mapInPandas(
+        lambda it: (_gen(p) for p in it),
+        schema="i long, image_id string, s_px int, w int, h int, score_bytes binary",
+    )
+
+
 def rois_df(spark: SparkSession, m: int) -> DataFrame:
     """ROI table: deterministic rectangles 4-13.6 km across the test world."""
     j = F.col("j")
