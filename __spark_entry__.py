@@ -480,6 +480,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb, n_queries=5, k=10, n_planes=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return similarity.ivf_topk(emb, n_queries=5, k=10, nlist=8, nprobe=2)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via LSH buckets.  Duplicates are planted
+    (vec_id+100000 = 2x the vector — exact float scaling, so LSH signs and
+    direction are bit-identical) and must be exactly recovered."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", "embedding")
+    planted = emb.filter("vec_id < 50").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float"))
+        .alias("embedding"),
+    )
+    return similarity.near_dup_pairs(emb.unionByName(planted), threshold=0.99)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join": q_spatial_join,
@@ -515,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,  # rows-only (banded LSH)
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,  # rows-only (approximate by construction)
+        "ann_ivf": q_ann_ivf,  # rows-only (approximate by construction)
+        "embed_near_dup": q_embed_near_dup,
     }
 
 
@@ -856,6 +876,10 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "minhash_sig": f"""
             SELECT doc_id, {', '.join(sig_col(i) for i in range(4))}
             FROM (SELECT doc_id, {minhash_shingle} AS sh FROM documents)
+        """,
+        "embed_near_dup": """
+            SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+            FROM embeddings WHERE vec_id < 50
         """,
         "ann_topk": """
             WITH emb AS (

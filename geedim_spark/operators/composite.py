@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geedim_spark import codecs
-from geedim_spark.operators import masks
+from geedim_spark.operators import masks  # noqa: F401 (kernels)
 
 METHODS = ("mosaic", "q-mosaic", "median", "mean", "mode", "medoid")
 
@@ -197,6 +197,88 @@ def composite_collection(
         }])
 
     return src.groupBy("group_id").applyInPandas(_comp, schema=_COMP_SCHEMA)
+
+
+_TILED_SCHEMA = "tr int, tc int, bytes binary, n_inputs int"
+
+
+def composite_tiled(
+    images: DataFrame,
+    method: str = "mosaic",
+    tile_h: int = 16,
+    tile_w: int = 16,
+    mask_opts: dict | None = None,
+    scale: float = 10.0,
+) -> DataFrame:
+    """Composite with the **tile coordinate as the group key** — the shape
+    that survives 10^12 images: a whole-image stack (composite_collection)
+    needs every co-located image on one task, while here each (tr, tc) cell
+    stacks only its own tile rows, so the shuffle key cardinality is the
+    tile grid and memory per task is bounded by n_images x tile_size.
+
+    Stage 1 (narrow): decode each image once, emit its tiles.
+    Stage 2 (shuffle on (tr, tc)): stack + reduce per tile.
+    Equals the whole-image composite exactly — every method here is
+    pixelwise, so tiling commutes (tested in test_composite.py).
+    """
+    mask_opts = mask_opts or {}
+    src = images.select("image_id", "bytes", "collection", "time_start")
+    src = src.withColumn("sort_key", F.col("time_start").cast("double"))
+
+    def _tiles(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf, coll, sk in zip(
+                pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["sort_key"]
+            ):
+                px = codecs.decode(bytes(buf))
+                bands = {n: px[i] for i, n in enumerate(masks.BAND_NAMES[: px.shape[0]])}
+                if masks._sensor_for(coll) == "landsat":
+                    m = masks.landsat_masks(bands, **mask_opts)
+                else:
+                    m = {"CLOUDLESS_MASK": masks.fill_mask(px[:1])}
+                valid = m["CLOUDLESS_MASK"].astype(np.uint8)
+                _, h, w = px.shape
+                for tr in range(0, h, tile_h):
+                    for tc in range(0, w, tile_w):
+                        blk = px[:, tr:tr + tile_h, tc:tc + tile_w]
+                        vblk = valid[tr:tr + tile_h, tc:tc + tile_w]
+                        rows.append({
+                            "image_id": image_id, "sort_key": sk,
+                            "tr": tr // tile_h, "tc": tc // tile_w,
+                            "tile_bytes": codecs.encode_raw(blk),
+                            "valid_bytes": codecs.encode_raw(vblk[None, :, :]),
+                        })
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "sort_key", "tr", "tc", "tile_bytes", "valid_bytes",
+            ])
+
+    tiles = src.mapInPandas(
+        _tiles,
+        schema="image_id string, sort_key double, tr int, tc int, "
+               "tile_bytes binary, valid_bytes binary",
+    )
+
+    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["sort_key", "image_id"], ascending=[False, True], ignore_index=True
+        )
+        stack = np.stack([codecs.decode(bytes(b)) for b in pdf["tile_bytes"]])
+        valid = np.stack(
+            [codecs.decode(bytes(b))[0].astype(bool) for b in pdf["valid_bytes"]]
+        )
+        cd = None
+        if method == "q-mosaic":
+            cd = np.stack([masks.cloud_dist(v, scale) for v in valid])
+        comp, out_valid = composite_stack(stack, valid, method, cd)
+        comp = np.where(out_valid[None, :, :], comp, np.nan)
+        return pd.DataFrame([{
+            "tr": int(pdf["tr"].iloc[0]), "tc": int(pdf["tc"].iloc[0]),
+            "bytes": codecs.encode_raw(comp.astype(np.float64)),
+            "n_inputs": len(pdf),
+        }])
+
+    return tiles.groupBy("tr", "tc").applyInPandas(_reduce, schema=_TILED_SCHEMA)
 
 
 def composite_metadata(images: DataFrame, method: str) -> DataFrame:

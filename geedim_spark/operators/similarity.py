@@ -11,6 +11,7 @@ key — the same cover-join shape the spatial engine uses on H3 cells.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401  (Arrow kernels)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -92,6 +93,112 @@ def lsh_bucket(emb_col: Column, planes: np.ndarray) -> Column:
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH candidate pruning.
+
+    Same-direction vectors share every hyperplane sign, so true near-dups
+    always co-bucket; the bucket self-join bounds candidates to ~N^2/2^planes
+    and the exact cosine filter makes the result exact above ``threshold``
+    for same-bucket pairs (the standard LSH near-dup contract: recall < 1
+    only for pairs near the threshold with some sign flips).
+    Output: (id_a, id_b) with id_a < id_b.
+    """
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = lsh_signature(dim, n_planes)
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+                   F.col("bucket").alias("ba"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+                   F.col("bucket").alias("bb"))
+    cand = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        cand.where(cosine(F.col("ea"), F.col("eb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def ivf_centroids(vectors: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd k-means (init = evenly-strided rows).  Driver-side
+    over a sample — at 100 TB the sample is a `.sample(fraction)` collect,
+    centroids stay a broadcast-sized array (nlist x dim)."""
+    v = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+    cent = v[:: max(1, len(v) // nlist)][:nlist].copy()
+    for _ in range(iters):
+        assign = (v @ cent.T).argmax(axis=1)
+        for c in range(nlist):
+            sel = v[assign == c]
+            if len(sel):
+                m = sel.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: cluster-assign every vector (broadcast
+    centroids, Arrow kernel), probe the query's ``nprobe`` nearest lists,
+    rank exact cosine within the probed candidates.
+
+    Scale shape: the candidate join is an equi-join on ``cluster`` (shuffle
+    key cardinality nlist; lists are ~N/nlist rows), the exact rank is a
+    window inside each (query, cluster) slice — no cross join anywhere.
+    """
+    import pandas as pd
+
+    sample = np.array(
+        [r["embedding"] for r in embeddings.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    cent = ivf_centroids(sample, nlist)
+    spark = embeddings.sparkSession
+    bcent = spark.sparkContext.broadcast(cent)
+
+    def _assign(it):
+        for pdf in it:
+            V = np.stack(pdf["embedding"].values).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            pdf = pdf[["vec_id", "embedding"]].copy()
+            pdf["cluster"] = (V @ bcent.value.T).argmax(axis=1)
+            yield pdf
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        _assign, schema="vec_id long, embedding array<float>, cluster int"
+    )
+    emb = assigned.withColumn("e", _as_double(F.col("embedding"))).drop("embedding")
+
+    # queries probe their nprobe nearest centroid lists
+    qrows = emb.filter(F.col("vec_id") < n_queries).collect()
+    probe = []
+    for r in qrows:
+        qv = np.array(r["e"])
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        order = np.argsort(-(bcent.value @ qv))[:nprobe]
+        for c in order:
+            probe.append((int(r["vec_id"]), [float(x) for x in r["e"]], int(c)))
+    q = spark.createDataFrame(
+        probe, "query_id long, qe array<double>, cluster int"
+    )
+    cand = emb.join(F.broadcast(q), "cluster").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sims = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("e")).alias("sim"),
+    )
+    return _rank_topk(sims, k)
 
 
 def lsh_bucket_topk(

@@ -109,6 +109,36 @@ def test_composite_collection_spark(spark):
     assert meta["n_inputs"] == 3
 
 
+def test_composite_tiled_equals_whole_image(spark):
+    """Tiled (groupBy tile coord) composite == whole-image composite —
+    pixelwise reducers commute with tiling."""
+    rows = []
+    rng = np.random.default_rng(13)
+    base = pd.Timestamp("2024-01-01")
+    for i in range(6):
+        px = rng.integers(1, 50, size=(2, 20, 24)).astype(np.uint16)
+        px[0, :, : (i % 3) * 4] = 0  # fill strips
+        rows.append({
+            "image_id": f"IMG/{i:08d}", "bytes": codecs.encode_raw(px),
+            "collection": "MOCK/CONST",
+            "time_start": base + pd.Timedelta(hours=i),
+        })
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    for method in ["mosaic", "mean", "median"]:
+        whole = codecs.decode(bytes(
+            comp.composite_collection(images, method).first()["bytes"]
+        ))
+        tiles = comp.composite_tiled(images, method, tile_h=8, tile_w=8).collect()
+        got = np.full_like(whole, np.nan)
+        for t in tiles:
+            blk = codecs.decode(bytes(t["bytes"]))
+            got[:, t["tr"] * 8:t["tr"] * 8 + blk.shape[1],
+                t["tc"] * 8:t["tc"] * 8 + blk.shape[2]] = blk
+        assert np.array_equal(
+            np.nan_to_num(got, nan=-1), np.nan_to_num(whole, nan=-1)
+        ), method
+
+
 def test_composite_deterministic_across_parallelism(spark):
     rows = []
     rng = np.random.default_rng(11)

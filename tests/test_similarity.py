@@ -1,0 +1,64 @@
+"""Similarity search: exact top-k, LSH recall, IVF exactness at full probe,
+near-dup planting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geedim_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_ivf_full_probe_equals_exact(spark, emb):
+    """nprobe == nlist probes every list -> identical to brute force."""
+    exact = _pairs(sim.cosine_topk(emb, n_queries=3, k=5))
+    full = _pairs(sim.ivf_topk(emb, n_queries=3, k=5, nlist=4, nprobe=4))
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    exact = _pairs(sim.cosine_topk(emb, n_queries=3, k=5))
+    part = _pairs(sim.ivf_topk(emb, n_queries=3, k=5, nlist=4, nprobe=2))
+    recall = len(part & exact) / len(exact)
+    assert recall >= 0.2  # random data -> ~nprobe/nlist expected
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb):
+    out = sim.lsh_bucket_topk(emb, n_queries=3, k=5, n_planes=2)
+    assert out.count() > 0
+    assert out.filter("rank > 5").count() == 0
+
+
+def test_near_dup_recovers_planted(spark, emb):
+    from pyspark.sql import functions as F
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter("vec_id < 10").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float"))
+        .alias("embedding"),
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           sim.near_dup_pairs(base.unionByName(planted), 0.99).collect()}
+    assert got == {(i, i + 100000) for i in range(10)}
+
+
+def test_centroids_deterministic():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((100, 16))
+    a = sim.ivf_centroids(v, 4)
+    b = sim.ivf_centroids(v.copy(), 4)
+    assert np.array_equal(a, b)
+    # unit norm
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
