@@ -175,6 +175,39 @@ def q_s2_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.s2_score_mask_stats(imgs, scores, score_thresh=0.6)
 
 
+def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3: disk dilation/erosion + directional shadow projection on the
+    cloud strip — full-height strips give closed-form pixel counts.
+
+    azimuth 180 = west: the cast region is the npix columns left of the
+    strip; a disk of radius r dilates/erodes a full-height strip by exactly
+    r columns (clipped at edges; erosion treats beyond-image as set)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                px = codecs.decode(bytes(buf))
+                cloud = (px[1].astype(np.int64) & (1 << 9)) != 0
+                cast = masks.directional_project(cloud, 180.0, 5)
+                rows.append({
+                    "image_id": image_id,
+                    "cast_px": int(cast.sum()),
+                    "dilated_px": int(masks.focal_max(cloud, 2).sum()),
+                    "eroded_px": int(masks.focal_min(cloud, 2).sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "cast_px", "dilated_px", "eroded_px",
+            ])
+
+    return imgs.select("image_id", "bytes").mapInPandas(
+        _batch,
+        schema="image_id string, cast_px long, dilated_px long, eroded_px long",
+    )
+
+
 def q_tiled_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 as a true 2-phase hash agg over the tiles table: per-tile partial
     counts from the fused kernel -> groupBy(image_id) final sums."""
@@ -508,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiled_portions": q_tiled_portions,
         "mask_polygons": q_mask_polygons,
         "s2_score_join": q_s2_score_join,
+        "morphology": q_morphology,
         "search": q_search,
         "date_filter_1ms": q_date_filter_1ms,
         "composite_profile": q_composite_profile,
@@ -646,6 +680,20 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                                * CASE WHEN c_px > 0 THEN 1 ELSE 0 END
                      END AS BIGINT) AS pxsum
             FROM grid
+        """,
+        "morphology": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   -- cast = union of the strip shifted west by t=1..5:
+                   -- [w-c-5, w-1) -> width c+4 (never clipped: c<=12, w=40)
+                   CAST(CASE WHEN c_px > 0
+                             THEN h * (c_px + 4) ELSE 0 END AS BIGINT)
+                     AS cast_px,
+                   CAST(CASE WHEN c_px > 0
+                             THEN h * LEAST(w, c_px + 2) ELSE 0 END AS BIGINT)
+                     AS dilated_px,
+                   CAST(h * GREATEST(0, c_px - 2) AS BIGINT) AS eroded_px
+            FROM images WHERE fmt = 'raw'
         """,
         "s2_score_join": f"""
             WITH images AS ({images})

@@ -1,0 +1,104 @@
+"""Property-based invariants (hypothesis): codec round trips, cell-index
+algebra, raster<->vector inverse, tile-shape bounds — beyond the example
+oracles, these pin the kernels for arbitrary inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geedim_spark import cells, codecs, geometry
+from geedim_spark.operators import masks
+from geedim_spark.operators.tiler import tile_shape
+
+_S = settings(max_examples=25, deadline=None)
+
+
+@_S
+@given(
+    bands=st.integers(1, 4), h=st.integers(1, 40), w=st.integers(1, 40),
+    dtype=st.sampled_from(["uint8", "uint16", "int16", "int32", "float32"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_raw_roundtrip_property(bands, h, w, dtype, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 200, size=(bands, h, w)).astype(dtype)
+    back = codecs.decode(codecs.encode_raw(px))
+    assert back.dtype == px.dtype and np.array_equal(back, px)
+
+
+@_S
+@given(h=st.integers(8, 48), w=st.integers(8, 48), seed=st.integers(0, 2**31 - 1))
+def test_dct8_psnr_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(2, h, w)).astype(np.uint16)
+    dec = codecs.decode(codecs.encode_dct8(px))
+    assert codecs.psnr(px, dec, 255.0) >= 40.0
+
+
+@_S
+@given(
+    x=st.floats(0, cells.WORLD_SIZE - 1), y=st.floats(0, cells.WORLD_SIZE - 1),
+    res=st.integers(2, 12), dres=st.integers(1, 4),
+)
+def test_cell_parent_property(x, y, res, dres):
+    pres = max(0, res - dres)
+    c = cells.np_cell(np.array([x]), np.array([y]), res)
+    p = cells.np_cell(np.array([x]), np.array([y]), pres)
+    assert cells.np_parent(c, res, pres)[0] == p[0]
+
+
+@_S
+@given(
+    x0=st.floats(0, 90000), y0=st.floats(0, 90000),
+    dx=st.floats(1, 9000), dy=st.floats(1, 9000),
+    px=st.floats(0, 1), py=st.floats(0, 1),
+    res=st.integers(3, 10),
+)
+def test_cover_contains_interior_points(x0, y0, dx, dy, px, py, res):
+    x1, y1 = x0 + dx, y0 + dy
+    cover = set(cells.np_cover_bbox(x0, y0, x1, y1, res).tolist())
+    qx, qy = x0 + px * dx, y0 + py * dy
+    assert cells.np_cell(np.array([qx]), np.array([qy]), res)[0] in cover
+
+
+@_S
+@given(seed=st.integers(0, 2**31 - 1), density=st.floats(0.05, 0.9))
+def test_mask_polygon_roundtrip_property(seed, density):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((15, 17)) < density
+    tf = np.array([1.0, 0, 0, 0, -1.0, 15.0])
+    polys = geometry.mask_to_polygons(mask, tf)
+    back = np.zeros_like(mask)
+    for p in polys:
+        back |= geometry.polygon_to_mask(p, tf, 15, 17)
+    assert np.array_equal(back, mask)
+
+
+@_S
+@given(
+    count=st.integers(1, 32), h=st.integers(1, 3000), w=st.integers(1, 3000),
+    mts=st.floats(0.5, 8),
+    dtype=st.sampled_from(["uint8", "uint16", "float32", "float64"]),
+)
+def test_tile_shape_bounds_property(count, h, w, mts, dtype):
+    tb, th, tw = tile_shape(count, h, w, dtype, max_tile_size=mts)
+    size = np.dtype(dtype).itemsize
+    if dtype.endswith("int8"):
+        size *= 2
+    assert 1 <= tb <= count and 1 <= th <= h and 1 <= tw <= w
+    assert tb * th * tw * size <= mts * 2**20
+
+
+@_S
+@given(seed=st.integers(0, 2**31 - 1))
+def test_edt_property_vs_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    src = rng.random((12, 14)) < 0.15
+    if not src.any():
+        src[0, 0] = True
+    got = masks.edt_squared(src)
+    ys, xs = np.nonzero(src)
+    yy, xx = np.mgrid[0:12, 0:14]
+    want = ((yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2).min(axis=-1)
+    assert np.array_equal(got, want.astype(float))
