@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: collection search (date + bounds + portions + custom filter)
     over the synthetic table at sf0.001 — the geedim `search` lifecycle."""
     n, m = _sizes("/root/testdata/sf0.001")
-    images = synth.images_df(spark, n).filter("fmt = 'raw'")
+    images = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     rois = synth.rois_df(spark, m)
     return collection_ops.search(
         images,
@@ -75,13 +75,13 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mask_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n).filter("fmt = 'raw'")
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     return masks.mask_stats(imgs)
 
 
 def q_cloud_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n).filter("fmt = 'raw'")
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     return masks.cloud_dist_stats(imgs, scale=synth.SCALE, max_cloud_dist=5000.0)
 
 
@@ -104,7 +104,7 @@ def q_export_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile export (decode once -> slice -> encode): verified end-to-end by
     per-tile pixel sums against the strip closed form."""
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n).filter("fmt = 'raw'")
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
 
     def _sums(it):
@@ -227,7 +227,7 @@ def q_tiled_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, m = _sizes(sf_dir)
-    images = synth.images_df(spark, n).filter("fmt = 'raw'")
+    images = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     rois = synth.rois_df(spark, m)
     found = collection_ops.search(
         images,
@@ -269,8 +269,8 @@ def q_composite_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mean/median/mosaic composites over the co-registered MOCK family,
     checked per-column against analytic SQL (integer sums -> exact floats)."""
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, min(n, 900)).filter(
-        "collection = 'MOCK/CONST' AND fmt = 'raw'"
+    imgs = synth.images_df(
+        spark, min(n, 900), scalar_filter="i % 3 = 0 AND fmt = 'raw'"
     )
     mean_p = _column_profile(composite.composite_collection(imgs, "mean"), "mean_v")
     med_p = _column_profile(composite.composite_collection(imgs, "median"), "median_v")
@@ -282,8 +282,9 @@ def q_medoid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Medoid composite over cloud-free MOCK images (QA all zero -> pure-B1
     integer distances, exactly reproducible in SQL)."""
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, min(n, 210)).filter(
-        "collection = 'MOCK/CONST' AND fmt = 'raw' AND c_px = 0"
+    imgs = synth.images_df(
+        spark, min(n, 210),
+        scalar_filter="i % 3 = 0 AND fmt = 'raw' AND c_px = 0"
     )
     return _column_profile(
         composite.composite_collection(imgs, "medoid"), "medoid_v"
@@ -294,7 +295,7 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: band-0 mean from decoded pixels,
     exact vs the strip closed form."""
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n).filter("fmt = 'raw'")
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     feats = multimodal.image_features(imgs)
     return feats.select(
         "image_id", F.element_at("band_means", 1).alias("mean_b1")

@@ -9,6 +9,28 @@ from geedim_spark.sources import snapshots
 from geedim_spark.streaming import ingest
 
 
+def test_stream_windowed_counts_match_batch(spark, tmp_path):
+    """availableNow drain of the watermarked windowed agg == batch agg."""
+    from geedim_spark.streaming import windows as sw
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "wckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(4).write.parquet(src)
+
+    q = sw.stream_windowed_counts(spark, src, ckpt, sink_table="swc_test")
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.table("swc_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in sw.windowed_counts_batch(events).collect()
+    }
+    assert got == want and len(want) > 5
+
+
 def test_stream_ingest_commits_snapshots(spark, tmp_path):
     source = str(tmp_path / "incoming")
     table = str(tmp_path / "stats_table")
