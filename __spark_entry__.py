@@ -446,6 +446,62 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue,
+    deterministic top-10."""
+    customer = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    lineitem = spark.read.parquet(_t(sf_dir, "lineitem"))
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            & (F.col("l_shipdate") > F.lit("1998-01-01"))
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+            .cast("decimal(30,4)").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join through region, grouped revenue."""
+    customer = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    lineitem = spark.read.parquet(_t(sf_dir, "lineitem"))
+    supplier = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier),
+              (lineitem.l_suppkey == supplier.s_suppkey)
+              & (customer.c_nationkey == supplier.s_nationkey))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
+            .cast("decimal(30,4)").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 def q_events_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(_t(sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.asc("event_id"))
@@ -560,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "events_recent": q_events_recent,
         "events_type_stats": q_events_type_stats,
         "doc_dup_counts": q_doc_dup_counts,
@@ -891,6 +949,36 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY c_custkey, c_name, n_name
             ORDER BY total_spent DESC, c_custkey LIMIT 10
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(30,4)) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(30,4)) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                                       AND c_nationkey = s_nationkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name
         """,
         "events_recent": """
             SELECT event_id, user_id, rn FROM (

@@ -38,9 +38,9 @@ from geedim_spark.session import get_session
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline-job image size: big enough that kernel compute dominates fixed
-# costs (the scaling-efficiency measurement is meaningless when a 17 s job
-# is 8 s overhead); 128x128 x 2 bands ~ 65 kB/image
-BENCH_IMG_PX = int(os.environ.get("SPARK_GRAFT_BENCH_PX", "128"))
+# costs AND sandbox timing noise (the scaling-efficiency measurement is
+# meaningless when a 17 s job is 8 s overhead); 192x192 x 2 bands ~ 147 kB
+BENCH_IMG_PX = int(os.environ.get("SPARK_GRAFT_BENCH_PX", "192"))
 
 BENCH_QUERIES = [
     "spatial_join", "mask_portions", "cloud_dist", "tile_grid", "search",

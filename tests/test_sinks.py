@@ -1,0 +1,52 @@
+"""Secondary sinks: structured dtype view, xarray coord math, medoid cap."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geedim_spark import codecs
+from geedim_spark.operators import composite as comp
+from geedim_spark.sources import sinks
+
+
+def test_to_structured_view():
+    arr = np.arange(2 * 3 * 4).reshape(2, 3, 4).astype(np.uint16)
+    s = sinks.to_structured(arr, ["B2", "B3"])
+    assert s.shape == (3, 4) and s.dtype.names == ("B2", "B3")
+    assert np.array_equal(s["B3"], arr[1])
+
+
+def test_xarray_coords_from_transform():
+    tf = [10.0, 0, 100.0, 0, -10.0, 500.0]
+    c = sinks.xarray_coords(tf, h=3, w=4)
+    assert c["x"].tolist() == [105.0, 115.0, 125.0, 135.0]
+    assert c["y"].tolist() == [495.0, 485.0, 475.0]
+
+
+def test_to_xarray_gated():
+    with pytest.raises(ImportError):
+        sinks.to_xarray(np.zeros((1, 2, 2)), [1, 0, 0, 0, -1, 2], ["B1"])
+
+
+def test_medoid_stack_cap(spark):
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(10):
+        px = np.full((2, 6, 6), i + 1, np.uint16)
+        rows.append({
+            "image_id": f"IMG/{i:08d}", "bytes": codecs.encode_raw(px),
+            "collection": "MOCK/CONST",
+            "time_start": base + pd.Timedelta(hours=i),
+        })
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    out = comp.composite_collection(images, "medoid", medoid_max_stack=4).first()
+    # capped stack keeps the 4 newest (v=7..10); single-band medoid of
+    # {7,8,9,10} picks 8 (ties by earlier stack index = larger i -> 9?
+    # sumdist: 7:2+1+... values {10,9,8,7}: d(10)=1+2+3=6, d(9)=1+1+2=4,
+    # d(8)=2+1+1=4, d(7)=3+2+1=6 -> tie 9 vs 8, earlier stack index wins:
+    # stack sorted desc -> 10,9,8,7 -> 9
+    px = codecs.decode(bytes(out["bytes"]))
+    assert (px[0] == 9).all()
+    assert out["n_inputs"] == 10  # inputs counted pre-cap

@@ -31,6 +31,31 @@ def test_stream_windowed_counts_match_batch(spark, tmp_path):
     assert got == want and len(want) > 5
 
 
+def test_stateful_stream_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: one output row per distinct text, even
+    with planted duplicates split across micro-batches."""
+    from pyspark.sql import functions as F
+    from geedim_spark.streaming import stateful
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "dckpt")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dups = docs.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    # 4 files -> 2 micro-batches at maxFilesPerTrigger=2; dups in later files
+    docs.coalesce(2).write.parquet(src)
+    dups.coalesce(2).write.mode("append").parquet(src)
+
+    q = stateful.stream_dedup(spark, src, ckpt, sink_table="sdd_test")
+    q.awaitTermination(180)
+    out = spark.table("sdd_test")
+    n_distinct = docs.select(F.md5(F.coalesce("text", F.lit("")))).distinct().count()
+    assert out.count() == n_distinct
+    assert out.select("text_hash").distinct().count() == n_distinct
+
+
 def test_stream_ingest_commits_snapshots(spark, tmp_path):
     source = str(tmp_path / "incoming")
     table = str(tmp_path / "stats_table")
