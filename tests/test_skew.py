@@ -1,0 +1,50 @@
+"""Skew handling: salted join correctness + balance under a Zipfian hot key
+(the north rule's footprint-density scenario)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geedim_spark.operators import spatial_join as sj
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90 % of the big side lands on ONE cell (pathological hot key)."""
+    big = spark.range(5000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(42)).otherwise(F.col("id") % 100)
+        .cast("long").alias("cell"),
+    )
+    small = spark.range(100).select(
+        F.col("id").cast("long").alias("cell"),
+        F.concat(F.lit("roi-"), F.col("id")).alias("roi_id"),
+    )
+    return big, small
+
+
+def test_salted_join_correct_under_hot_key(spark, skewed):
+    big, small = skewed
+    plain = sorted(
+        map(tuple, big.join(small, "cell").select("row_id", "roi_id").collect())
+    )
+    salted = sorted(
+        map(tuple,
+            sj.salted_join(big, small, "cell", salt=16)
+            .select("row_id", "roi_id").collect())
+    )
+    assert salted == plain
+    assert len(plain) == 5000  # every big row matches exactly one small row
+
+
+def test_salting_splits_hot_key_across_partitions(spark, skewed):
+    """The hot key's rows spread over ~salt distinct shuffle keys."""
+    big, _ = skewed
+    salted_keys = (
+        big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(16)))
+        .where(F.col("cell") == 42)
+        .select("_salt").distinct().count()
+    )
+    assert salted_keys == 16  # hot cell now hashes to 16 distinct join keys
