@@ -208,6 +208,49 @@ def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dct8_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant as a query: every lossy dct8 image decodes at
+    PSNR >= 40 dB vs the analytically-reconstructed original, and captions
+    survive the decode path untouched."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'dct8'")
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for image_id, caption, buf, v, f_px, c_px, w, h in zip(
+                pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["v"],
+                pdf["f_px"], pdf["c_px"], pdf["w"], pdf["h"],
+            ):
+                dec = codecs.decode(bytes(buf))
+                orig = np.zeros((2, h, w), np.uint16)
+                orig[0, :, :] = v
+                orig[0, :, :f_px] = 0
+                if c_px:
+                    orig[1, :, w - c_px:] = 1 << 9
+                p = codecs.psnr(orig, dec, 1023.0)
+                rows.append({
+                    "image_id": image_id, "caption": caption,
+                    "psnr_ok": bool(p >= 40.0),
+                })
+            yield pd.DataFrame(rows, columns=["image_id", "caption", "psnr_ok"])
+
+    return imgs.select(
+        "image_id", "caption", "bytes", "v", "f_px", "c_px", "w", "h"
+    ).mapInPandas(_batch, schema="image_id string, caption string, psnr_ok boolean")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features, rounded to 6 dp for cross-engine floats."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    q = text.quality_score(docs)
+    return q.select(
+        "doc_id",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
 def q_tiled_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 as a true 2-phase hash agg over the tiles table: per-tile partial
     counts from the fused kernel -> groupBy(image_id) final sums."""
@@ -596,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_grid": q_tile_grid,
         "export_tiles": q_export_tiles,
         "tiled_portions": q_tiled_portions,
+        "dct8_psnr": q_dct8_psnr,
+        "doc_quality": q_doc_quality,
         "mask_polygons": q_mask_polygons,
         "s2_score_join": q_s2_score_join,
         "morphology": q_morphology,
@@ -764,6 +809,31 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS cloudless_px,
                    (i % 2 = 0) AS score_matched
             FROM images WHERE fmt = 'raw'
+        """,
+        "dct8_psnr": f"""
+            WITH images AS ({images})
+            SELECT image_id, caption, TRUE AS psnr_ok
+            FROM images WHERE fmt = 'dct8'
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   CAST(round(CASE WHEN length(text) > 0
+                        THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                             / length(text) ELSE 0.0 END, 6) AS DOUBLE) AS alpha_ratio,
+                   CAST(round(CASE WHEN ntok > 0 THEN hits / ntok ELSE 0.0 END, 6)
+                        AS DOUBLE) AS stopword_ratio
+            FROM (
+              SELECT doc_id, text,
+                     CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '')) AS DOUBLE) AS ntok,
+                     CAST(len(list_filter(list_transform(
+                            list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> ''),
+                            t -> regexp_replace(t, '[^a-z]', '', 'g')),
+                          t -> list_contains(['the','and','of','to','in','is',
+                                              'that','it','for','was'], t)))
+                          AS DOUBLE) AS hits
+              FROM documents)
         """,
         "mask_polygons": f"""
             WITH images AS ({images})

@@ -1,0 +1,53 @@
+"""Text-analysis operators on constructed documents (exact expectations)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from geedim_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        {"doc_id": 0, "text": "The cat and the dog sat. It is that good, for it was fine."},
+        {"doc_id": 1, "text": "der hund und die katze das ist nicht ein problem mit allem"},
+        {"doc_id": 2, "text": "12345 67890 !!!"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "le chat est dans la maison et il est pour une vie"},
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_token_stats_exact(spark, docs):
+    got = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert got[2]["n_ws_tokens"] == 3
+    assert got[2]["n_digit"] == 10
+    assert got[2]["n_alpha"] == 0
+    assert got[2]["n_punct"] == 3
+    assert got[3]["n_ws_tokens"] == 0
+    assert got[0]["n_alpha"] > 30
+
+
+def test_lang_id_heuristic(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[4] == "fr"
+    assert got[2] == "und"  # no stopword hits
+    assert got[3] == "und"
+
+
+def test_quality_score_ranges(spark, docs):
+    got = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert 0 <= got[0]["quality"] <= 1
+    assert got[0]["quality"] > got[2]["quality"]  # prose beats digit soup
+    assert got[3]["quality"] == 0.0
+    assert got[0]["stopword_ratio"] > 0.3
+
+
+def test_fingerprint_prefix_sensitivity(spark, docs):
+    got = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    assert got[0] != got[1]
+    assert got[3] == 0  # empty text -> zero hash
