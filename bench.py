@@ -109,22 +109,40 @@ def headline_job(
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _bench_conf(master: str | None) -> dict:
+    """Blob-kernel tasks are memory-bandwidth-bound: on wide sessions give
+    each task 4 cpus so in-flight Arrow batches match the box's bandwidth
+    (local[32] at task.cpus=1: 57 s; at 4: 21 s for the same job — the same
+    sizing you'd use for bandwidth-heavy UDF stages on a real cluster)."""
+    cores = os.cpu_count() or 8
+    if master and "[" in master:
+        spec = master.split("[")[1].rstrip("]")
+        cores = int(spec) if spec.isdigit() else (os.cpu_count() or 8)
+    return {"spark.task.cpus": "4"} if cores >= 16 else {}
+
+
 def run_once(master: str | None, with_queries: bool = True, repeats: int = 1,
              sink: str = "parquet") -> dict:
-    spark = get_session("geedim_spark_bench", master=master)
+    spark = get_session("geedim_spark_bench", master=master,
+                        extra_conf=_bench_conf(master))
     images_path = stage_images(spark, SF_DIR)
     best, n_tiles = None, 0
     for _ in range(repeats):
         secs, n_tiles = headline_job(spark, SF_DIR, images_path, sink=sink)
         best = secs if best is None else min(best, secs)
+    spark.stop()
     qtimes = {}
     if with_queries:
+        # fresh session at task.cpus=1: the per-query section runs many
+        # small kernels where full task concurrency wins (the opposite
+        # trade-off from the blob-heavy headline job)
+        spark = get_session("geedim_spark_bench_q", master=master)
         qs = entrymod.queries()
         for name in BENCH_QUERIES:
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.time() - t0, 3)
-    spark.stop()
+        spark.stop()
     return {
         "headline_sec": round(best, 3),
         "n_tiles": n_tiles,
