@@ -100,6 +100,7 @@ class Collection:
         With ``resume=True`` only partitions not in the current manifest
         are processed (the reference restarts failed downloads from zero,
         tile.py:349-378 — this is the checkpointed replacement)."""
+        collection_ops.check_export_guards(self.df)
         work = self.df
         if resume:
             work = snapshots.pending_keys(work, table_dir, partition_col)

@@ -97,6 +97,40 @@ def search(
     return out.orderBy("time_start")  # collection.py:639
 
 
+MAX_EXPORT_IMAGES = 5000  # hard cap per export (collection.py:102)
+EXPORT_SIZE_WARNING = 10e9  # soft cap per image, bytes (tile.py:201-208)
+
+
+def check_export_guards(images: DataFrame, bands: int = 2, dtype_size: int = 2) -> int:
+    """Pre-export validation (collection.py:421-463 + tile.py:193-208):
+    enforce the 5000-image cap, warn past 10 GB raw size, and require a
+    consistent pixel grid (single (w, h)) across the collection.
+    Returns the image count (one metadata aggregate, no pixel IO)."""
+    import warnings
+
+    agg = images.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("w", "h").alias("n_grids"),
+        F.sum(F.col("w").cast("long") * F.col("h")).alias("px"),
+    ).first()
+    if agg["n"] > MAX_EXPORT_IMAGES:
+        raise ValueError(
+            f"Export exceeds the {MAX_EXPORT_IMAGES}-image cap: {agg['n']} images."
+        )
+    if agg["n_grids"] > 1:
+        raise ValueError(
+            "Inconsistent pixel grids across the collection "
+            f"({agg['n_grids']} distinct (w, h) shapes) — split the export."
+        )
+    raw = (agg["px"] or 0) * bands * dtype_size
+    if raw > EXPORT_SIZE_WARNING:
+        warnings.warn(
+            f"Export raw size ~{raw / 1e9:.1f} GB exceeds 10 GB; consider "
+            "reducing bounds/resolution/dtype.", RuntimeWarning, stacklevel=2,
+        )
+    return int(agg["n"])
+
+
 def check_compatible_collections(images: DataFrame) -> list[str]:
     """fromImages compatibility check (collection.py:124-160): all rows must
     share a collection, or be Landsat variants of the same spacecraft."""

@@ -60,6 +60,32 @@ def test_portion_threshold_filtering(spark):
         assert r[0] >= 70 and r[1] >= 80
 
 
+def test_export_guards(spark):
+    """5000-image cap, grid consistency, size warning (collection.py:102,
+    421-463; tile.py:193-208 ports)."""
+    ok = synth.images_meta_df(spark, 30)
+    assert co.check_export_guards(ok) == 30
+    mixed = synth.images_meta_df(spark, 10).unionByName(
+        synth.images_meta_df(spark, 10, w=64, h=64)
+    )
+    with pytest.raises(ValueError, match="Inconsistent pixel grids"):
+        co.check_export_guards(mixed)
+    big = synth.images_meta_df(spark, 5, w=40000, h=40000)
+    with pytest.warns(RuntimeWarning, match="10 GB"):
+        co.check_export_guards(big)
+    too_many = synth.images_meta_df(spark, 5001)
+    with pytest.raises(ValueError, match="5000-image cap"):
+        co.check_export_guards(too_many)
+
+
+def test_enums_vocabulary():
+    from geedim_spark import enums
+    assert enums.CompositeMethod("q-mosaic").value == "q-mosaic"
+    assert {m.value for m in enums.CloudMaskMethod} == {
+        "cloud-score", "cloud-prob", "qa"}
+    assert enums.ResamplingMethod.bilinear.value == "bilinear"
+
+
 def test_compatible_collections(spark):
     ok = synth.images_meta_df(spark, 9).filter("collection = 'MOCK/CONST'")
     assert co.check_compatible_collections(ok) == ["MOCK/CONST"]
