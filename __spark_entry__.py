@@ -49,9 +49,9 @@ def _t(sf_dir: str, name: str) -> str:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: collection search (date + bounds + portions + custom filter)
     over the synthetic table at sf0.001 — the geedim `search` lifecycle."""
-    n, m = _sizes("/root/testdata/sf0.001")
+    n, _ = _sizes("/root/testdata/sf0.001")
     images = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
-    rois = synth.rois_df(spark, m)
+    rois = synth.rois_df(spark, 20)  # denser ROI set for a richer flagship
     return collection_ops.search(
         images,
         start="2024-01-01",
@@ -668,7 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_counts": q_doc_dup_counts,
         "doc_token_stats": q_doc_token_stats,
         "minhash_sig": q_minhash_sig,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,  # rows-only (banded LSH)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,  # rows-only (approximate by construction)
         "ann_ivf": q_ann_ivf,  # rows-only (approximate by construction)
@@ -1083,6 +1083,23 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "minhash_sig": f"""
             SELECT doc_id, {', '.join(sig_col(i) for i in range(4))}
             FROM (SELECT doc_id, {minhash_shingle} AS sh FROM documents)
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH sh AS (SELECT doc_id, {minhash_shingle} AS sh FROM documents),
+            sigs AS (
+              SELECT doc_id, [{', '.join(
+                  f'list_min(list_transform(sh, h -> ({dedup._A[i]} * h '
+                  f'+ {dedup._B[i]}) % 2147483647))' for i in range(16))}] AS sig
+              FROM sh),
+            banded AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(sig[b*4 + 1 : b*4 + 4], ',')) AS bhash
+              FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+            FROM banded a JOIN banded b USING (b, bhash)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
         """,
         "embed_near_dup": """
             SELECT vec_id AS id_a, vec_id + 100000 AS id_b
