@@ -321,6 +321,32 @@ def q_composite_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_p.join(med_p, "x").join(mos_p, "x")
 
 
+def q_composite_tiled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-keyed mean composite (the 10^12-scale grouping) — per-column
+    values checked against the same closed form as the whole-image path."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(
+        spark, min(n, 900), scalar_filter="i % 3 = 0 AND fmt = 'raw'"
+    )
+    tiles = composite.composite_tiled(imgs, "mean", tile_h=20, tile_w=20)
+
+    def _profile(it):
+        for pdf in it:
+            rows = []
+            for tr, tc, buf in zip(pdf["tr"], pdf["tc"], pdf["bytes"]):
+                px = codecs.decode(bytes(buf))
+                for xl in range(px.shape[2]):
+                    rows.append({
+                        "tr": int(tr), "tc": int(tc), "x_local": xl,
+                        "mean_v": float(px[0, 0, xl]),
+                    })
+            yield pd.DataFrame(rows, columns=["tr", "tc", "x_local", "mean_v"])
+
+    return tiles.mapInPandas(
+        _profile, schema="tr int, tc int, x_local int, mean_v double"
+    )
+
+
 def q_medoid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Medoid composite over cloud-free MOCK images (QA all zero -> pure-B1
     integer distances, exactly reproducible in SQL)."""
@@ -648,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_filter_1ms": q_date_filter_1ms,
         "composite_profile": q_composite_profile,
         "medoid_profile": q_medoid_profile,
+        "composite_tiled_profile": q_composite_tiled_profile,
         "image_features": q_image_features,
         "sort_date_dist": q_sort_date_dist,
         "collection_minmax": q_collection_minmax,
@@ -884,6 +911,18 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(MEDIAN(v) AS DOUBLE) AS median_v,
                    CAST(max_by(v, i) AS DOUBLE) AS mosaic_v
             FROM vals GROUP BY x
+        """,
+        "composite_tiled_profile": f"""
+            WITH images AS ({synth.sql_images(min(n, 900))}),
+            mock AS (SELECT * FROM images
+                     WHERE collection = 'MOCK/CONST' AND fmt = 'raw'),
+            vals AS (SELECT x, v FROM mock, range(40) t(x) WHERE x >= f_px),
+            cols AS (SELECT x, AVG(v) AS mean_v FROM vals GROUP BY x)
+            SELECT CAST(tr AS INT) AS tr,
+                   CAST(x // 20 AS INT) AS tc,
+                   CAST(x % 20 AS INT) AS x_local,
+                   CAST(mean_v AS DOUBLE) AS mean_v
+            FROM cols, (SELECT unnest([0, 1]) AS tr)
         """,
         "medoid_profile": f"""
             WITH images AS ({synth.sql_images(min(n, 210))}),

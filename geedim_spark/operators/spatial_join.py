@@ -105,15 +105,23 @@ def salted_join(
     key: str,
     salt: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side.
 
-    ``big`` gets ``pmod(hash(all columns), salt)``; ``small`` is exploded
-    ``salt`` times so every salted key still matches.  Use for big-big joins
-    where one key (hot H3 cell) dominates; AQE skew-join handles moderate
-    skew, this handles the pathological tail the north rule calls out.
+    ``big`` gets ``pmod(hash(salt_cols), salt)`` (default: every hashable
+    column — map types are excluded, Spark can't hash them); ``small`` is
+    exploded ``salt`` times so every salted key still matches.  Use for
+    big-big joins where one key (hot H3 cell) dominates; AQE skew-join
+    handles moderate skew, this handles the pathological tail the north
+    rule calls out.  Deterministic: the salt is a pure row-content hash, so
+    results are identical across parallelism (rows identical in every salt
+    column share a bucket — harmless for correctness, and real tables carry
+    a distinct id).
     """
-    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)))
+    if salt_cols is None:
+        salt_cols = [c for c, t in big.dtypes if not t.startswith("map")]
+    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt)))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

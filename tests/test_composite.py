@@ -139,6 +139,29 @@ def test_composite_tiled_equals_whole_image(spark):
         ), method
 
 
+def test_sort_for_composite_orderings(spark):
+    """O2/O3 orderings: closest-to-date wins; highest portion wins."""
+    import pandas as pd
+    rows = [
+        {"image_id": "A", "time_start": pd.Timestamp("2024-01-01"),
+         "CLOUDLESS_PORTION": 40.0},
+        {"image_id": "B", "time_start": pd.Timestamp("2024-02-01"),
+         "CLOUDLESS_PORTION": 90.0},
+        {"image_id": "C", "time_start": pd.Timestamp("2024-03-01"),
+         "CLOUDLESS_PORTION": 70.0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    by_date = comp.sort_for_composite(df, "mosaic", date="2024-02-05")
+    best = by_date.orderBy("sort_key", ascending=False).first()
+    assert best["image_id"] == "B"  # closest to the target date
+    by_portion = comp.sort_for_composite(df, "mosaic", by_portion=True)
+    best = by_portion.orderBy("sort_key", ascending=False).first()
+    assert best["image_id"] == "B"  # highest cloudless portion
+    default = comp.sort_for_composite(df, "mosaic")
+    best = default.orderBy("sort_key", ascending=False).first()
+    assert best["image_id"] == "C"  # latest capture
+
+
 def test_composite_deterministic_across_parallelism(spark):
     rows = []
     rng = np.random.default_rng(11)
