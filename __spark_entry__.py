@@ -609,7 +609,7 @@ def q_doc_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text.token_stats(docs).select(
-        "doc_id", "n_ws_tokens", "n_alpha", "n_digit", "n_punct"
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_alpha", "n_digit", "n_punct"
     )
 
 
@@ -1114,6 +1114,9 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
                                         x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])', 1)) AS BIGINT)
+                     AS n_bpe_tokens,
                    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
                    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
                    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct

@@ -27,12 +27,11 @@ def whitespace_tokens(text: Column) -> Column:
 
 
 def bpe_ish_tokens(text: Column) -> Column:
-    """Word / number / punctuation split (BPE-style pre-tokenisation)."""
-    toks = F.split(
-        F.regexp_replace(text, r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1"),
-        "",
+    """Word / number / single-punct tokens (BPE-style pre-tokenisation):
+    maximal alpha runs, digit runs, individual punctuation marks."""
+    return F.regexp_extract_all(
+        text, F.lit("([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9" + r"\s" + "])"), 1
     )
-    return F.filter(toks, lambda x: F.trim(x) != "")
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
