@@ -175,6 +175,35 @@ def q_s2_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.s2_score_mask_stats(imgs, scores, score_thresh=0.6)
 
 
+def q_band_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 regex band select: keep 'B.*' bands, verify via decoded pixel sum
+    (the QA band's bits must vanish from the payload)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    sel = export_ops.select_bands(imgs, "B.*")
+
+    def _sums(it):
+        for pdf in it:
+            out = pdf[["image_id", "n_bands"]].copy()
+            out["pxsum"] = [
+                int(codecs.decode(bytes(b)).sum(dtype="int64")) for b in pdf["bytes"]
+            ]
+            yield out
+
+    return sel.mapInPandas(
+        _sums, schema="image_id string, n_bands int, pxsum long"
+    )
+
+
+def q_cdi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: CDI refinement via the TOA-twin broadcast join — effective cloud
+    = QA strip ∩ CDI strip (closed form: min(c_px, d_px) columns)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    cdi = synth.cdi_df(spark, n)
+    return masks.cdi_mask_stats(imgs, cdi, cdi_thresh=-0.5)
+
+
 def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W3: disk dilation/erosion + directional shadow projection on the
     cloud strip — full-height strips give closed-form pixel counts.
@@ -670,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_polygons": q_mask_polygons,
         "s2_score_join": q_s2_score_join,
         "morphology": q_morphology,
+        "cdi_join": q_cdi_join,
+        "band_select": q_band_select,
         "search": q_search,
         "date_filter_1ms": q_date_filter_1ms,
         "composite_profile": q_composite_profile,
@@ -811,6 +842,21 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                                * CASE WHEN c_px > 0 THEN 1 ELSE 0 END
                      END AS BIGINT) AS pxsum
             FROM grid
+        """,
+        "band_select": f"""
+            WITH images AS ({images})
+            SELECT image_id, CAST(1 AS INT) AS n_bands,
+                   CAST(v * (w - f_px) * h AS BIGINT) AS pxsum
+            FROM images WHERE fmt = 'raw'
+        """,
+        "cdi_join": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(h * LEAST(c_px, (i % 4) * 10) AS BIGINT) AS cloud_px,
+                   CAST((w - f_px) * h - h * LEAST(c_px, (i % 4) * 10) AS BIGINT)
+                     AS cloudless_px,
+                   TRUE AS cdi_matched
+            FROM images WHERE fmt = 'raw'
         """,
         "morphology": f"""
             WITH images AS ({images})

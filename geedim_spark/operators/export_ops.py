@@ -86,6 +86,38 @@ def assemble_image(tile_rows, bands: int, h: int, w: int, dtype: str) -> np.ndar
     return out
 
 
+def select_bands(
+    images: DataFrame,
+    band_regex: str,
+    band_names=("B1", "QA_PIXEL"),
+) -> DataFrame:
+    """P1 band select by name regex (the reference's
+    ``select('B.*|SR_B.*')`` pattern, image.py:796-798; mask.py:176):
+    decode, keep matching bands in order, re-encode."""
+    import re
+
+    keep_idx = [i for i, n in enumerate(band_names) if re.fullmatch(band_regex, n)]
+    if not keep_idx:
+        raise ValueError(f"no bands match {band_regex!r} in {band_names}")
+
+    def _batch(pdf: pd.DataFrame):
+        out = []
+        for image_id, caption, buf in zip(pdf["image_id"], pdf["caption"], pdf["bytes"]):
+            px = codecs.decode(bytes(buf))
+            sel = np.ascontiguousarray(px[keep_idx])
+            out.append({
+                "image_id": image_id, "caption": caption,
+                "bytes": codecs.encode_raw(sel),
+                "n_bands": len(keep_idx),
+            })
+        return pd.DataFrame(out, columns=["image_id", "caption", "bytes", "n_bands"])
+
+    return images.select("image_id", "caption", "bytes").mapInPandas(
+        lambda it: (_batch(p) for p in it),
+        schema="image_id string, caption string, bytes binary, n_bands int",
+    )
+
+
 def prepare_for_export(
     images: DataFrame,
     scale_offset: dict[int, tuple[float, float]] | None = None,

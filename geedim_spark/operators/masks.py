@@ -443,6 +443,55 @@ def s2_score_mask_stats(
     )
 
 
+def cdi_mask_stats(
+    images: DataFrame,
+    cdi: DataFrame,
+    cdi_thresh: float = -0.5,
+) -> DataFrame:
+    """CDI-refined cloud mask via the TOA-twin join (J3, mask.py:418-434):
+    the Cloud Displacement Index raster comes from a *second* image table
+    matched on id — same broadcast left-outer shape as the score join —
+    and the cloud mask keeps only pixels where ``CDI < cdi_thresh``
+    (mask.py:434: ``cdi_image.lt(cdi_thresh)``).
+
+    Unmatched rows keep the unrefined cloud mask (conservative: no CDI
+    evidence to remove cloud pixels).  ``cdi`` needs (image_id, cdi_bytes)
+    decoding to a 1-band float raster.  Output: exact pixel counts.
+    """
+    joined = images.select("image_id", "bytes").join(
+        F.broadcast(cdi.select("image_id", "cdi_bytes")), "image_id", "left_outer"
+    )
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for image_id, buf, cbuf in zip(pdf["image_id"], pdf["bytes"], pdf["cdi_bytes"]):
+            px = codecs.decode(bytes(buf))
+            bands = {n: px[i] for i, n in enumerate(BAND_NAMES[: px.shape[0]])}
+            fill = fill_mask(px[:1])
+            qa = bands["QA_PIXEL"].astype(np.int64)
+            cloud = (qa & _QA_CLOUD_MID) == _QA_CLOUD_MID
+            matched = cbuf is not None
+            if matched:
+                cdi_arr = codecs.decode(bytes(cbuf))[0]
+                cloud = cloud & (cdi_arr < cdi_thresh)
+            cloudless = ~cloud & fill
+            rows.append({
+                "image_id": image_id,
+                "cloud_px": int(cloud.sum()),
+                "cloudless_px": int(cloudless.sum()),
+                "cdi_matched": matched,
+            })
+        return pd.DataFrame(rows, columns=[
+            "image_id", "cloud_px", "cloudless_px", "cdi_matched",
+        ])
+
+    return joined.mapInPandas(
+        lambda it: (_batch(p) for p in it),
+        schema="image_id string, cloud_px long, cloudless_px long, "
+               "cdi_matched boolean",
+    )
+
+
 def cloud_dist_stats(
     images: DataFrame,
     scale: float = 10.0,

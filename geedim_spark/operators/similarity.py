@@ -158,8 +158,12 @@ def ivf_topk(
     """
     import pandas as pd
 
+    # centroid training set: a bounded deterministic sample (full collect
+    # would melt the driver at 10^12 rows; nlist*2000 vectors suffice for
+    # Lloyd and the take() keeps it one narrow job)
+    cap = max(nlist * 2000, 4000)
     sample = np.array(
-        [r["embedding"] for r in embeddings.select("embedding").collect()],
+        [r["embedding"] for r in embeddings.select("embedding").take(cap)],
         dtype=np.float64,
     )
     cent = ivf_centroids(sample, nlist)

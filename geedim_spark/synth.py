@@ -214,6 +214,37 @@ def scores_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFram
     )
 
 
+def cdi_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFrame:
+    """Cloud Displacement Index twin table (the COPERNICUS/S2 TOA analog,
+    mask.py:418-434): CDI = -0.8 (convective cloud signature) in the RIGHT
+    d_px = (i%4)*10 columns, +0.2 elsewhere — overlaps the QA cloud strip by
+    exactly min(c_px, d_px) columns."""
+    i = F.col("i")
+    base = spark.range(n).withColumnRenamed("id", "i").select(
+        "i",
+        F.format_string("IMG/%08d", i).alias("image_id"),
+        ((i % 4) * 10).cast("int").alias("d_px"),
+        F.lit(w).cast("int").alias("w"),
+        F.lit(h).cast("int").alias("h"),
+    )
+
+    def _gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = []
+        for d_px, w_, h_ in zip(pdf["d_px"], pdf["w"], pdf["h"]):
+            arr = np.full((1, h_, w_), 0.2, dtype=np.float32)
+            if d_px:
+                arr[0, :, w_ - d_px:] = -0.8
+            blobs.append(codecs.encode_raw(arr))
+        out = pdf.copy()
+        out["cdi_bytes"] = blobs
+        return out
+
+    return base.mapInPandas(
+        lambda it: (_gen(p) for p in it),
+        schema="i long, image_id string, d_px int, w int, h int, cdi_bytes binary",
+    )
+
+
 def rois_df(spark: SparkSession, m: int) -> DataFrame:
     """ROI table: deterministic rectangles 4-13.6 km across the test world."""
     j = F.col("j")

@@ -226,6 +226,37 @@ def test_mask_clouds_applies_nodata(spark):
     assert (px[0, :, w - c_px - 1] != 0).all()    # adjacent column untouched
 
 
+def test_cdi_unmatched_keeps_unrefined_cloud(spark):
+    """CDI twin missing -> cloud mask unrefined (conservative branch)."""
+    from pyspark.sql import functions as F
+    imgs = synth.images_df(spark, 14, scalar_filter="fmt = 'raw' AND c_px > 0")
+    cdi = synth.cdi_df(spark, 14).filter("i % 2 = 0")
+    got = {r["image_id"]: r for r in
+           masks.cdi_mask_stats(imgs, cdi, cdi_thresh=-0.5).collect()}
+    src = {r["image_id"]: r for r in
+           imgs.select("image_id", "i", "c_px", "h").collect()}
+    for image_id, g in got.items():
+        s = src[image_id]
+        if s["i"] % 2 == 0:  # matched: refined by the CDI strip
+            assert g["cdi_matched"]
+            assert g["cloud_px"] == s["h"] * min(s["c_px"], (s["i"] % 4) * 10)
+        else:  # unmatched: raw QA cloud strip
+            assert not g["cdi_matched"]
+            assert g["cloud_px"] == s["h"] * s["c_px"]
+
+
+def test_band_select_regex(spark):
+    from geedim_spark.operators import export_ops
+    imgs = synth.images_df(spark, 6, scalar_filter="fmt = 'raw'")
+    from geedim_spark import codecs as cd
+    qa = export_ops.select_bands(imgs, "QA.*").first()
+    px = cd.decode(bytes(qa["bytes"]))
+    assert px.shape[0] == 1 and qa["n_bands"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no bands match"):
+        export_ops.select_bands(imgs, "SR_B.*")
+
+
 def test_stats_stride_decimation():
     assert masks.stats_stride(100) == 1
     assert masks.stats_stride(1_000_000) == 1
