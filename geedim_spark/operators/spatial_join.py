@@ -127,3 +127,44 @@ def salted_join(
     )
     out = big_s.join(small_s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def adaptive_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    rows_per_task: int = 100_000,
+    max_salt: int = 256,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-adaptive equi-join (SURVEY §7.3 hard-part 3): the salt factor
+    per key is sized from the key's actual row count, so hot keys pre-split
+    into ceil(count / rows_per_task) buckets while the long tail pays ZERO
+    replication (plain salt=1).
+
+    One cheap count agg over the big side's key column (broadcast back as a
+    (key, n_salt) dim) replaces the fixed global factor — at 10^12 rows a
+    fixed salt either under-splits the Zipfian head or multiplies the tail
+    by the factor for nothing.
+    """
+    counts = big.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
+    factors = counts.select(
+        key,
+        F.least(
+            F.lit(max_salt),
+            F.greatest(F.lit(1), F.ceil(F.col("_cnt") / F.lit(rows_per_task))),
+        ).cast("int").alias("_n_salt"),
+    )
+    salt_cols = [c for c, t in big.dtypes if not t.startswith("map")]
+    big_s = (
+        big.join(F.broadcast(factors), key)
+        .withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.col("_n_salt")))
+    )
+    small_s = (
+        small.join(F.broadcast(factors), key)
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_n_salt") - 1)))
+    )
+    return (
+        big_s.join(small_s.drop("_n_salt"), [key, "_salt"], how)
+        .drop("_salt", "_n_salt")
+    )

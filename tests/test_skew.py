@@ -39,6 +39,30 @@ def test_salted_join_correct_under_hot_key(spark, skewed):
     assert len(plain) == 5000  # every big row matches exactly one small row
 
 
+def test_adaptive_salted_join_correct_and_differentiated(spark, skewed):
+    big, small = skewed
+    plain = sorted(
+        map(tuple, big.join(small, "cell").select("row_id", "roi_id").collect())
+    )
+    adaptive = sorted(
+        map(tuple,
+            sj.adaptive_salted_join(big, small, "cell", rows_per_task=500)
+            .select("row_id", "roi_id").collect())
+    )
+    assert adaptive == plain
+    # the hot key (4500 rows) gets ceil(4500/500)=9 salt buckets; a tail key
+    # (~56 rows) gets exactly 1 (zero replication)
+    from pyspark.sql import functions as F
+    factors = (
+        big.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+        .select("cell", F.least(F.lit(256), F.greatest(
+            F.lit(1), F.ceil(F.col("c") / F.lit(500)))).alias("n"))
+    )
+    fmap = {r["cell"]: r["n"] for r in factors.collect()}
+    assert fmap[42] == 9
+    assert all(v == 1 for k, v in fmap.items() if k != 42)
+
+
 def test_salting_splits_hot_key_across_partitions(spark, skewed):
     """The hot key's rows spread over ~salt distinct shuffle keys."""
     big, _ = skewed

@@ -62,6 +62,31 @@ def test_prune_partitions(spark, table_dir):
     assert none == []
 
 
+def test_cell_prefix_partitioning_prunes_scan(spark, table_dir):
+    """§4 partition-pruning claim end-to-end: tiles partitioned by a coarse
+    parent cell; a cell-prefix predicate reaches the scan as a
+    PartitionFilter (no data read outside the pruned dirs)."""
+    from pyspark.sql import functions as F
+    from geedim_spark import cells
+
+    imgs = synth.images_meta_df(spark, 200).withColumn(
+        "cell_prefix",
+        cells.col_cell((F.col("x0") + F.col("x1")) / 2,
+                       (F.col("y0") + F.col("y1")) / 2, 2),
+    )
+    snap.write_snapshot(
+        imgs.select("image_id", "x0", "y0", "cell_prefix"),
+        table_dir, "cell_prefix",
+    )
+    back = snap.read_snapshot(spark, table_dir)
+    one = back.filter(F.col("cell_prefix") == 5)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_prefix" in plan
+    # pruned read returns exactly that partition's rows
+    want = imgs.filter(F.col("cell_prefix") == 5).count()
+    assert one.count() == want > 0
+
+
 def test_metrics_accumulators(spark):
     imgs = synth.images_df(spark, 24).filter("fmt = 'raw'")
     metrics = PipelineMetrics(spark)
