@@ -72,6 +72,31 @@ def test_qmosaic_argmax_clouddist():
     assert (out[0, :, 10:] == 20).all()
 
 
+def test_medoid_multiband_vs_bruteforce():
+    """Hard-part 4: vectorised O(N^2) medoid == per-pixel brute force over
+    2-band random stacks with masking."""
+    rng = np.random.default_rng(31)
+    n, bands, h, w = 6, 2, 5, 7
+    stack = rng.integers(1, 100, size=(n, bands, h, w)).astype(np.uint16)
+    valid = rng.random((n, h, w)) > 0.25
+    valid[0] = True  # at least one valid everywhere
+    got, _ = comp.composite_stack(stack, valid, "medoid")
+    for y in range(h):
+        for x in range(w):
+            best, best_d = None, None
+            for i in range(n):
+                if not valid[i, y, x]:
+                    continue
+                d = 0.0
+                for j in range(n):
+                    if valid[j, y, x]:
+                        diff = stack[i, :, y, x].astype(float) - stack[j, :, y, x]
+                        d += float(np.sqrt((diff ** 2).sum()))
+                if best_d is None or d < best_d:
+                    best, best_d = i, d
+            assert got[:, y, x].tolist() == stack[best, :, y, x].tolist(), (y, x)
+
+
 def test_medoid_is_median_value_single_band():
     """With one effective band, the medoid minimises sum |v_i - v_j| —
     i.e. it picks the median value (medoid.py:25-95 semantics)."""
