@@ -664,13 +664,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k with integer-quantised hyperplanes: the bucket key
+    is exact int64 arithmetic (floor(x*4096) x small-int planes), so the
+    whole approximate query is reproducible bit-for-bit in the SQL oracle."""
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    return similarity.lsh_bucket_topk(emb, n_queries=5, k=10, n_planes=4)
+    return similarity.lsh_bucket_topk_quantised(emb, n_queries=5, k=10, n_planes=4)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     return similarity.ivf_topk(emb, n_queries=5, k=10, nlist=8, nprobe=2)
+
+
+def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe/equi-join plan with closed-form centroids (first nlist
+    vectors, round-6 cosine argmax assignment) — value-checkable twin of
+    the Lloyd-trained ann_ivf."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return similarity.ivf_flat_topk(emb, n_queries=5, k=10, nlist=8, nprobe=2)
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,8 +739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,  # rows-only (approximate by construction)
-        "ann_ivf": q_ann_ivf,  # rows-only (approximate by construction)
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,  # rows-only (Lloyd centroids, approximate by construction)
+        "ann_ivf_flat": q_ann_ivf_flat,
         "embed_near_dup": q_embed_near_dup,
     }
 
@@ -740,6 +752,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _ducksizes(sf: float) -> tuple[int, int]:
     return synth.n_images_for_sf(sf), synth.n_rois_for_sf(sf)
+
+
+def _lsh_bucket_sql(dim: int = 64, n_planes: int = 4) -> str:
+    """SQL twin of similarity.lsh_bucket_quantised: same seeded integer
+    planes, exact int64 dot products, same sign->bit packing."""
+    planes = similarity.lsh_int_planes(dim, n_planes)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(str(int(v)) for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(qv, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 def oracle_sql(sf: float = 0.01) -> dict[str, str]:
@@ -1192,6 +1217,58 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "embed_near_dup": """
             SELECT vec_id AS id_a, vec_id + 100000 AS id_b
             FROM embeddings WHERE vec_id < 50
+        """,
+        "ann_lsh": f"""
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            qemb AS (
+              SELECT vec_id, e,
+                     list_transform(e, x -> CAST(FLOOR(x * 4096.0) AS BIGINT)) AS qv
+              FROM emb),
+            bkt AS (SELECT vec_id, e, {_lsh_bucket_sql()} AS bucket FROM qemb),
+            q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb
+                  FROM bkt WHERE vec_id < 5),
+            sims AS (
+              SELECT query_id, vec_id AS neighbor_id,
+                     list_dot_product(qe, e) /
+                       (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS sim
+              FROM bkt JOIN q ON bucket = qb AND vec_id <> query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+              FROM sims) WHERE rank <= 10
+        """,
+        "ann_ivf_flat": """
+            WITH emb AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < 8),
+            scored AS (
+              SELECT vec_id, e, cid,
+                     round(list_dot_product(e, ce) /
+                           (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+              FROM emb, cent),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY csim DESC, cid) AS crank
+              FROM scored),
+            assigned AS (SELECT vec_id, e, cid AS cluster FROM ranked WHERE crank = 1),
+            probes AS (
+              SELECT vec_id AS query_id, e AS qe, cid AS cluster
+              FROM ranked WHERE vec_id < 5 AND crank <= 2),
+            sims AS (
+              SELECT query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(qe, a.e) /
+                       (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(a.e, a.e))) AS sim
+              FROM assigned a JOIN probes p USING (cluster)
+              WHERE a.vec_id <> p.query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
+              FROM sims) WHERE rank <= 10
         """,
         "ann_topk": """
             WITH emb AS (

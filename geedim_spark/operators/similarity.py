@@ -95,6 +95,112 @@ def lsh_bucket(emb_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_int_planes(dim: int, n_planes: int = 4, seed: int = 42) -> np.ndarray:
+    """Small-integer hyperplanes for the oracle-exact quantised LSH path."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-5, 6, size=(n_planes, dim))
+
+
+QUANT_SCALE = 4096.0  # power of two: x*4096 is an exact double scaling
+
+
+def quantise(emb_col: Column) -> Column:
+    """floor(x * 4096) as long — bit-exact in any IEEE engine (the scale is
+    a power of two, so the multiply is exact and floor is unambiguous)."""
+    return F.transform(
+        emb_col, lambda x: F.floor(x.cast("double") * F.lit(QUANT_SCALE)).cast("long")
+    )
+
+
+def lsh_bucket_quantised(emb_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket over integer-quantised embeddings x integer planes.
+
+    Every term is exact int64 arithmetic (|q| <= 4096*|x|, dims ~64, plane
+    values in [-5,5] -> |proj| << 2^53), so the sign — hence the bucket —
+    is identical across Spark / DuckDB / numpy, unlike float hyperplanes
+    whose near-zero projections can flip on summation-order differences."""
+    q = quantise(emb_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(int(v)).cast("long") for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_topk_quantised(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 4
+) -> DataFrame:
+    """:func:`lsh_bucket_topk` with exact integer bucketing — same plan shape
+    (bucket equi-join prunes candidates), but the bucket key is reproducible
+    bit-for-bit in ANSI SQL, so the whole query is value-checkable."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = lsh_int_planes(dim, n_planes)
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes))
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    return _rank_topk(sims_with(pairs), k)
+
+
+def ivf_flat_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF with *flat* centroids (the first ``nlist`` vectors, no Lloyd
+    refinement) — the same probe/equi-join plan as :func:`ivf_topk` but with
+    a closed-form, SQL-expressible cluster assignment: every vector joins
+    the centroid maximising round(cosine, 6) (ties by centroid id), queries
+    probe their ``nprobe`` best lists.  Assignment, probing and the final
+    rank all reuse the round-6 ordering already proven engine-stable by the
+    exact top-k oracle."""
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "e", "cid",
+        F.round(cosine(F.col("e"), F.col("ce")), 6).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assigned = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "e", F.col("cid").alias("cluster")
+    )
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < n_queries) & (F.col("crank") <= nprobe)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+            F.col("cid").alias("cluster"),
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "cluster").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return _rank_topk(sims_with(cand), k)
+
+
 def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,

@@ -54,6 +54,46 @@ def test_near_dup_recovers_planted(spark, emb):
     assert got == {(i, i + 100000) for i in range(10)}
 
 
+def test_ivf_flat_full_probe_equals_exact(spark, emb):
+    """Flat-centroid IVF at nprobe == nlist also reduces to brute force."""
+    exact = _pairs(sim.cosine_topk(emb, n_queries=3, k=5))
+    full = _pairs(sim.ivf_flat_topk(emb, n_queries=3, k=5, nlist=4, nprobe=4))
+    assert full == exact
+
+
+def test_lsh_quantised_matches_numpy_buckets(spark, emb):
+    """The int64 bucket key must equal an independent numpy recomputation —
+    this is the bit-exactness the SQL oracle relies on."""
+    from pyspark.sql import functions as F
+
+    planes = sim.lsh_int_planes(64, 4)
+    got = (
+        emb.select(
+            "vec_id",
+            sim.lsh_bucket_quantised(
+                sim._as_double(F.col("embedding")), planes
+            ).alias("bucket"),
+        )
+        .toPandas()
+        .set_index("vec_id")["bucket"]
+    )
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    V = np.stack(pdf["embedding"].values).astype(np.float64)
+    Q = np.floor(V * 4096.0).astype(np.int64)
+    proj = Q @ planes.T.astype(np.int64)
+    want = ((proj > 0) * (1 << np.arange(4))).sum(axis=1)
+    assert (got.loc[pdf["vec_id"]].values == want).all()
+
+
+def test_lsh_quantised_self_in_own_bucket(spark, emb):
+    """Each query's bucket contains itself (excluded) and its ranked
+    neighbours all share the bucket."""
+    out = sim.lsh_bucket_topk_quantised(emb, n_queries=3, k=5, n_planes=2)
+    assert out.count() > 0
+    assert out.filter("rank > 5").count() == 0
+    assert out.filter("query_id = neighbor_id").count() == 0
+
+
 def test_centroids_deterministic():
     rng = np.random.default_rng(0)
     v = rng.standard_normal((100, 16))
