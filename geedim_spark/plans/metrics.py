@@ -1,16 +1,20 @@
 """Pipeline metrics via Spark accumulators + per-partition lineage.
 
 North-rule requirement: "per-partition lineage + row-count/mask-coverage
-metrics emitted via Spark accumulators and a custom listener".  In this
-environment a JVM SparkListener can't be registered from Python without the
-py4j callback server (fragile under local-mode tests), so the listener role
-is filled by:
+metrics emitted via Spark accumulators and a custom listener".  Three
+cooperating pieces:
 
-- **accumulators** incremented inside the Arrow mask kernels (rows decoded,
-  pixels, fill/cloudless pixel totals) — live, visible mid-job;
+- **accumulators** (this module) incremented inside the Arrow mask kernels
+  (rows decoded, pixels, fill/cloudless pixel totals) — live, visible
+  mid-job;
+- **custom listener** (streaming/listener.py): a pure-Python
+  ``StreamingQueryListener`` appending per-batch row counts, durations and
+  source offsets to a JSONL lineage log for the ingest path.  (A JVM-side
+  ``SparkListener`` for batch jobs would need the py4j callback server —
+  fragile under local-mode tests — so batch lineage uses the pieces below.)
 - **lineage records** written per partition at snapshot-commit time
   (sources/snapshots.py stats) plus stage wall-times from the driver-side
-  status tracker after each action.
+  status tracker after each action (``emit_lineage``).
 
 The reference's analog is tqdm progress callbacks + the export task monitor
 poll loop (utils.py tqdm helpers; image.py:480-505).

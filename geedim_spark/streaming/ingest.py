@@ -33,12 +33,19 @@ def stream_mask_stats(
     table_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    lineage_log: str | None = None,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in ``source_dir`` and
     stops — the test/CI mode; pass False for a continuous ingest.
+    ``lineage_log`` attaches a :class:`streaming.listener.LineageListener`
+    appending per-batch row counts / offsets / durations to that JSONL path
+    (caller detaches via ``streaming.listener.lineage`` if scoping matters).
     """
+    if lineage_log is not None:
+        from geedim_spark.streaming.listener import LineageListener
+        spark.streams.addListener(LineageListener(lineage_log))
     src = (
         spark.readStream.schema(IMAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -46,14 +53,21 @@ def stream_mask_stats(
     )
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        stats = masks.mask_stats(batch_df.filter("fmt = 'raw'"))
-        enriched = stats.join(
-            batch_df.select("image_id", "collection"), "image_id"
-        )
-        snapshots.write_snapshot(enriched, table_dir, "collection",
-                                 stats_cols=("fill_px",))
+        # persist: foreachBatch re-runs the source scan for EVERY action on
+        # batch_df (count, the two reads in the join, the snapshot write) —
+        # cache once so each micro-batch reads its files exactly once.
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.count() == 0:
+                return
+            stats = masks.mask_stats(batch_df.filter("fmt = 'raw'"))
+            enriched = stats.join(
+                batch_df.select("image_id", "collection"), "image_id"
+            )
+            snapshots.write_snapshot(enriched, table_dir, "collection",
+                                     stats_cols=("fill_px",))
+        finally:
+            batch_df.unpersist()
 
     writer = (
         src.writeStream.foreachBatch(_commit)

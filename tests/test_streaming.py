@@ -78,3 +78,32 @@ def test_stream_ingest_commits_snapshots(spark, tmp_path):
     q2 = ingest.stream_mask_stats(spark, source, table, ckpt, available_now=True)
     q2.awaitTermination(120)
     assert snapshots.read_snapshot(spark, table).count() == n_raw
+
+
+def test_lineage_listener_records_batches(spark, tmp_path):
+    """Custom StreamingQueryListener: started + per-batch progress rows with
+    exact input row counts, terminated on drain."""
+    from geedim_spark.streaming import listener as lin
+
+    source = str(tmp_path / "incoming")
+    table = str(tmp_path / "stats_table")
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "lineage.jsonl")
+
+    synth.images_df(spark, 24).coalesce(4).write.parquet(source)
+
+    with lin.lineage(spark, log):
+        q = ingest.stream_mask_stats(spark, source, table, ckpt,
+                                     available_now=True)
+        q.awaitTermination(180)
+        assert lin.wait_for_event(log, "terminated", timeout=60) is not None
+
+    recs = lin.read_lineage(log)
+    events = [r["event"] for r in recs]
+    assert "started" in events and "terminated" in events
+    progress = [r for r in recs if r["event"] == "progress"]
+    assert progress, "no per-batch progress records"
+    # maxFilesPerTrigger=4 over 4 files -> all 24 rows accounted for
+    assert sum(p["num_input_rows"] for p in progress) == 24
+    # every progress record carries source offsets (per-batch lineage)
+    assert all(p["sources"] and p["sources"][0]["end_offset"] for p in progress)
