@@ -143,6 +143,121 @@ def col_kring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Geographic (lon/lat) grid: longitude WRAPS on the antimeridian, latitude
+# clamps at the poles.  The planar grid above keeps the synthetic test world;
+# these variants are the geographic-CRS story (reference CRSes are EPSG
+# lon/lat or UTM — geedim download.py reprojects per-tile; here the index
+# itself is CRS-aware so kRing/cover joins stay correct across ±180°).
+# ---------------------------------------------------------------------------
+
+GEO_LON0, GEO_LON_SPAN = -180.0, 360.0
+GEO_LAT0, GEO_LAT_SPAN = -90.0, 180.0
+
+
+def np_geo_ix(lon: np.ndarray, res: int) -> np.ndarray:
+    """Longitude cell index, wrapped: lon and lon+360 land in the same cell."""
+    n = 1 << res
+    raw = np.floor((np.asarray(lon, np.float64) - GEO_LON0) / GEO_LON_SPAN * n)
+    return np.mod(raw, n).astype(np.int64)
+
+
+def np_geo_iy(lat: np.ndarray, res: int) -> np.ndarray:
+    """Latitude cell index, clamped at the poles (no wrap across them)."""
+    n = 1 << res
+    raw = np.floor((np.asarray(lat, np.float64) - GEO_LAT0) / GEO_LAT_SPAN * n)
+    return np.clip(raw, 0, n - 1).astype(np.int64)
+
+
+def np_geo_cell(lon: np.ndarray, lat: np.ndarray, res: int = DEFAULT_RES) -> np.ndarray:
+    return np_geo_ix(lon, res) * (1 << res) + np_geo_iy(lat, res)
+
+
+def np_geo_kring(cell: int, k: int, res: int = DEFAULT_RES) -> np.ndarray:
+    """Chebyshev-k neighbourhood with lon wrap: the ring of a cell touching
+    the antimeridian reaches across it instead of clamping."""
+    n = 1 << res
+    ix, iy = divmod(int(cell), n)
+    xs = np.mod(np.arange(ix - k, ix + k + 1, dtype=np.int64), n)
+    ys = np.arange(max(0, iy - k), min(n - 1, iy + k) + 1, dtype=np.int64)
+    return np.unique((xs[:, None] * n + ys[None, :]).ravel())
+
+
+def np_geo_cover_bbox(lon0, lat0, lon1, lat1, res: int = DEFAULT_RES) -> np.ndarray:
+    """Cells covering a geographic bbox; lon0 > lon1 means the box crosses
+    the antimeridian and the lon range splits into [ix0, n-1] + [0, ix1]."""
+    n = 1 << res
+    ix0, ix1 = int(np_geo_ix(np.array([lon0]), res)[0]), int(np_geo_ix(np.array([lon1]), res)[0])
+    iy0, iy1 = int(np_geo_iy(np.array([lat0]), res)[0]), int(np_geo_iy(np.array([lat1]), res)[0])
+    if lon0 <= lon1:
+        xs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    else:
+        xs = np.concatenate([
+            np.arange(ix0, n, dtype=np.int64), np.arange(0, ix1 + 1, dtype=np.int64)
+        ])
+    ys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    return (xs[:, None] * n + ys[None, :]).ravel()
+
+
+def col_geo_ix(lon: Column, res: int) -> Column:
+    n = 1 << res
+    raw = F.floor((lon - F.lit(GEO_LON0)) / F.lit(GEO_LON_SPAN) * F.lit(n))
+    # pmod: Catalyst % keeps the dividend's sign; wrap needs non-negative
+    return ((raw % n + n) % n).cast("long")
+
+
+def col_geo_iy(lat: Column, res: int) -> Column:
+    n = 1 << res
+    raw = F.floor((lat - F.lit(GEO_LAT0)) / F.lit(GEO_LAT_SPAN) * F.lit(n))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("long")
+
+
+def col_geo_cell(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
+    return (col_geo_ix(lon, res) * F.lit(1 << res) + col_geo_iy(lat, res)).alias("cell")
+
+
+def col_geo_kring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
+    """array<long> Chebyshev-k ring with lon wrap, lat clamp — pure Catalyst."""
+    n = F.lit(1 << res)
+    nmax = F.lit((1 << res) - 1)
+    ix = (cell / n).cast("long")
+    iy = cell % n
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(-k), F.lit(k)),
+            lambda dx: F.filter(
+                F.transform(
+                    F.sequence(F.lit(-k), F.lit(k)),
+                    lambda dy: F.when(
+                        (iy + dy >= 0) & (iy + dy <= nmax),
+                        ((ix + dx) % n + n) % n * n + (iy + dy),
+                    ),
+                ),
+                lambda c: c.isNotNull(),
+            ),
+        )
+    )
+
+
+def col_geo_cover_bbox(lon0: Column, lat0: Column, lon1: Column, lat1: Column,
+                       res: int = DEFAULT_RES) -> Column:
+    """array<long> covering a geographic bbox; splits on antimeridian
+    crossings (lon0 > lon1) — pure sequence/concat, JVM-side."""
+    n = F.lit(1 << res)
+    nmax = F.lit((1 << res) - 1)
+    ix0, ix1 = col_geo_ix(lon0, res), col_geo_ix(lon1, res)
+    iy0, iy1 = col_geo_iy(lat0, res), col_geo_iy(lat1, res)
+    xs = F.when(lon0 <= lon1, F.sequence(ix0, ix1)).otherwise(
+        F.concat(F.sequence(ix0, nmax), F.sequence(F.lit(0).cast("long"), ix1))
+    )
+    return F.flatten(
+        F.transform(
+            xs,
+            lambda ix: F.transform(F.sequence(iy0, iy1), lambda iy: ix * n + iy),
+        )
+    )
+
+
 def sql_cell_index(coord_expr: str, origin: float, res: int) -> str:
     """DuckDB-compatible SQL producing the identical cell index (oracle)."""
     n = 1 << res

@@ -66,3 +66,64 @@ def test_spark_cover_and_kring_match_numpy(spark):
     got_ring = spark.createDataFrame([(c,)], "cell long").select(
         cells.col_kring(F.col("cell"), 1, 7).alias("r")).first()["r"]
     assert sorted(got_ring) == sorted(cells.np_kring(c, 1, 7).tolist())
+
+
+def test_geo_lon_wrap_identities():
+    """lon and lon+360 share a cell; ±180 coincide; lat clamps at poles."""
+    res = 7
+    lons = np.array([-180.0, -179.9, 0.0, 179.9, 180.0, 200.0, -160.0])
+    lats = np.zeros_like(lons)
+    c = cells.np_geo_cell(lons, lats, res)
+    assert c[0] == c[4]                      # -180 == +180
+    assert c[5] == c[6]                      # 200 == -160 (wrap)
+    assert (cells.np_geo_cell(lons + 360.0, lats, res) == c).all()
+    # poles clamp, don't wrap
+    assert cells.np_geo_iy(np.array([90.0]), res)[0] == (1 << res) - 1
+    assert cells.np_geo_iy(np.array([-90.0]), res)[0] == 0
+
+
+def test_geo_kring_crosses_antimeridian():
+    """A cell at ix=0 has ring neighbours at ix=n-1 (no clamping in lon)."""
+    res = 5
+    n = 1 << res
+    c = int(cells.np_geo_cell(np.array([-179.9]), np.array([0.0]), res)[0])
+    ix = c // n
+    assert ix == 0
+    ring = cells.np_geo_kring(c, 1, res)
+    assert any(r // n == n - 1 for r in ring)       # wrapped west neighbour
+    assert len(ring) == 9                            # full 3x3, nothing clipped
+
+
+def test_geo_cover_bbox_antimeridian_split():
+    res = 5
+    n = 1 << res
+    cover = cells.np_geo_cover_bbox(170.0, -5.0, -170.0, 5.0, res)
+    ixs = sorted(set(int(c) // n for c in cover))
+    assert 0 in ixs and n - 1 in ixs                 # both sides of the seam
+    assert not any(5 < ix < n - 5 for ix in ixs)     # nothing in the middle
+
+
+def test_geo_columns_match_numpy(spark):
+    """Catalyst geo cell / kring / cover == numpy on wrap-heavy inputs."""
+    res = 6
+    pts = [(-180.0, -90.0), (-179.99, 45.0), (179.99, 45.0), (180.0, 0.0),
+           (250.0, 89.9), (-300.0, -89.9), (0.0, 0.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = [r["cell"] for r in
+           df.select(cells.col_geo_cell(F.col("lon"), F.col("lat"), res)).collect()]
+    want = cells.np_geo_cell(np.array([p[0] for p in pts]),
+                             np.array([p[1] for p in pts]), res)
+    assert got == want.tolist()
+
+    c = int(cells.np_geo_cell(np.array([179.9]), np.array([60.0]), res)[0])
+    ring = spark.createDataFrame([(c,)], "cell long").select(
+        cells.col_geo_kring(F.col("cell"), 2, res).alias("r")).first()["r"]
+    assert sorted(set(ring)) == cells.np_geo_kring(c, 2, res).tolist()
+
+    boxes = [(170.0, -5.0, -170.0, 5.0), (-10.0, -5.0, 10.0, 5.0)]
+    bdf = spark.createDataFrame(boxes, "x0 double, y0 double, x1 double, y1 double")
+    got_cov = [sorted(r["cov"]) for r in bdf.select(
+        cells.col_geo_cover_bbox(F.col("x0"), F.col("y0"), F.col("x1"),
+                                 F.col("y1"), res).alias("cov")).collect()]
+    want_cov = [sorted(cells.np_geo_cover_bbox(*b, res).tolist()) for b in boxes]
+    assert got_cov == want_cov
