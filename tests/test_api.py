@@ -52,3 +52,40 @@ def test_from_images_compatibility(spark):
     mixed = Collection(Collection.from_synthetic(spark, 30).df)
     with pytest.raises(ValueError, match="Incompatible"):
         Collection.from_images(mixed)
+
+
+def test_download_kill_resume_equals_oneshot(spark, tmp_path):
+    """North-rule resume: a run that died after committing half the images,
+    resumed over the full collection, yields byte-identical tiles to a
+    single uninterrupted export — and only processes the missing half."""
+    full = Collection.from_synthetic(spark, 16, scalar_filter="fmt = 'raw'")
+    ids = sorted(r["image_id"] for r in full.df.select("image_id").collect())
+    first_half = Collection(full.df.filter(full.df.image_id.isin(ids[:4])))
+
+    t_resumed = str(tmp_path / "resumed")
+    t_oneshot = str(tmp_path / "oneshot")
+
+    sid1 = first_half.download(t_resumed, "image_id", max_tile_dim=21)
+    # the "killed" state: exactly the unprocessed images are pending
+    pending = snapshots.pending_keys(full.df, t_resumed, "image_id")
+    assert sorted(r["image_id"] for r in pending.select("image_id").collect()) \
+        == ids[4:]
+
+    sid2 = full.download(t_resumed, "image_id", max_tile_dim=21)
+    full.download(t_oneshot, "image_id", max_tile_dim=21)
+
+    def canon(table):
+        import hashlib
+        rows = snapshots.read_snapshot(spark, table).collect()
+        return sorted(
+            (r["image_id"], r["band_start"], r["row_start"], r["col_start"],
+             hashlib.sha1(bytes(r["tile_bytes"])).hexdigest())
+            for r in rows
+        )
+
+    assert canon(t_resumed) == canon(t_oneshot)
+    # snapshot lineage: resume commit chains onto the partial commit
+    snap = snapshots.current_snapshot(t_resumed)
+    assert snap["snapshot_id"] == sid2 and snap["parent_id"] == sid1
+    # nothing pending after the resume
+    assert snapshots.pending_keys(full.df, t_resumed, "image_id").count() == 0
