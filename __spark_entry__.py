@@ -17,6 +17,7 @@ floats only in ORDER BY (never in output columns) except where rounded.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -297,9 +298,28 @@ def q_tiled_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth images materialised to parquet once per (n) — for MULTI-PASS
+    queries.  search() executes the images lineage 3-4x (bounds cover,
+    stats kernel, output side); over the mapInPandas generator every pass
+    re-encodes blobs (a UDF barrier defeats column pruning), while over
+    parquet the meta-only passes are pruned scans that never read the bytes
+    column (the production shape: ReadSchema drops `bytes`)."""
+    n, _ = _sizes(sf_dir)
+    path = f"/tmp/geedim_spark_staged_images_n{n}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        # uncompressed + 32 files: fast parallel write, and the scan gets
+        # one task per file regardless of how well the strips compress
+        (
+            synth.images_df(spark, n).repartition(32)
+            .write.mode("overwrite").option("compression", "none").parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def q_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, m = _sizes(sf_dir)
-    images = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    images = _staged_images(spark, sf_dir).filter("fmt = 'raw'")
     rois = synth.rois_df(spark, m)
     found = collection_ops.search(
         images,
