@@ -162,8 +162,12 @@ def main() -> None:
         # bandwidth), so wider pairs measure the HOST's ceiling, not the
         # engine.  noop sink: the single VM disk is a serial resource a
         # real cluster provides per-node.  best-of-2 damps sandbox noise.
-        res_n = run_once("local[1]", with_queries=False, repeats=2, sink="noop")
-        res_4n = run_once("local[4]", with_queries=True, repeats=2, sink="noop")
+        # best-of-3 per level: hypervisor CPU steal only ever SLOWS a run,
+        # so the per-level best converges on the quiet-host number and the
+        # ratio stops depending on which side of the pair the steal hit
+        # (observed single-shot pairs range 0.78-1.31 around a ~0.91 centre)
+        res_n = run_once("local[1]", with_queries=False, repeats=3, sink="noop")
+        res_4n = run_once("local[4]", with_queries=True, repeats=3, sink="noop")
         eff = (res_4n["tiles_per_sec"] / res_n["tiles_per_sec"]) / 4.0
         report = {
             "metric": "tiles/sec headline (spatial join + mask + tile export)",
