@@ -31,14 +31,35 @@ def cover_cells(
     df: DataFrame,
     x0: str, y0: str, x1: str, y1: str,
     res: int = cells.DEFAULT_RES,
+    geo: bool = False,
 ) -> DataFrame:
-    """Append exploded ``cell`` column covering each row's bbox."""
+    """Append exploded ``cell`` column covering each row's bbox.
+
+    ``geo=True`` switches to the geographic grid: longitude wraps on the
+    antimeridian (a bbox with x0 > x1 crosses it and covers two index
+    ranges), latitude clamps at the poles."""
+    cover = cells.col_geo_cover_bbox if geo else cells.col_cover_bbox
     return df.withColumn(
         "cell",
-        F.explode(
-            cells.col_cover_bbox(F.col(x0), F.col(y0), F.col(x1), F.col(y1), res)
-        ),
+        F.explode(cover(F.col(x0), F.col(y0), F.col(x1), F.col(y1), res)),
     )
+
+
+def lon_contains_col(x0: Column, x1: Column, p: Column) -> Column:
+    """Circular-arc membership: Catalyst twin of
+    geometry.lon_interval_contains."""
+    return F.when(x0 <= x1, (x0 <= p) & (p <= x1)).otherwise((p >= x0) | (p <= x1))
+
+
+def geo_bbox_intersects_col(
+    ax0: Column, ay0: Column, ax1: Column, ay1: Column,
+    bx0: Column, by0: Column, bx1: Column, by1: Column,
+) -> Column:
+    """Wrap-aware bbox intersection (two circular lon arcs intersect iff
+    either contains the other's start) — Catalyst twin of
+    geometry.geo_bbox_intersects."""
+    lon = lon_contains_col(ax0, ax1, bx0) | lon_contains_col(bx0, bx1, ax0)
+    return lon & (ay0 <= by1) & (ay1 >= by0)
 
 
 def bbox_intersects_col(
@@ -55,23 +76,29 @@ def filter_bounds(
     rois: DataFrame,
     res: int = cells.DEFAULT_RES,
     broadcast_rois: bool = True,
+    geo: bool = False,
 ) -> DataFrame:
     """images x ROIs intersects join -> distinct (image_id, roi_id) pairs.
 
     The cell equi-join bounds candidate pairs; the bbox refine makes the
     result exact (independent of ``res``).  ROIs broadcast by default (a
     region-of-interest table is a dim table even at 10^12 images).
+    ``geo=True`` runs on the geographic grid: footprints and ROIs crossing
+    the antimeridian (x0 > x1) cover both sides of the seam and the refine
+    uses the wrap-aware circular-arc intersection.
     """
     img_cells = cover_cells(
-        images.select("image_id", "x0", "y0", "x1", "y1"), "x0", "y0", "x1", "y1", res
+        images.select("image_id", "x0", "y0", "x1", "y1"),
+        "x0", "y0", "x1", "y1", res, geo=geo,
     )
     roi_sel = rois.select("roi_id", "rx0", "ry0", "rx1", "ry1")
-    roi_cells = cover_cells(roi_sel, "rx0", "ry0", "rx1", "ry1", res)
+    roi_cells = cover_cells(roi_sel, "rx0", "ry0", "rx1", "ry1", res, geo=geo)
     if broadcast_rois:
         roi_cells = F.broadcast(roi_cells)
     cand = img_cells.join(roi_cells, "cell")
+    refine = geo_bbox_intersects_col if geo else bbox_intersects_col
     exact = cand.where(
-        bbox_intersects_col(
+        refine(
             F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
             F.col("rx0"), F.col("ry0"), F.col("rx1"), F.col("ry1"),
         )
@@ -84,6 +111,7 @@ def filter_bounds_semi(
     rois: DataFrame,
     res: int = cells.DEFAULT_RES,
     broadcast_ids: bool = True,
+    geo: bool = False,
 ) -> DataFrame:
     """Images having >= 1 intersecting ROI (the reference's filterBounds
     keeps whole images; left-semi join back to the images table).
@@ -93,7 +121,7 @@ def filter_bounds_semi(
     set selects << the broadcast threshold of ids.  Disable for joins where
     most of a 10^12-row table matches; the semi-join then shuffles on
     image_id (AQE picks the strategy)."""
-    matched = filter_bounds(images, rois, res).select("image_id").distinct()
+    matched = filter_bounds(images, rois, res, geo=geo).select("image_id").distinct()
     if broadcast_ids:
         matched = F.broadcast(matched)
     return images.join(matched, "image_id", "left_semi")

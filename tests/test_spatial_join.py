@@ -81,3 +81,50 @@ def test_salted_join_equals_plain_join(spark):
             .select("image_id", "roi_id").collect())
     )
     assert plain == salted
+
+
+def test_geo_filter_bounds_across_antimeridian(spark):
+    """Footprints and an ROI straddling ±180°: the geo join finds the
+    wrap matches the planar grid structurally cannot."""
+    import numpy as np
+    from geedim_spark import geometry
+
+    images = spark.createDataFrame(
+        [
+            ("W", 178.0, -2.0, 179.5, 2.0),     # west of the seam
+            ("E", -179.5, -2.0, -178.0, 2.0),   # east of the seam
+            ("X", 179.0, -2.0, -179.0, 2.0),    # crossing footprint
+            ("F", 10.0, -2.0, 12.0, 2.0),       # far away
+        ],
+        "image_id string, x0 double, y0 double, x1 double, y1 double",
+    )
+    rois = spark.createDataFrame(
+        [("R", 179.2, -5.0, -179.2, 5.0)],      # ROI crossing the seam
+        "roi_id string, rx0 double, ry0 double, rx1 double, ry1 double",
+    )
+    got = {r["image_id"] for r in sj.filter_bounds(images, rois, geo=True).collect()}
+    assert got == {"W", "E", "X"}
+    semi = {r["image_id"]
+            for r in sj.filter_bounds_semi(images, rois, geo=True).collect()}
+    assert semi == {"W", "E", "X"}
+
+    # Catalyst arc refine == numpy twin on random (possibly crossing) arcs
+    rng = np.random.default_rng(7)
+    a = rng.uniform(-180, 180, size=(200, 4))
+    want = geometry.geo_bbox_intersects(
+        a[:, 0], -1.0, a[:, 1], 1.0, a[:, 2], -1.0, a[:, 3], 1.0
+    )
+    import pandas as pd
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        pd.DataFrame(a, columns=["ax0", "ax1", "bx0", "bx1"])
+    )
+    got_col = [
+        r["i"] for r in df.select(
+            sj.geo_bbox_intersects_col(
+                F.col("ax0"), F.lit(-1.0), F.col("ax1"), F.lit(1.0),
+                F.col("bx0"), F.lit(-1.0), F.col("bx1"), F.lit(1.0),
+            ).alias("i")
+        ).collect()
+    ]
+    assert got_col == want.tolist()
