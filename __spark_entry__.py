@@ -74,10 +74,74 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wrap_lon(v):
+    return F.when(v > 180.0, v - 360.0).when(v < -180.0, v + 360.0).otherwise(v)
+
+
+def q_geo_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic filterBounds: footprints/ROIs spread over the globe, many
+    crossing the antimeridian (x0 > x1).  Spark runs the wrapped cell
+    cover-join + circular-arc refine; the oracle is a brute-force arc
+    intersection — an independent check that the cover join loses nothing
+    at the seam."""
+    n, m = _sizes(sf_dir)
+    n, m = min(n, 3000), min(m, 60)
+    i = F.col("id").cast("double")
+    imgs = spark.range(n).select(
+        F.col("id").alias("image_id"),
+        ((i * 73 % 3600) / 10.0 - 180.0).alias("cx"),
+        ((i * 37 % 1500) / 10.0 - 75.0).alias("cy"),
+        (1.0 + i % 7).alias("hw"), (1.0 + i % 5).alias("hh"),
+    ).select(
+        "image_id",
+        _wrap_lon(F.col("cx") - F.col("hw")).alias("x0"),
+        (F.col("cy") - F.col("hh")).alias("y0"),
+        _wrap_lon(F.col("cx") + F.col("hw")).alias("x1"),
+        (F.col("cy") + F.col("hh")).alias("y1"),
+    )
+    j = F.col("id").cast("double")
+    rois = spark.range(m).select(
+        F.col("id").alias("roi_id"),
+        ((j * 977 % 3600) / 10.0 - 180.0).alias("cx"),
+        ((j * 311 % 1400) / 10.0 - 70.0).alias("cy"),
+        (3.0 + j % 9).alias("hw"), (2.0 + j % 6).alias("hh"),
+    ).select(
+        "roi_id",
+        _wrap_lon(F.col("cx") - F.col("hw")).alias("rx0"),
+        (F.col("cy") - F.col("hh")).alias("ry0"),
+        _wrap_lon(F.col("cx") + F.col("hw")).alias("rx1"),
+        (F.col("cy") + F.col("hh")).alias("ry1"),
+    )
+    return sj.filter_bounds(imgs, rois, geo=True)
+
+
 def q_mask_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, _ = _sizes(sf_dir)
     imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     return masks.mask_stats(imgs)
+
+
+def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest (file source -> foreachBatch mask kernel
+    -> snapshot commits) drained with availableNow; returns the committed
+    snapshot stats.  Streaming == batch at drain, so the result value-checks
+    against the same closed forms as the batch mask pipeline."""
+    import tempfile
+
+    from geedim_spark.sources import snapshots
+    from geedim_spark.streaming import ingest
+
+    n, _ = _sizes(sf_dir)
+    n = min(n, 600)
+    base = tempfile.mkdtemp(prefix="geedim_stream_q_")
+    synth.images_df(spark, n).coalesce(4).write.parquet(f"{base}/in")
+    q = ingest.stream_mask_stats(
+        spark, f"{base}/in", f"{base}/tbl", f"{base}/ckpt", available_now=True
+    )
+    q.awaitTermination(300)
+    return snapshots.read_snapshot(spark, f"{base}/tbl").select(
+        "image_id", "total_px", "fill_px", "cloudless_px"
+    )
 
 
 def q_cloud_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,7 +784,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join": q_spatial_join,
+        "geo_spatial_join": q_geo_spatial_join,
         "mask_portions": q_mask_portions,
+        "streaming_ingest": q_streaming_ingest,
         "cloud_dist": q_cloud_dist,
         "tile_grid": q_tile_grid,
         "export_tiles": q_export_tiles,
@@ -834,6 +900,50 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT image_id, roi_id FROM images JOIN rois
             ON x0 <= rx1 AND x1 >= rx0 AND y0 <= ry1 AND y1 >= ry0
         """,
+        "geo_spatial_join": f"""
+            WITH imgs AS (
+              SELECT id AS image_id,
+                     (CAST(id AS DOUBLE) * 73 % 3600) / 10.0 - 180.0 AS cx,
+                     (CAST(id AS DOUBLE) * 37 % 1500) / 10.0 - 75.0 AS cy,
+                     1.0 + CAST(id AS DOUBLE) % 7 AS hw,
+                     1.0 + CAST(id AS DOUBLE) % 5 AS hh
+              FROM range({min(n, 3000)}) t(id)),
+            ib AS (
+              SELECT image_id,
+                     CASE WHEN cx - hw < -180 THEN cx - hw + 360
+                          WHEN cx - hw > 180 THEN cx - hw - 360
+                          ELSE cx - hw END AS x0,
+                     cy - hh AS y0,
+                     CASE WHEN cx + hw > 180 THEN cx + hw - 360
+                          WHEN cx + hw < -180 THEN cx + hw + 360
+                          ELSE cx + hw END AS x1,
+                     cy + hh AS y1
+              FROM imgs),
+            rois AS (
+              SELECT id AS roi_id,
+                     (CAST(id AS DOUBLE) * 977 % 3600) / 10.0 - 180.0 AS cx,
+                     (CAST(id AS DOUBLE) * 311 % 1400) / 10.0 - 70.0 AS cy,
+                     3.0 + CAST(id AS DOUBLE) % 9 AS hw,
+                     2.0 + CAST(id AS DOUBLE) % 6 AS hh
+              FROM range({min(m, 60)}) t(id)),
+            rb AS (
+              SELECT roi_id,
+                     CASE WHEN cx - hw < -180 THEN cx - hw + 360
+                          WHEN cx - hw > 180 THEN cx - hw - 360
+                          ELSE cx - hw END AS rx0,
+                     cy - hh AS ry0,
+                     CASE WHEN cx + hw > 180 THEN cx + hw - 360
+                          WHEN cx + hw < -180 THEN cx + hw + 360
+                          ELSE cx + hw END AS rx1,
+                     cy + hh AS ry1
+              FROM rois)
+            SELECT image_id, roi_id FROM ib, rb
+            WHERE ((CASE WHEN x0 <= x1 THEN x0 <= rx0 AND rx0 <= x1
+                         ELSE rx0 >= x0 OR rx0 <= x1 END)
+                OR (CASE WHEN rx0 <= rx1 THEN rx0 <= x0 AND x0 <= rx1
+                         ELSE x0 >= rx0 OR x0 <= rx1 END))
+              AND y0 <= ry1 AND y1 >= ry0
+        """,
         "mask_portions": f"""
             WITH images AS ({images})
             SELECT image_id,
@@ -841,6 +951,15 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST((w - f_px)*h AS BIGINT) AS fill_px,
                    CAST(CASE WHEN {mock} THEN 0 ELSE c_px*h END AS BIGINT) AS cloud_px,
                    CAST(0 AS BIGINT) AS shadow_px,
+                   CAST(CASE WHEN {mock} THEN (w - f_px)*h
+                             ELSE (w - f_px - c_px)*h END AS BIGINT) AS cloudless_px
+            FROM images WHERE fmt = 'raw'
+        """,
+        "streaming_ingest": f"""
+            WITH images AS ({synth.sql_images(min(n, 600))})
+            SELECT image_id,
+                   CAST(w*h AS BIGINT) AS total_px,
+                   CAST((w - f_px)*h AS BIGINT) AS fill_px,
                    CAST(CASE WHEN {mock} THEN (w - f_px)*h
                              ELSE (w - f_px - c_px)*h END AS BIGINT) AS cloudless_px
             FROM images WHERE fmt = 'raw'
