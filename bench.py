@@ -44,9 +44,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_IMG_PX = int(os.environ.get("SPARK_GRAFT_BENCH_PX", "192"))
 
 BENCH_QUERIES = [
-    "spatial_join", "mask_portions", "cloud_dist", "tile_grid", "search",
-    "pricing_summary", "top_customers", "events_recent", "doc_dup_counts",
-    "doc_token_stats", "minhash_sig", "minhash_lsh_pairs", "ann_topk", "ann_lsh",
+    "spatial_join", "geo_spatial_join", "mask_portions", "cloud_dist",
+    "tile_grid", "search", "composite_tiled_profile", "pricing_summary",
+    "top_customers", "events_recent", "events_sessions", "doc_dup_counts",
+    "doc_token_stats", "simhash", "lang_id", "minhash_sig",
+    "minhash_lsh_pairs", "ann_topk", "ann_lsh", "embed_near_dup",
 ]
 
 
