@@ -131,6 +131,8 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geedim_spark.sources import snapshots
     from geedim_spark.streaming import ingest
 
+    import shutil
+
     n, _ = _sizes(sf_dir)
     n = min(n, 600)
     base = tempfile.mkdtemp(prefix="geedim_stream_q_")
@@ -138,10 +140,17 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ingest.stream_mask_stats(
         spark, f"{base}/in", f"{base}/tbl", f"{base}/ckpt", available_now=True
     )
-    q.awaitTermination(300)
-    return snapshots.read_snapshot(spark, f"{base}/tbl").select(
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming ingest did not drain within 300 s")
+    out = snapshots.read_snapshot(spark, f"{base}/tbl").select(
         "image_id", "total_px", "fill_px", "cloudless_px"
     )
+    # the returned frame reads only tbl/ lazily; drop the staged source and
+    # checkpoint now so repeated harness runs don't accrete /tmp copies
+    shutil.rmtree(f"{base}/in", ignore_errors=True)
+    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
+    return out
 
 
 def q_cloud_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,7 +379,7 @@ def _staged_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet the meta-only passes are pruned scans that never read the bytes
     column (the production shape: ReadSchema drops `bytes`)."""
     n, _ = _sizes(sf_dir)
-    path = f"/tmp/geedim_spark_staged_images_n{n}"
+    path = f"/tmp/geedim_spark_staged_images_n{n}_{synth.recipe_hash()}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         # uncompressed + 32 files: fast parallel write, and the scan gets
         # one task per file regardless of how well the strips compress
@@ -747,11 +756,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, n_queries=5, k=10)
 
 
+ORACLE_EMB_DIM = 64  # testdata embeddings width; _lsh_bucket_sql builds
+                     # plane literals at this dim, so the query asserts it
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed top-k with integer-quantised hyperplanes: the bucket key
     is exact int64 arithmetic (floor(x*4096) x small-int planes), so the
     whole approximate query is reproducible bit-for-bit in the SQL oracle."""
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    dim = similarity.embedding_dim(emb)
+    if dim != ORACLE_EMB_DIM:
+        raise ValueError(
+            f"embeddings dim {dim} != {ORACLE_EMB_DIM}: regenerate the "
+            "ann_lsh oracle planes (_lsh_bucket_sql) to match"
+        )
     return similarity.lsh_bucket_topk_quantised(emb, n_queries=5, k=10, n_planes=4)
 
 
@@ -840,7 +859,7 @@ def _ducksizes(sf: float) -> tuple[int, int]:
     return synth.n_images_for_sf(sf), synth.n_rois_for_sf(sf)
 
 
-def _lsh_bucket_sql(dim: int = 64, n_planes: int = 4) -> str:
+def _lsh_bucket_sql(dim: int = ORACLE_EMB_DIM, n_planes: int = 4) -> str:
     """SQL twin of similarity.lsh_bucket_quantised: same seeded integer
     planes, exact int64 dot products, same sign->bit packing."""
     planes = similarity.lsh_int_planes(dim, n_planes)

@@ -58,7 +58,8 @@ def stage_images(spark: SparkSession, sf_dir: str) -> str:
     pushdown -> fused kernel -> parquet sink, a single Python stage."""
     sf = synth.sf_from_dir(sf_dir)
     n = synth.n_images_for_sf(sf)
-    path = f"/tmp/geedim_spark_bench_images_sf{sf}_px{BENCH_IMG_PX}"
+    path = (f"/tmp/geedim_spark_bench_images_sf{sf}_px{BENCH_IMG_PX}"
+            f"_{synth.recipe_hash()}")
     if not os.path.exists(f"{path}/_SUCCESS"):
         # 128 uncompressed files: the synthetic strips compress ~30x, and a
         # 2-file/66 MB table scans as 2 tasks — every shuffle-free stage

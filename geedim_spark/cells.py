@@ -183,13 +183,32 @@ def np_geo_kring(cell: int, k: int, res: int = DEFAULT_RES) -> np.ndarray:
     return np.unique((xs[:, None] * n + ys[None, :]).ravel())
 
 
+def np_geo_ix_hi(lon: np.ndarray, res: int) -> np.ndarray:
+    """Longitude cell index for a RIGHT bbox edge: the seam itself
+    (lon == ±180, i.e. the end of an arc) belongs to the LAST column, not
+    column 0 — otherwise a box ending exactly at +180 gets an empty or
+    wrapped-around cover (a box [-180, 180] must cover the whole globe)."""
+    n = 1 << res
+    # normalise into (-180, 180]: +180 stays +180 (and -180 -> +180, the
+    # same point on the circle approached as a right edge)
+    x = 180.0 - np.mod(180.0 - np.asarray(lon, np.float64), 360.0)
+    raw = np.floor((x - GEO_LON0) / GEO_LON_SPAN * n)
+    return np.minimum(raw, n - 1).astype(np.int64)
+
+
 def np_geo_cover_bbox(lon0, lat0, lon1, lat1, res: int = DEFAULT_RES) -> np.ndarray:
     """Cells covering a geographic bbox; lon0 > lon1 means the box crosses
-    the antimeridian and the lon range splits into [ix0, n-1] + [0, ix1]."""
+    the antimeridian and the lon range splits into [ix0, n-1] + [0, ix1].
+    Edges are expected in [-180, 180]; the right edge at exactly +180 maps
+    to the last column (see np_geo_ix_hi)."""
     n = 1 << res
-    ix0, ix1 = int(np_geo_ix(np.array([lon0]), res)[0]), int(np_geo_ix(np.array([lon1]), res)[0])
+    ix0, ix1 = int(np_geo_ix(np.array([lon0]), res)[0]), int(np_geo_ix_hi(np.array([lon1]), res)[0])
     iy0, iy1 = int(np_geo_iy(np.array([lat0]), res)[0]), int(np_geo_iy(np.array([lat1]), res)[0])
-    if lon0 <= lon1:
+    # crossing decided on NORMALISED edges: left into [-180, 180), right
+    # into (-180, 180] — so [170, -180] == [170, 180] (non-crossing)
+    lo = np.mod(lon0 + 180.0, 360.0) - 180.0
+    hi = 180.0 - np.mod(180.0 - lon1, 360.0)
+    if lo <= hi:
         xs = np.arange(ix0, ix1 + 1, dtype=np.int64)
     else:
         xs = np.concatenate([
@@ -217,12 +236,16 @@ def col_geo_cell(lon: Column, lat: Column, res: int = DEFAULT_RES) -> Column:
 
 
 def col_geo_kring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
-    """array<long> Chebyshev-k ring with lon wrap, lat clamp — pure Catalyst."""
+    """array<long> Chebyshev-k ring with lon wrap, lat clamp — pure Catalyst.
+
+    sort(distinct): when the ring wraps the whole circle (2k+1 > 2^res) the
+    mod-n columns collide; dedup + sort keeps the output identical to
+    np_geo_kring's np.unique."""
     n = F.lit(1 << res)
     nmax = F.lit((1 << res) - 1)
     ix = (cell / n).cast("long")
     iy = cell % n
-    return F.flatten(
+    ring = F.flatten(
         F.transform(
             F.sequence(F.lit(-k), F.lit(k)),
             lambda dx: F.filter(
@@ -237,17 +260,28 @@ def col_geo_kring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
             ),
         )
     )
+    return F.array_sort(F.array_distinct(ring))
+
+
+def col_geo_ix_hi(lon: Column, res: int) -> Column:
+    """Catalyst twin of np_geo_ix_hi (right-edge index; seam -> last col)."""
+    n = 1 << res
+    x = F.lit(180.0) - (F.lit(180.0) - lon) % 360.0
+    raw = F.floor((x - F.lit(GEO_LON0)) / F.lit(GEO_LON_SPAN) * F.lit(n))
+    return F.least(raw, F.lit(n - 1)).cast("long")
 
 
 def col_geo_cover_bbox(lon0: Column, lat0: Column, lon1: Column, lat1: Column,
                        res: int = DEFAULT_RES) -> Column:
     """array<long> covering a geographic bbox; splits on antimeridian
-    crossings (lon0 > lon1) — pure sequence/concat, JVM-side."""
+    crossings (normalised lon0 > lon1) — pure sequence/concat, JVM-side."""
     n = F.lit(1 << res)
     nmax = F.lit((1 << res) - 1)
-    ix0, ix1 = col_geo_ix(lon0, res), col_geo_ix(lon1, res)
+    ix0, ix1 = col_geo_ix(lon0, res), col_geo_ix_hi(lon1, res)
     iy0, iy1 = col_geo_iy(lat0, res), col_geo_iy(lat1, res)
-    xs = F.when(lon0 <= lon1, F.sequence(ix0, ix1)).otherwise(
+    lo = (lon0 + 180.0) % 360.0 - 180.0
+    hi = F.lit(180.0) - (F.lit(180.0) - lon1) % 360.0
+    xs = F.when(lo <= hi, F.sequence(ix0, ix1)).otherwise(
         F.concat(F.sequence(ix0, nmax), F.sequence(F.lit(0).cast("long"), ix1))
     )
     return F.flatten(

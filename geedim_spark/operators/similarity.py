@@ -135,17 +135,22 @@ def lsh_bucket_quantised(emb_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
-def lsh_bucket_topk_quantised(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 4
+def embedding_dim(embeddings: DataFrame) -> int:
+    """Vector width from the first row (loud error on an empty table)."""
+    row = embeddings.select("embedding").first()
+    if row is None:
+        raise ValueError("embeddings table is empty — cannot infer dim")
+    return len(row["embedding"])
+
+
+def _bucket_topk(
+    embeddings: DataFrame, bucket_fn, n_queries: int, k: int
 ) -> DataFrame:
-    """:func:`lsh_bucket_topk` with exact integer bucketing — same plan shape
-    (bucket equi-join prunes candidates), but the bucket key is reproducible
-    bit-for-bit in ANSI SQL, so the whole query is value-checkable."""
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    planes = lsh_int_planes(dim, n_planes)
+    """Shared LSH plan: bucket every vector, broadcast the query rows, rank
+    exact cosine within same-bucket candidates."""
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes))
+    ).withColumn("bucket", bucket_fn(F.col("e")))
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("bucket").alias("qbucket"),
@@ -155,6 +160,18 @@ def lsh_bucket_topk_quantised(
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     return _rank_topk(sims_with(pairs), k)
+
+
+def lsh_bucket_topk_quantised(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 4
+) -> DataFrame:
+    """:func:`lsh_bucket_topk` with exact integer bucketing — same plan shape
+    (bucket equi-join prunes candidates), but the bucket key is reproducible
+    bit-for-bit in ANSI SQL, so the whole query is value-checkable."""
+    planes = lsh_int_planes(embedding_dim(embeddings), n_planes)
+    return _bucket_topk(
+        embeddings, lambda e: lsh_bucket_quantised(e, planes), n_queries, k
+    )
 
 
 def ivf_flat_topk(
@@ -215,8 +232,7 @@ def near_dup_pairs(
     only for pairs near the threshold with some sign flips).
     Output: (id_a, id_b) with id_a < id_b.
     """
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    planes = lsh_signature(dim, n_planes)
+    planes = lsh_signature(embedding_dim(embeddings), n_planes)
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
@@ -320,17 +336,7 @@ def lsh_bucket_topk(
     ~N/2^planes rows per bucket; the per-bucket join is local.  Recall is
     approximate by construction — verify against :func:`cosine_topk`.
     """
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    planes = lsh_signature(dim, n_planes)
-    emb = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"),
+    planes = lsh_signature(embedding_dim(embeddings), n_planes)
+    return _bucket_topk(
+        embeddings, lambda e: lsh_bucket(e, planes), n_queries, k
     )
-    pairs = emb.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    return _rank_topk(sims_with(pairs), k)

@@ -33,19 +33,17 @@ def stream_mask_stats(
     table_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
-    lineage_log: str | None = None,
 ):
     """Start the ingest stream; returns the StreamingQuery.
 
     ``available_now=True`` drains everything currently in ``source_dir`` and
     stops — the test/CI mode; pass False for a continuous ingest.
-    ``lineage_log`` attaches a :class:`streaming.listener.LineageListener`
-    appending per-batch row counts / offsets / durations to that JSONL path
-    (caller detaches via ``streaming.listener.lineage`` if scoping matters).
+    For a per-batch lineage log, wrap the run in
+    ``streaming.listener.lineage(spark, path)`` — the context manager owns
+    the listener's lifecycle (the bus is session-global; registering one
+    here with no handle would accumulate listeners across calls and log
+    unrelated queries forever).
     """
-    if lineage_log is not None:
-        from geedim_spark.streaming.listener import LineageListener
-        spark.streams.addListener(LineageListener(lineage_log))
     src = (
         spark.readStream.schema(IMAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)

@@ -296,3 +296,19 @@ def sql_rois(m: int) -> str:
              CAST((range * {_RY}) % 90000 + 4000 + ((range * 3) % 5) * 2400 AS DOUBLE) AS ry1
       FROM range({m})
     """
+
+
+def recipe_hash() -> str:
+    """8-char fingerprint of the generation code.  Staged-parquet caches of
+    the synthetic universe (bench.stage_images, __spark_entry__.
+    _staged_images) key their /tmp paths by this, so any edit to the
+    generators auto-invalidates the cache instead of silently serving
+    stale images against freshly-computed oracles."""
+    import hashlib
+    import inspect
+
+    src = "".join(
+        inspect.getsource(f)
+        for f in (_scalar_base, _decorate_meta, _gen_bytes_batch, images_df)
+    )
+    return hashlib.sha1(src.encode()).hexdigest()[:8]

@@ -127,3 +127,43 @@ def test_geo_columns_match_numpy(spark):
                                  F.col("y1"), res).alias("cov")).collect()]
     want_cov = [sorted(cells.np_geo_cover_bbox(*b, res).tolist()) for b in boxes]
     assert got_cov == want_cov
+
+
+def test_geo_cover_right_edge_at_seam(spark):
+    """Regression: a right edge exactly at lon=180 maps to the LAST column —
+    [-180,180] covers the whole globe, [170,180] covers the east strip
+    (previously: empty / column-0-only covers)."""
+    res = 5
+    n = 1 << res
+    world = cells.np_geo_cover_bbox(-180.0, -5.0, 180.0, 5.0, res)
+    assert sorted(set(int(c) // n for c in world)) == list(range(n))
+    strip = cells.np_geo_cover_bbox(170.0, -5.0, 180.0, 5.0, res)
+    assert len(strip) > 0
+    # 170 sits inside the last column (starts at 168.75 at res=5)
+    assert set(int(c) // n for c in strip) == {n - 1}
+    # [170, -180] is the same box as [170, 180] (right edge normalised)
+    same = cells.np_geo_cover_bbox(170.0, -5.0, -180.0, 5.0, res)
+    assert sorted(same.tolist()) == sorted(strip.tolist())
+
+    # Catalyst twin agrees on all three
+    boxes = [(-180.0, -5.0, 180.0, 5.0), (170.0, -5.0, 180.0, 5.0),
+             (170.0, -5.0, -180.0, 5.0)]
+    bdf = spark.createDataFrame(boxes, "x0 double, y0 double, x1 double, y1 double")
+    got = [sorted(r["cov"]) for r in bdf.select(
+        cells.col_geo_cover_bbox(F.col("x0"), F.col("y0"), F.col("x1"),
+                                 F.col("y1"), res).alias("cov")).collect()]
+    want = [sorted(cells.np_geo_cover_bbox(*b, res).tolist()) for b in boxes]
+    assert got == want
+
+
+def test_geo_kring_full_wrap_dedup(spark):
+    """Regression: a ring wider than the circle (2k+1 > n) dedups identically
+    in numpy and Catalyst."""
+    res = 3  # n = 8
+    n = 1 << res
+    c = int(cells.np_geo_cell(np.array([0.0]), np.array([0.0]), res)[0])
+    want = cells.np_geo_kring(c, 5, res)  # 11 > 8 -> full wrap
+    got = spark.createDataFrame([(c,)], "cell long").select(
+        cells.col_geo_kring(F.col("cell"), 5, res).alias("r")).first()["r"]
+    assert got == want.tolist()
+    assert len(got) == len(set(got))
