@@ -469,6 +469,37 @@ def q_composite_tiled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_composite_tiled_qmosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-keyed q-mosaic over the Landsat-like family: per-tile cloud
+    distance (exact EDT on each tile's own cloudless block) drives an
+    argmax composite.  For the strip world the per-tile EDT has a closed
+    form (fill strips only ever intersect tile column 0, cloud strips only
+    tile column 1), so the whole argmax pipeline value-checks in SQL."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(
+        spark, min(n, 900), scalar_filter="i % 3 = 1 AND fmt = 'raw'"
+    )
+    tiles = composite.composite_tiled(
+        imgs, "q-mosaic", tile_h=20, tile_w=20, scale=synth.SCALE
+    )
+
+    def _profile(it):
+        for pdf in it:
+            rows = []
+            for tr, tc, buf in zip(pdf["tr"], pdf["tc"], pdf["bytes"]):
+                px = codecs.decode(bytes(buf))
+                for xl in range(px.shape[2]):
+                    rows.append({
+                        "tr": int(tr), "tc": int(tc), "x_local": xl,
+                        "qmosaic_v": float(px[0, 0, xl]),
+                    })
+            yield pd.DataFrame(rows, columns=["tr", "tc", "x_local", "qmosaic_v"])
+
+    return tiles.mapInPandas(
+        _profile, schema="tr int, tc int, x_local int, qmosaic_v double"
+    )
+
+
 def q_medoid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Medoid composite over cloud-free MOCK images (QA all zero -> pure-B1
     integer distances, exactly reproducible in SQL)."""
@@ -822,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_profile": q_composite_profile,
         "medoid_profile": q_medoid_profile,
         "composite_tiled_profile": q_composite_tiled_profile,
+        "composite_tiled_qmosaic": q_composite_tiled_qmosaic,
         "image_features": q_image_features,
         "sort_date_dist": q_sort_date_dist,
         "collection_minmax": q_collection_minmax,
@@ -1152,6 +1184,32 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(x % 20 AS INT) AS x_local,
                    CAST(mean_v AS DOUBLE) AS mean_v
             FROM cols, (SELECT unnest([0, 1]) AS tr)
+        """,
+        "composite_tiled_qmosaic": f"""
+            WITH images AS ({synth.sql_images(min(n, 900))}),
+            lsat AS (SELECT * FROM images WHERE i % 3 = 1 AND fmt = 'raw'),
+            cols AS (
+              SELECT l.*, tc, xl, tc * 20 + xl AS x
+              FROM lsat l, (SELECT unnest([0, 1]) AS tc) t, range(20) r(xl)),
+            valid AS (SELECT * FROM cols WHERE x >= f_px AND x < w - c_px),
+            cd AS (
+              SELECT image_id, v, time_start, tc, xl,
+                     LEAST(5000, CAST({synth.SCALE} AS BIGINT) * LEAST(
+                       CASE WHEN tc = 0 AND f_px > 0
+                            THEN x - (f_px - 1) ELSE 9999999 END,
+                       CASE WHEN tc = 1 AND c_px > 0
+                            THEN (w - c_px) - x ELSE 9999999 END
+                     )) AS cdv
+              FROM valid),
+            win AS (
+              SELECT tc, xl, v,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tc, xl
+                       ORDER BY cdv DESC, time_start DESC, image_id ASC) AS rn
+              FROM cd)
+            SELECT CAST(tr AS INT) AS tr, CAST(tc AS INT) AS tc,
+                   CAST(xl AS INT) AS x_local, CAST(v AS DOUBLE) AS qmosaic_v
+            FROM win, (SELECT unnest([0, 1]) AS tr) WHERE rn = 1
         """,
         "medoid_profile": f"""
             WITH images AS ({synth.sql_images(min(n, 210))}),
