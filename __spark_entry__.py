@@ -443,6 +443,32 @@ def q_composite_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_p.join(med_p, "x").join(mos_p, "x")
 
 
+def _tiled_column_profile(tiles: DataFrame, colname: str) -> DataFrame:
+    """Per-(tile, column) band-0 profile of a tiled composite.  All-masked
+    pixels (NaN in the composite) are dropped — oracles drop the same
+    columns via their valid-pixel CTEs, keeping both row sets equal."""
+    import math
+
+    def _profile(it):
+        for pdf in it:
+            rows = []
+            for tr, tc, buf in zip(pdf["tr"], pdf["tc"], pdf["bytes"]):
+                px = codecs.decode(bytes(buf))
+                for xl in range(px.shape[2]):
+                    v = float(px[0, 0, xl])
+                    if math.isnan(v):
+                        continue
+                    rows.append({
+                        "tr": int(tr), "tc": int(tc), "x_local": xl,
+                        colname: v,
+                    })
+            yield pd.DataFrame(rows, columns=["tr", "tc", "x_local", colname])
+
+    return tiles.mapInPandas(
+        _profile, schema=f"tr int, tc int, x_local int, {colname} double"
+    )
+
+
 def q_composite_tiled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-keyed mean composite (the 10^12-scale grouping) — per-column
     values checked against the same closed form as the whole-image path."""
@@ -451,22 +477,7 @@ def q_composite_tiled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, min(n, 900), scalar_filter="i % 3 = 0 AND fmt = 'raw'"
     )
     tiles = composite.composite_tiled(imgs, "mean", tile_h=20, tile_w=20)
-
-    def _profile(it):
-        for pdf in it:
-            rows = []
-            for tr, tc, buf in zip(pdf["tr"], pdf["tc"], pdf["bytes"]):
-                px = codecs.decode(bytes(buf))
-                for xl in range(px.shape[2]):
-                    rows.append({
-                        "tr": int(tr), "tc": int(tc), "x_local": xl,
-                        "mean_v": float(px[0, 0, xl]),
-                    })
-            yield pd.DataFrame(rows, columns=["tr", "tc", "x_local", "mean_v"])
-
-    return tiles.mapInPandas(
-        _profile, schema="tr int, tc int, x_local int, mean_v double"
-    )
+    return _tiled_column_profile(tiles, "mean_v")
 
 
 def q_composite_tiled_qmosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,30 +485,27 @@ def q_composite_tiled_qmosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance (exact EDT on each tile's own cloudless block) drives an
     argmax composite.  For the strip world the per-tile EDT has a closed
     form (fill strips only ever intersect tile column 0, cloud strips only
-    tile column 1), so the whole argmax pipeline value-checks in SQL."""
+    tile column 1), so the whole argmax pipeline value-checks in SQL.
+
+    Every input has a nonzero fill AND cloud strip (i%5<>0, i%7<>0): no
+    image saturates at the 5000 clamp everywhere, so FINITE per-tile
+    distances decide the winners (with saturating images included, any
+    cloud-free image ties at the clamp and the ordering never runs).
+    What this pins: the valid-set masking, the (cd DESC, time DESC, id)
+    preference ordering, and the symmetric dropping of all-masked columns.
+    Strip cd curves share a slope, so the winner is constant per tile by
+    geometry — per-pixel winner VARIATION is covered by the direct argmax
+    unit test (test_qmosaic_argmax_clouddist) and EDT value exactness by
+    the `cloud_dist` query; this query pins the pipeline between them."""
     n, _ = _sizes(sf_dir)
     imgs = synth.images_df(
-        spark, min(n, 900), scalar_filter="i % 3 = 1 AND fmt = 'raw'"
+        spark, min(n, 900),
+        scalar_filter="i % 3 = 1 AND fmt = 'raw' AND i % 5 <> 0 AND i % 7 <> 0",
     )
     tiles = composite.composite_tiled(
         imgs, "q-mosaic", tile_h=20, tile_w=20, scale=synth.SCALE
     )
-
-    def _profile(it):
-        for pdf in it:
-            rows = []
-            for tr, tc, buf in zip(pdf["tr"], pdf["tc"], pdf["bytes"]):
-                px = codecs.decode(bytes(buf))
-                for xl in range(px.shape[2]):
-                    rows.append({
-                        "tr": int(tr), "tc": int(tc), "x_local": xl,
-                        "qmosaic_v": float(px[0, 0, xl]),
-                    })
-            yield pd.DataFrame(rows, columns=["tr", "tc", "x_local", "qmosaic_v"])
-
-    return tiles.mapInPandas(
-        _profile, schema="tr int, tc int, x_local int, qmosaic_v double"
-    )
+    return _tiled_column_profile(tiles, "qmosaic_v")
 
 
 def q_medoid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1187,7 +1195,9 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "composite_tiled_qmosaic": f"""
             WITH images AS ({synth.sql_images(min(n, 900))}),
-            lsat AS (SELECT * FROM images WHERE i % 3 = 1 AND fmt = 'raw'),
+            lsat AS (SELECT * FROM images
+                     WHERE i % 3 = 1 AND fmt = 'raw'
+                       AND i % 5 <> 0 AND i % 7 <> 0),
             cols AS (
               SELECT l.*, tc, xl, tc * 20 + xl AS x
               FROM lsat l, (SELECT unnest([0, 1]) AS tc) t, range(20) r(xl)),
