@@ -22,9 +22,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from geedim_spark import synth
 from geedim_spark.operators import collection_ops, composite as comp_ops, pipeline
+from geedim_spark.operators import export_ops, masks
 from geedim_spark.sources import snapshots
 
 
@@ -121,3 +123,68 @@ class Collection:
         cols = [c for c in ("image_id", "collection", "time_start",
                             "FILL_PORTION", "CLOUDLESS_PORTION") if c in self.df.columns]
         self.df.select(*cols).show(n, truncate=False)
+
+
+@dataclass
+class Image:
+    """Per-image facade — the reference's ``MaskedImage`` / ``ee.Image.gd``
+    accessor surface (mask.py:547; utils.py:200-262; image.py:655-1176) as a
+    thin wrapper over the operator modules.  Each method is lazy (returns a
+    new Image over a rewritten plan) except the sinks.
+
+    The wrapped frame may hold ANY number of rows — "an image" here is a
+    selection, so the same methods drive one image or a whole collection
+    (the reference reaches the same effect via ``ee_coll.map``).
+    """
+
+    df: DataFrame
+    cloud_kwargs: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_id(cls, spark: SparkSession, path: str, image_id: str) -> "Image":
+        """download.py:52-65 — scan filtered to one id (pushed to parquet)."""
+        df = spark.read.parquet(path).where(F.col("image_id") == image_id)
+        return cls(df)
+
+    def config(self, **cloud_kwargs) -> "Image":
+        merged = {**self.cloud_kwargs, **cloud_kwargs}
+        return Image(self.df, merged)
+
+    # -- mask surface (image.py:655-739) -----------------------------------
+    def add_mask_bands(self) -> DataFrame:
+        """addMaskBands analog: per-image mask statistics + portions
+        (the columnar engine carries mask AGGREGATES as properties; the
+        pixel masks live inside the kernels that consume them)."""
+        return masks.with_portions(
+            masks.mask_stats(self.df, **self.cloud_kwargs)
+        )
+
+    def mask_clouds(self) -> "Image":
+        """updateMask(CLOUDLESS_MASK) analog — non-cloudless pixels to
+        nodata; other columns rejoined."""
+        masked = masks.mask_clouds(self.df, **self.cloud_kwargs)
+        other = self.df.drop("bytes")
+        return Image(other.join(masked, "image_id"), dict(self.cloud_kwargs))
+
+    # -- export surface (image.py:741-1176) ---------------------------------
+    def prepare_for_export(self, scale_offset=None, dtype=None,
+                           band_regex=None) -> "Image":
+        df = self.df
+        if band_regex is not None:
+            df = export_ops.select_bands(df, band_regex)
+        df = export_ops.prepare_for_export(df, scale_offset=scale_offset,
+                                           dtype=dtype)
+        return Image(df, dict(self.cloud_kwargs))
+
+    def to_tiles(self, **tiler_kwargs) -> DataFrame:
+        """Primary sink (toGeoTIFF analog): the tiles table."""
+        return export_ops.export_tiles(self.df, **tiler_kwargs)
+
+    def to_numpy(self, image_id: str, bands: int, h: int, w: int,
+                 dtype: str = "uint16"):
+        """toNumPy analog (image.py:1087-1176): assemble one image's tiles
+        driver-side.  Test-scale only by design."""
+        rows = self.to_tiles().where(
+            F.col("image_id") == image_id
+        ).collect()
+        return export_ops.assemble_image(rows, bands, h, w, dtype)

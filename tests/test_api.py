@@ -89,3 +89,34 @@ def test_download_kill_resume_equals_oneshot(spark, tmp_path):
     assert snap["snapshot_id"] == sid2 and snap["parent_id"] == sid1
     # nothing pending after the resume
     assert snapshots.pending_keys(full.df, t_resumed, "image_id").count() == 0
+
+
+def test_image_facade_mask_export_roundtrip(spark, tmp_path):
+    """Image surface: from_id -> config -> mask_clouds -> prepare_for_export
+    -> to_numpy, matching the reference's MaskedImage/accessor chain."""
+    import numpy as np
+    from geedim_spark.api import Image
+
+    path = str(tmp_path / "imgs")
+    synth.images_df(spark, 30).write.parquet(path)
+    # i=7: landsat (7%3=1), raw (7%4=3? no — 7%4=3 -> dct8).  use i=4:
+    # 4%3=1 landsat, 4%4=0 raw, f_px=(4%5)*4=16, c_px=(4%7)*2=8, v=5
+    img = Image.from_id(spark, path, "IMG/00000004")
+    assert img.df.count() == 1
+
+    stats = img.add_mask_bands().first()
+    assert stats["FILL_PORTION" if "FILL_PORTION" in img.add_mask_bands().columns
+                 else "fill_portion"] == (40 - 16) / 40 * 100
+
+    masked = img.mask_clouds()
+    px = codecs.decode(bytes(masked.df.first()["bytes"]))
+    # cloud strip (last 8 cols) forced to nodata in B1
+    assert (px[0, :, -8:] == codecs.NODATA_VALS["uint16"]).all()
+    assert (px[0, :, 16:32] == 5).all()
+
+    out = img.prepare_for_export(
+        scale_offset={0: (2.0, 1.0)}, dtype="uint32", band_regex="B1"
+    ).to_numpy("IMG/00000004", bands=1, h=40, w=40, dtype="uint32")
+    assert out.dtype == np.uint32
+    assert (out[0, :, 16:] == 5 * 2 + 1).all()
+    assert (out[0, :, :16] == 1).all()  # nodata 0 scaled: 0*2+1
