@@ -57,3 +57,47 @@ def to_xarray(array: np.ndarray, transform, band_names: list[str], attrs=None):
         coords={"band": band_names[: array.shape[0]], **coords},
         attrs=attrs or {},
     )
+
+
+def write_image_files(
+    tiles: "DataFrame",  # noqa: F821 (typing only; module stays Spark-lazy)
+    out_dir: str,
+    bands: int,
+    h: int,
+    w: int,
+    dtype: str = "uint16",
+):
+    """Distributed per-image file sink (K1 completion): assemble each
+    image's tiles INSIDE its executor group and write one ``.npy`` file
+    per image (the public numpy container — this environment has no
+    GeoTIFF codec; swap the ``np.save`` for a rasterio write on a cluster
+    that ships one).  The reference's sequential per-image GeoTIFF loop
+    (image.py:954-1085) becomes one shuffle on image_id + parallel writes:
+    every image's file is produced by exactly one task, and the returned
+    manifest frame (image_id, path, nbytes) is the commit record.
+
+    ``out_dir`` must be a path every executor can reach (local[*]: any
+    local dir; a real cluster: a shared filesystem / object-store mount).
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        image_id = pdf["image_id"].iloc[0]
+        arr = assemble_image(pdf.to_dict("records"), bands, h, w, dtype)
+        safe = str(image_id).replace("/", "-")  # download.py:82-86 naming
+        path = os.path.join(out_dir, f"{safe}.npy")
+        np.save(path, arr)
+        return pd.DataFrame([
+            {"image_id": image_id, "path": path,
+             "nbytes": int(os.path.getsize(path))}
+        ])
+
+    return (
+        tiles.groupBy("image_id")
+        .applyInPandas(_write, schema="image_id string, path string, nbytes long")
+    )

@@ -50,3 +50,25 @@ def test_medoid_stack_cap(spark):
     px = codecs.decode(bytes(out["bytes"]))
     assert (px[0] == 9).all()
     assert out["n_inputs"] == 10  # inputs counted pre-cap
+
+
+def test_write_image_files_distributed_sink(spark, tmp_path):
+    """K1: per-image .npy files written executor-side; round-trip equals
+    the driver-side assembly."""
+    import numpy as np
+    from geedim_spark import synth
+    from geedim_spark.operators import export_ops
+    from geedim_spark.sources import sinks
+
+    imgs = synth.images_df(spark, 9, scalar_filter="fmt = 'raw'")
+    tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
+    out = str(tmp_path / "files")
+    manifest = sinks.write_image_files(tiles, out, bands=2, h=40, w=40).collect()
+    assert len(manifest) == imgs.count()
+    for r in manifest:
+        arr = np.load(r["path"])
+        want = export_ops.assemble_image(
+            tiles.where(tiles.image_id == r["image_id"]).collect(), 2, 40, 40,
+            "uint16")
+        assert np.array_equal(arr, want)
+        assert r["nbytes"] == arr.nbytes + 128  # npy header
