@@ -79,12 +79,33 @@ class Collection:
 
     def composite(self, method: str = "q-mosaic", date: str | None = None,
                   by_portion: bool = False) -> "Collection":
+        """Composite the collection into a downloadable one-image frame.
+
+        The raw composite kernel emits (group_id, bytes, n_inputs); this
+        re-attaches the image-table columns (grid, id, caption, a
+        'COMPOSITE/<method>' collection tag) so the chained
+        ``.download(...)`` works on the result, like the reference CLI's
+        composite -> download chain (cli.py:984-1014 -> 771-829).  Masks
+        were already applied INSIDE the composite; the generic (non-sensor)
+        branch of the export mask kernel then passes pixels through."""
         src = comp_ops.sort_for_composite(self.df, method, date=date,
                                           by_portion=by_portion)
         out = comp_ops.composite_collection(
             src, method, mask_opts=self.cloud_kwargs
         )
-        return Collection(out, self.cloud_kwargs)
+        name = method.upper().replace("-", "_")
+        meta = self.df.agg(
+            F.first("w").alias("w"), F.first("h").alias("h"),
+            F.min("time_start").alias("time_start"),
+        )
+        decorated = out.crossJoin(F.broadcast(meta)).select(
+            F.concat(F.lit(f"{name}-COMP-"), F.col("group_id")).alias("image_id"),
+            F.concat(F.lit(f"caption-{method}-"), F.col("group_id")).alias("caption"),
+            "bytes", "n_inputs",
+            F.lit(f"COMPOSITE/{name}").alias("collection"),
+            "w", "h", F.lit("raw").alias("fmt"), "time_start",
+        )
+        return Collection(decorated, self.cloud_kwargs)
 
     def composite_metadata(self, method: str) -> DataFrame:
         return comp_ops.composite_metadata(self.df, method)

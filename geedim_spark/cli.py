@@ -1,0 +1,153 @@
+"""Chained CLI — the reference's click pipeline as a Spark entrypoint.
+
+geedim's CLI is a chained group (cli.py:386-396): ``geedim config ...
+search ... composite ... download ...`` where each stage reads/extends a
+shared context.  This module reproduces that shape without click (argparse
+only, per the environment constraints): argv is split on the known command
+names and each segment is parsed by its own sub-parser, threading a
+:class:`geedim_spark.api.Collection` through the stages.
+
+    python -m geedim_spark --input /data/images.parquet \\
+        config --no-mask-shadows \\
+        search --start 2024-01-01 --end 2025-01-01 --cloudless-portion 60 \\
+        composite --method q-mosaic \\
+        download --out /tmp/export_table
+
+``--synthetic N`` replaces ``--input`` for a self-contained demo run.
+Each stage prints a one-line summary (the reference's tqdm/status analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+COMMANDS = ("config", "search", "composite", "download")
+
+
+def _split_chain(argv: list[str]) -> tuple[list[str], list[list[str]]]:
+    """Split argv into (global args, [per-command segments])."""
+    segments, current = [], []
+    globals_done = False
+    glob: list[str] = []
+    for tok in argv:
+        if tok in COMMANDS:
+            if globals_done:
+                segments.append(current)
+            globals_done = True
+            current = [tok]
+        elif globals_done:
+            current.append(tok)
+        else:
+            glob.append(tok)
+    if globals_done:
+        segments.append(current)
+    return glob, segments
+
+
+def _parsers() -> dict[str, argparse.ArgumentParser]:
+    config = argparse.ArgumentParser(prog="config", add_help=False)
+    config.add_argument("--mask-shadows", dest="mask_shadows",
+                        action="store_true", default=None)
+    config.add_argument("--no-mask-shadows", dest="mask_shadows",
+                        action="store_false", default=None)
+    config.add_argument("--mask-cirrus", dest="mask_cirrus",
+                        action="store_true", default=None)
+    config.add_argument("--no-mask-cirrus", dest="mask_cirrus",
+                        action="store_false", default=None)
+    config.add_argument("--mask-aerosols", dest="mask_aerosols",
+                        action="store_true", default=None)
+    config.add_argument("--mask-nonphysical", dest="mask_nonphysical",
+                        action="store_true", default=None)
+
+    search = argparse.ArgumentParser(prog="search", add_help=False)
+    search.add_argument("--start")
+    search.add_argument("--end")
+    search.add_argument("--custom-filter")
+    search.add_argument("--fill-portion", type=float)
+    search.add_argument("--cloudless-portion", type=float)
+    search.add_argument("--rois", help="parquet path of the ROI table")
+    search.add_argument("--synthetic-rois", type=int, default=None,
+                        help="generate M synthetic ROIs instead of --rois")
+
+    composite = argparse.ArgumentParser(prog="composite", add_help=False)
+    composite.add_argument("--method", default="q-mosaic")
+    composite.add_argument("--date")
+    composite.add_argument("--by-portion", action="store_true")
+
+    download = argparse.ArgumentParser(prog="download", add_help=False)
+    download.add_argument("--out", required=True)
+    download.add_argument("--partition-col", default="collection")
+    download.add_argument("--no-resume", action="store_true")
+    download.add_argument("--max-tile-dim", type=int, default=10000)
+    download.add_argument("--max-tile-bands", type=int, default=1024)
+
+    return {"config": config, "search": search,
+            "composite": composite, "download": download}
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    from geedim_spark import synth
+    from geedim_spark.api import Collection
+    from geedim_spark.session import get_session
+
+    glob_parser = argparse.ArgumentParser(prog="geedim_spark")
+    glob_parser.add_argument("--input", help="images parquet path")
+    glob_parser.add_argument("--synthetic", type=int, default=None,
+                             help="use N synthetic images instead of --input")
+    glob_parser.add_argument("--master", default=None)
+
+    glob_args_raw, segments = _split_chain(
+        list(sys.argv[1:] if argv is None else argv)
+    )
+    gargs = glob_parser.parse_args(glob_args_raw)
+    if not segments:
+        glob_parser.error(f"no commands given (chain any of {COMMANDS})")
+    if (gargs.input is None) == (gargs.synthetic is None):
+        glob_parser.error("exactly one of --input / --synthetic is required")
+
+    spark = spark or get_session("geedim_spark_cli", master=gargs.master)
+    if gargs.synthetic is not None:
+        coll = Collection.from_synthetic(spark, gargs.synthetic,
+                                         scalar_filter="fmt = 'raw'")
+    else:
+        coll = Collection.from_parquet(spark, gargs.input)
+
+    parsers = _parsers()
+    for seg in segments:
+        cmd, rest = seg[0], seg[1:]
+        args = parsers[cmd].parse_args(rest)
+        if cmd == "config":
+            kwargs = {k: v for k, v in vars(args).items() if v is not None}
+            coll = coll.config(**kwargs)
+            print(f"config: {coll.cloud_kwargs}")
+        elif cmd == "search":
+            rois = None
+            if args.synthetic_rois is not None:
+                rois = synth.rois_df(spark, args.synthetic_rois)
+            elif args.rois:
+                rois = spark.read.parquet(args.rois)
+            coll = coll.search(
+                start=args.start, end=args.end, rois=rois,
+                custom_filter=args.custom_filter,
+                fill_portion=args.fill_portion,
+                cloudless_portion=args.cloudless_portion,
+            )
+            print(f"search: {coll.count()} images match")
+        elif cmd == "composite":
+            coll = coll.composite(args.method, date=args.date,
+                                  by_portion=args.by_portion)
+            print(f"composite: {args.method}")
+        elif cmd == "download":
+            snap = coll.download(
+                args.out, partition_col=args.partition_col,
+                resume=not args.no_resume,
+                max_tile_dim=args.max_tile_dim,
+                max_tile_bands=args.max_tile_bands,
+            )
+            print(f"download: snapshot {snap} -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
