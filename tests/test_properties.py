@@ -105,3 +105,55 @@ def test_edt_property_vs_bruteforce(seed):
     yy, xx = np.mgrid[0:12, 0:14]
     want = ((yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2).min(axis=-1)
     assert np.array_equal(got, want.astype(float))
+
+
+_lon = st.floats(-180.0, 180.0, allow_nan=False)
+_lat = st.floats(-89.9, 89.9, allow_nan=False)
+
+
+@_S
+@given(a0=_lon, a1=_lon, b0=_lon, b1=_lon)
+def test_geo_arc_intersection_equals_segment_expansion(a0, a1, b0, b1):
+    """Circular-arc lon intersection == expand-crossing-arcs brute force."""
+    def segs(x0, x1):
+        return [(x0, x1)] if x0 <= x1 else [(x0, 180.0), (-180.0, x1)]
+
+    want = any(
+        s0 <= t1 and s1 >= t0
+        for s0, s1 in segs(a0, a1) for t0, t1 in segs(b0, b1)
+    )
+    got = bool(
+        geometry.lon_interval_contains(a0, a1, b0)
+        | geometry.lon_interval_contains(b0, b1, a0)
+    )
+    assert got == want
+
+
+@_S
+@given(
+    lon0=_lon, lat0=_lat, dlon=st.floats(0.0, 359.0), dlat=st.floats(0.0, 20.0),
+    fx=st.floats(0.0, 1.0), fy=st.floats(0.0, 1.0), res=st.integers(3, 8),
+)
+def test_geo_cover_contains_interior_points(lon0, lat0, dlon, dlat, fx, fy, res):
+    """Every point inside a (possibly antimeridian-crossing) geographic bbox
+    falls in a covered cell."""
+    lat1 = min(lat0 + dlat, 89.9)
+    raw1 = lon0 + dlon
+    lon1 = raw1 - 360.0 if raw1 > 180.0 else raw1   # crossing iff wrapped
+    plon = lon0 + fx * dlon                          # interior point (unwrapped)
+    plat = lat0 + fy * (lat1 - lat0)
+    cover = set(cells.np_geo_cover_bbox(lon0, lat0, lon1, lat1, res).tolist())
+    pcell = int(cells.np_geo_cell(np.array([plon]), np.array([plat]), res)[0])
+    assert pcell in cover
+
+
+@_S
+@given(lon=_lon, lat=_lat, k=st.integers(1, 3), res=st.integers(3, 8))
+def test_geo_kring_members_within_wrapped_chebyshev(lon, lat, k, res):
+    n = 1 << res
+    c = int(cells.np_geo_cell(np.array([lon]), np.array([lat]), res)[0])
+    cx, cy = divmod(c, n)
+    for m in cells.np_geo_kring(c, k, res):
+        mx, my = divmod(int(m), n)
+        dx = min((mx - cx) % n, (cx - mx) % n)       # wrapped lon distance
+        assert dx <= k and abs(my - cy) <= k
