@@ -182,9 +182,10 @@ class Image:
 
     def mask_clouds(self) -> "Image":
         """updateMask(CLOUDLESS_MASK) analog — non-cloudless pixels to
-        nodata; other columns rejoined."""
+        nodata; other columns rejoined.  The kernel re-encodes RAW and
+        rewrites fmt, so the source's fmt column is dropped with bytes."""
         masked = masks.mask_clouds(self.df, **self.cloud_kwargs)
-        other = self.df.drop("bytes")
+        other = self.df.drop("bytes", "fmt")
         return Image(other.join(masked, "image_id"), dict(self.cloud_kwargs))
 
     # -- export surface (image.py:741-1176) ---------------------------------

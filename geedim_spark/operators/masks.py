@@ -23,8 +23,8 @@ The per-pixel formulas reproduce /root/reference/geedim/mask.py exactly:
   (mask.py:466-472)
 - CLOUDLESS        = ~combined & fill (mask.py:204-207, 501-506)
 - CLOUD_DIST       = clamp(sqrt(EDT2(~cloudless)) * scale, 0, max_cloud_dist)
-                     as uint16 (mask.py:88-124) — exact Felzenszwalb-
-                     Huttenlocher EDT instead of EE fastDistanceTransform
+                     as uint16 (mask.py:88-124) — exact clamp-bounded
+                     offset-sweep EDT instead of EE fastDistanceTransform
 - portions         = FILL_PORTION = 100*fill/total;
                      CLOUDLESS_PORTION = 100*cloudless/fill (mask.py:135-151);
                      pinned to 100 for collections without cloud support
@@ -227,6 +227,8 @@ def _disk_offsets(radius: int) -> list[tuple[int, int]]:
 def _shift(mask: np.ndarray, dy: int, dx: int, fill: bool) -> np.ndarray:
     out = np.full_like(mask, fill)
     h, w = mask.shape
+    if abs(dy) >= h or abs(dx) >= w:
+        return out  # shifted fully off the array: all fill
     ys0, ys1 = max(0, dy), min(h, h + dy)
     xs0, xs1 = max(0, dx), min(w, w + dx)
     out[ys0:ys1, xs0:xs1] = mask[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx]
@@ -268,15 +270,23 @@ def directional_project(mask: np.ndarray, azimuth_deg: float, npix: int) -> np.n
     return out
 
 
-def edt_squared(sources: np.ndarray) -> np.ndarray:
+def edt_squared(sources: np.ndarray, max_r: int | None = None) -> np.ndarray:
     """Exact 2D squared Euclidean distance transform to the nearest True
-    pixel — fully vectorised two-pass form.
+    pixel — vectorised two-pass form.
 
     Pass 1 (per column): 1D distance in rows to the nearest source via
     forward/backward running extrema (binary input makes the 1D transform a
-    cummax/cummin).  Pass 2 (per row): exact lower envelope
-    ``min_x'(d1(x')^2 + (x - x')^2)`` as a broadcast min, chunked over rows
-    to bound memory.  Pixels with no source anywhere get a large sentinel.
+    cummax/cummin).  Pass 2 (per row): lower envelope
+    ``min_x'(d1(x')^2 + (x - x')^2)`` as a column-offset sweep — each
+    offset is one vectorised shifted min, so the cost is O(h*w*R) time and
+    O(h*w) memory for R = ``max_r`` (default w-1 = fully exact).
+
+    ``max_r`` bounds the column search radius: any pixel whose true
+    distance is <= max_r is still EXACT (its nearest source is within
+    max_r columns); pixels farther than max_r only ever report >= the true
+    distance — callers that clamp at D pixels pass ``max_r=D`` and lose
+    nothing (cloud_dist does).  Pixels with no source anywhere get a large
+    sentinel.
     """
     h, w = sources.shape
     INF = float(2 * (h * h + w * w) + 1)
@@ -289,14 +299,12 @@ def edt_squared(sources: np.ndarray) -> np.ndarray:
     d1 = np.minimum(up, down)
     d1sq = np.where(d1 > h, INF, d1.astype(np.float64) ** 2)
 
-    xs = np.arange(w, dtype=np.float64)
-    xdiff = (xs[:, None] - xs[None, :]) ** 2  # (w_out, w_src)
-    out = np.empty((h, w), dtype=np.float64)
-    chunk = max(1, int(4_000_000 // (w * w)) or 1)
-    for r0 in range(0, h, chunk):
-        r1 = min(h, r0 + chunk)
-        # (rows, w_out, w_src) -> min over source column
-        out[r0:r1] = (d1sq[r0:r1, None, :] + xdiff[None, :, :]).min(axis=2)
+    R = w - 1 if max_r is None else max(0, min(w - 1, int(max_r)))
+    out = d1sq.copy()
+    for dx in range(1, R + 1):
+        sq = float(dx * dx)
+        np.minimum(out[:, dx:], d1sq[:, :-dx] + sq, out=out[:, dx:])
+        np.minimum(out[:, :-dx], d1sq[:, dx:] + sq, out=out[:, :-dx])
     return out
 
 
@@ -310,8 +318,10 @@ def cloud_dist(
     if not sources.any():
         d = np.full(cloudless.shape, max_cloud_dist)
     else:
-        d = np.sqrt(edt_squared(sources)) * scale
-    return np.clip(d, 0, max_cloud_dist).astype(np.uint16)
+        max_px = int(math.ceil(max_cloud_dist / scale))
+        d = np.sqrt(edt_squared(sources, max_r=max_px)) * scale
+    # saturate, don't wrap: toUint16 semantics for max_cloud_dist > 65535
+    return np.clip(d, 0, min(max_cloud_dist, 65535)).astype(np.uint16)
 
 
 def decode_bands(buf: bytes, band_names=BAND_NAMES) -> dict[str, np.ndarray]:
@@ -349,6 +359,15 @@ def _sensor_for(collection: str) -> str:
     return "none"
 
 
+def default_masks(bands: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Fallback for collections without cloud support: FILL from the
+    reflectance bands, CLOUDLESS == FILL (portions pin to 100)."""
+    fill = fill_mask(
+        np.stack([v for k, v in bands.items() if k != "QA_PIXEL"])
+    )
+    return {"FILL_MASK": fill, "CLOUDLESS_MASK": fill}
+
+
 def mask_stats(images: DataFrame, **mask_opts) -> DataFrame:
     """Per-image mask pixel counts — one mapInPandas pass, zero shuffle.
 
@@ -364,8 +383,7 @@ def mask_stats(images: DataFrame, **mask_opts) -> DataFrame:
             if sensor == "landsat":
                 m = landsat_masks(bands, **mask_opts)
             else:
-                fill = fill_mask(np.stack([v for k, v in bands.items() if k != "QA_PIXEL"]))
-                m = {"FILL_MASK": fill, "CLOUDLESS_MASK": fill}
+                m = default_masks(bands)
             step = stats_stride(m["FILL_MASK"].size)
             sub = (slice(None, None, step), slice(None, None, step))
             rows.append({
@@ -514,8 +532,7 @@ def cloud_dist_stats(
             if _sensor_for(coll) == "landsat":
                 m = landsat_masks(bands, **mask_opts)
             else:
-                fill = fill_mask(np.stack([v for k, v in bands.items() if k != "QA_PIXEL"]))
-                m = {"CLOUDLESS_MASK": fill}
+                m = default_masks(bands)
             mk = m["CLOUDLESS_MASK"]
             if decimate > 1:
                 mk = mk[::decimate, ::decimate]
@@ -529,26 +546,31 @@ def cloud_dist_stats(
     )
 
 
-_MASKED_SCHEMA = "image_id string, bytes binary"
+_MASKED_SCHEMA = "image_id string, bytes binary, fmt string"
 
 
 def mask_clouds(images: DataFrame, **mask_opts) -> DataFrame:
     """Apply the cloudless mask to the data bands: non-cloudless pixels set
     to nodata (updateMask(CLOUDLESS_MASK) analog, mask.py:131-133).  Returns
-    (image_id, bytes) with re-encoded pixels; join back for other columns."""
+    (image_id, bytes, fmt) — pixels are re-encoded RAW (masking a lossy
+    stream exactly requires decoding it), so the row's ``fmt`` is rewritten
+    to 'raw'; callers joining back must take THIS fmt, not the source's."""
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for image_id, buf, coll, fmt in zip(
-            pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["fmt"]
+        for image_id, buf, coll in zip(
+            pdf["image_id"], pdf["bytes"], pdf["collection"]
         ):
             px = codecs.decode(bytes(buf))
             bands = {n: px[i] for i, n in enumerate(BAND_NAMES[: px.shape[0]])}
             if _sensor_for(coll) == "landsat":
                 m = landsat_masks(bands, **mask_opts)
-                px = px.copy()
                 px[0][~m["CLOUDLESS_MASK"]] = codecs.NODATA_VALS[px.dtype.name]
-            out.append({"image_id": image_id, "bytes": codecs.encode(px, "raw")})
-        return pd.DataFrame(out, columns=["image_id", "bytes"])
+            out.append({
+                "image_id": image_id,
+                "bytes": codecs.encode(px, "raw"),
+                "fmt": "raw",
+            })
+        return pd.DataFrame(out, columns=["image_id", "bytes", "fmt"])
 
-    src = images.select("image_id", "bytes", "collection", "fmt")
+    src = images.select("image_id", "bytes", "collection")
     return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_MASKED_SCHEMA)

@@ -56,8 +56,7 @@ def mask_tiles(
             if masks._sensor_for(coll) == "landsat":
                 m = masks.landsat_masks(bands, **mask_opts)
             else:
-                m = {"CLOUDLESS_MASK": masks.fill_mask(
-                    np.stack([v for k, v in bands.items() if k != "QA_PIXEL"]))}
+                m = masks.default_masks(bands)
             mk = m["CLOUDLESS_MASK"].astype(np.uint8)
             h, w = mk.shape
             n_tr, n_tc = math.ceil(h / tile_h), math.ceil(w / tile_w)
@@ -96,7 +95,10 @@ def halo_apply(
     the whole-image computation).  Must return an array the same shape as
     its input; the centre crop is re-encoded as the tile result.
     """
-    k = max(1, math.ceil(halo_px / min(tile_h, tile_w)))
+    # halo_px=0 needs NO neighbour replication (k=0 -> only the centre
+    # tile survives the kRing explode); a forced k=1 would shuffle 9x the
+    # volume and discard 8/9ths at the placement clamp
+    k = math.ceil(halo_px / min(tile_h, tile_w))
     offs = [(dy, dx) for dy, dx in product(range(-k, k + 1), repeat=2)]
     off_col = F.array(*[
         F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in offs
@@ -158,7 +160,8 @@ def cloud_dist_kernel(scale: float, max_cloud_dist: float):
         sources = (padded == 0) & valid
         if not sources.any():
             return np.full(padded.shape, max_cloud_dist)
-        d = np.sqrt(masks.edt_squared(sources)) * scale
+        max_px = int(math.ceil(max_cloud_dist / scale))
+        d = np.sqrt(masks.edt_squared(sources, max_r=max_px)) * scale
         return np.clip(d, 0, max_cloud_dist)
     return kernel
 

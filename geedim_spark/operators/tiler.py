@@ -124,11 +124,17 @@ def explode_tiles(
     )
     if "transform" in images.columns:
         t = F.col("transform")
+        # affine composition T * translation(col, row) (tile.py:91-97):
+        # the offset needs BOTH cross-terms — c' = c + col*a + row*b,
+        # f' = f + col*d + row*e (b=d=0 for axis-aligned grids, but sheared
+        # or rotated transforms are valid reference inputs)
         tiled = tiled.withColumn(
             "tile_transform",
             F.array(
-                t[0], t[1], t[2] + F.col("col_start") * t[0],
-                t[3], t[4], t[5] + F.col("row_start") * t[4],
+                t[0], t[1],
+                t[2] + F.col("col_start") * t[0] + F.col("row_start") * t[1],
+                t[3], t[4],
+                t[5] + F.col("col_start") * t[3] + F.col("row_start") * t[4],
             ),
         )
     return tiled.drop("tb", "th", "tw")

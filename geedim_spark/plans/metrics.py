@@ -65,10 +65,7 @@ def mask_stats_with_metrics(
             if masks._sensor_for(coll) == "landsat":
                 m = masks.landsat_masks(bands, **mask_opts)
             else:
-                fill = masks.fill_mask(
-                    np.stack([v for k, v in bands.items() if k != "QA_PIXEL"])
-                )
-                m = {"FILL_MASK": fill, "CLOUDLESS_MASK": fill}
+                m = masks.default_masks(bands)
             rows.append({
                 "image_id": image_id,
                 "total_px": int(m["FILL_MASK"].size),

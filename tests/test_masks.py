@@ -262,3 +262,45 @@ def test_stats_stride_decimation():
     assert masks.stats_stride(1_000_000) == 1
     assert masks.stats_stride(4_000_000) == 2
     assert masks.stats_stride(100_000_000) == 10
+
+
+def test_shift_larger_than_array_is_all_fill():
+    """Regression: |shift| >= dim previously raised a broadcast ValueError."""
+    m = np.zeros((5, 7), bool)
+    m[2, 3] = True
+    assert not masks._shift(m, 6, 0, False).any()
+    assert masks._shift(m, 0, -8, True).all()
+    assert not masks.focal_max(m, 10)[0, 0] or True  # no crash
+    assert masks.focal_max(m, 10).any()
+
+
+def test_s2_default_shadow_dist_small_image_no_crash():
+    """Regression: default shadow_dist=1000/scale=10 -> npix=100 shifts on a
+    40x40 image crashed _shift; now shifts fully off the array are empty."""
+    h = w = 40
+    bands = {
+        "B1": np.full((h, w), 5, np.uint16),
+        "B8": np.full((h, w), 100, np.uint16),
+        "QA60": np.zeros((h, w), np.int64),
+    }
+    m = masks.s2_masks(bands, mask_method="qa")
+    assert m["FILL_MASK"].all()
+    assert m["CLOUDLESS_MASK"].all()
+
+
+def test_edt_bounded_radius_exact_within_clamp():
+    rng = np.random.default_rng(5)
+    src = rng.random((30, 50)) < 0.02
+    src[4, 9] = True
+    full = masks.edt_squared(src)
+    bounded = masks.edt_squared(src, max_r=6)
+    near = full <= 36.0
+    assert np.array_equal(full[near], bounded[near])
+    assert (bounded >= full).all()
+
+
+def test_cloud_dist_saturates_beyond_uint16():
+    """Regression: max_cloud_dist > 65535 wrapped modulo 65536."""
+    cloudless = np.ones((4, 4), bool)
+    d = masks.cloud_dist(cloudless, scale=10.0, max_cloud_dist=70000.0)
+    assert (d == 65535).all()

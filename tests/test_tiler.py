@@ -99,3 +99,24 @@ def test_tile_transform(spark):
     assert ttf[2] == tf[2] + 21 * tf[0]
     assert ttf[5] == tf[5] + 21 * tf[4]
     assert ttf[0] == tf[0] and ttf[4] == tf[4]
+
+
+def test_tile_transform_with_shear(spark):
+    """Regression: the tile offset needs BOTH affine cross-terms
+    (c' = c + col*a + row*b; f' = f + col*d + row*e — tile.py:91-97)."""
+    from pyspark.sql import functions as F
+    from geedim_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [("I", 2, 44, 44)], "image_id string, bands int, h int, w int"
+    ).withColumn(
+        "transform",
+        F.array(*[F.lit(float(v)) for v in (10.0, 2.0, 500.0, 3.0, -10.0, 800.0)]),
+    )
+    tiles = tiler.explode_tiles(df, max_tile_dim=22, max_tile_bands=2)
+    got = {(r["row_start"], r["col_start"]): r["tile_transform"]
+           for r in tiles.collect()}
+    t = got[(22, 22)]
+    assert t[2] == 500.0 + 22 * 10.0 + 22 * 2.0   # c + col*a + row*b
+    assert t[5] == 800.0 + 22 * 3.0 + 22 * -10.0  # f + col*d + row*e
+    assert t[0] == 10.0 and t[1] == 2.0 and t[3] == 3.0 and t[4] == -10.0
