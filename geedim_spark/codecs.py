@@ -95,8 +95,10 @@ def encode_dct8(pixels: np.ndarray) -> bytes:
     padded[:, :, w:] = padded[:, :, w - 1 : w]
     blocks = padded.reshape(bands, hp // _N, _N, wp // _N, _N).transpose(0, 1, 3, 2, 4)
     coef = np.einsum("ij,bkljm,nm->bklin", _DCT, blocks, _DCT)
-    q = np.rint(coef / _QSTEP)
-    q = np.clip(q, -32768, 32767).astype(np.int16)
+    # int32 coefficients: the DC term of an 8x8 block is 8*mean/QSTEP —
+    # int16 clipped (silently corrupting) any block with mean > ~8192,
+    # i.e. ordinary bright uint16 imagery; int32 holds the full dtype range
+    q = np.rint(coef / _QSTEP).astype(np.int32)
     hdr = _HDR.pack(MAGIC_DCT, _DTYPE_CODE[pixels.dtype.name], bands, h, w)
     return hdr + q.tobytes()
 
@@ -104,7 +106,7 @@ def encode_dct8(pixels: np.ndarray) -> bytes:
 def _decode_dct8(buf: bytes, code: int, bands: int, h: int, w: int) -> np.ndarray:
     hp, wp = -(-h // _N) * _N, -(-w // _N) * _N
     nb = bands * (hp // _N) * (wp // _N) * _N * _N
-    q = np.frombuffer(buf, dtype=np.int16, offset=_HDR.size, count=nb)
+    q = np.frombuffer(buf, dtype=np.int32, offset=_HDR.size, count=nb)
     q = q.reshape(bands, hp // _N, wp // _N, _N, _N).astype(np.float64) * _QSTEP
     blocks = np.einsum("ij,bklin,nm->bkljm", _DCT, q, _DCT)
     padded = blocks.transpose(0, 1, 3, 2, 4).reshape(bands, hp, wp)

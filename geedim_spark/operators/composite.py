@@ -87,33 +87,43 @@ def composite_stack(
 
 def _masked_mode(stack: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Pixelwise most-frequent value among valid pixels; ties -> smallest
-    value (deterministic)."""
-    n, bands, h, w = stack.shape
-    out = np.full((bands, h, w), np.nan)
-    flat = stack.reshape(n, bands, -1)
-    vflat = valid.reshape(n, -1)
-    for p in range(flat.shape[2]):
-        ok = vflat[:, p]
-        if not ok.any():
-            continue
-        for b in range(bands):
-            vals, counts = np.unique(flat[ok, b, p], return_counts=True)
-            out[b, :, :].reshape(-1)[p] = vals[np.argmax(counts)]
-    return out
+    value (deterministic).
+
+    Vectorised sort + run-length form (no per-pixel Python): sort each
+    pixel's values ascending with invalid as +inf (sorts last), count each
+    value's run length cumulatively, and take the FIRST position achieving
+    the maximal count — within a run counts peak at its end, and between
+    equal-count runs the earlier (smaller-value) run's end comes first."""
+    n = stack.shape[0]
+    s = np.where(valid[:, None, :, :], stack.astype(np.float64), np.inf)
+    s.sort(axis=0)
+    is_new = np.ones(s.shape, dtype=bool)
+    is_new[1:] = s[1:] != s[:-1]
+    pos = np.arange(n, dtype=np.int64).reshape(-1, 1, 1, 1)
+    run_start = np.where(is_new, pos, 0)
+    np.maximum.accumulate(run_start, axis=0, out=run_start)
+    counts = pos - run_start + 1
+    counts[np.isinf(s)] = 0                      # invalid runs never win
+    best = counts.argmax(axis=0)                 # first max -> smallest value
+    comp = np.take_along_axis(s, best[None], axis=0)[0]
+    return np.where(np.isinf(comp), np.nan, comp)
 
 
 def _medoid(stack: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Per-pixel medoid: choose the image minimising sum over others of the
-    root sum-of-squared band differences (sqrt-SED, medoid.py:59-63); fully
-    vectorised O(N^2) pairwise distances; invalid pixels excluded."""
-    n = stack.shape[0]
+    root sum-of-squared band differences (sqrt-SED, medoid.py:59-63).
+
+    O(N^2) pairwise distances computed INCREMENTALLY (one (N, bands, h, w)
+    difference per step) — the closed-form (N, N, bands, h, w) tensor is
+    4.3 GB for 64 2-band 256px images, an executor OOM; this loop holds
+    O(N * image) peak memory for the identical result."""
     s = stack.astype(np.float64)
-    # pairwise spectral distance per pixel: (N, N, h, w)
-    diff = s[:, None] - s[None, :]               # (N, N, bands, h, w)
-    sed = np.sqrt((diff ** 2).sum(axis=2))        # (N, N, h, w)
-    both = valid[:, None] & valid[None, :]
-    sed = np.where(both, sed, 0.0)
-    sumdist = sed.sum(axis=1)                     # (N, h, w)
+    n = s.shape[0]
+    sumdist = np.zeros((n,) + s.shape[2:], dtype=np.float64)
+    for j in range(n):
+        sed_j = np.sqrt(((s - s[j]) ** 2).sum(axis=1))   # (N, h, w)
+        both = valid & valid[j]
+        sumdist += np.where(both, sed_j, 0.0)
     sumdist = np.where(valid, sumdist, np.inf)
     best = np.argmin(sumdist, axis=0)             # ties -> lowest index
     return np.take_along_axis(stack, best[None, None, :, :], axis=0)[0].astype(np.float64)
@@ -131,7 +141,11 @@ def sort_for_composite(
 ) -> DataFrame:
     """Attach ``sort_key`` (bigger = better / wins).  Mirrors
     collection.py:392-418: closest-to-date wins when ``date`` given; else
-    highest CLOUDLESS_PORTION when ``by_portion``; else latest capture."""
+    highest CLOUDLESS_PORTION when ``by_portion``; else latest capture.
+    ``method`` is validated (the ordering itself is method-independent;
+    order only decides mosaic/q-mosaic tie-winners)."""
+    if method not in METHODS:
+        raise ValueError(f"unknown composite method {method!r} (not in {METHODS})")
     if date is not None:
         dist = F.abs(
             F.col("time_start").cast("double") - F.to_timestamp(F.lit(date)).cast("double")
@@ -225,12 +239,28 @@ def composite_tiled(
 
     Stage 1 (narrow): decode each image once, emit its tiles.
     Stage 2 (shuffle on (tr, tc)): stack + reduce per tile.
-    Equals the whole-image composite exactly — every method here is
-    pixelwise, so tiling commutes (tested in test_composite.py).
+
+    Tiling exactness: mosaic/mean/median/mode/medoid are PIXELWISE, so the
+    tiled result equals the whole-image composite bit-for-bit (tested in
+    test_composite.py).  q-mosaic's CLOUD_DIST is an EDT — here it is
+    computed per tile (a cloudless tile reports the clamp distance), which
+    equals the whole-image EDT only when every tile dimension is >=
+    ceil(max_cloud_dist/scale); smaller tiles give *per-tile* q-mosaic
+    semantics (what the driver query documents and oracles).  For
+    whole-image EDT semantics at scale, feed CLOUD_DIST from
+    stencil.halo_apply(cloud_dist_kernel) instead.
+
+    A caller-attached ``sort_key`` column (sort_for_composite) is honoured,
+    matching composite_collection; otherwise capture time is the order.
     """
     mask_opts = mask_opts or {}
-    src = images.select("image_id", "bytes", "collection", "time_start")
-    src = src.withColumn("sort_key", F.col("time_start").cast("double"))
+    cols = ["image_id", "bytes", "collection", "time_start"]
+    if "sort_key" in images.columns:
+        src = images.select(*cols, "sort_key")
+    else:
+        src = images.select(*cols).withColumn(
+            "sort_key", F.col("time_start").cast("double")
+        )
 
     def _tiles(it):
         for pdf in it:

@@ -42,7 +42,12 @@ def exact_dup_counts(documents: DataFrame) -> DataFrame:
 
 
 def shingles(text: Column, n: int = 5) -> Column:
-    """Distinct character n-gram array — pure Catalyst."""
+    """Distinct character n-gram array — pure Catalyst.
+
+    NULL text coerces to '' (one empty shingle), matching the kernel paths
+    (_np_shingle_hashes) so the Catalyst and Arrow implementations stay
+    value-identical on corpora containing NULLs."""
+    text = F.coalesce(text, F.lit(""))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
@@ -56,8 +61,22 @@ def shingle_hash(sh: Column) -> Column:
     return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long")
 
 
+def _check_n_hashes(n_hashes: int, bands: int | None = None) -> None:
+    if not 0 < n_hashes <= len(_A):
+        raise ValueError(
+            f"n_hashes must be in [1, {len(_A)}] (got {n_hashes}); "
+            "extend _A/_B for longer signatures"
+        )
+    if bands is not None and n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}) — "
+            "trailing hashes would be silently dropped"
+        )
+
+
 def minhash_signature(text: Column, n_hashes: int = 16, n: int = 5) -> Column:
     """array<long> of n_hashes permutation minima over the shingle set."""
+    _check_n_hashes(n_hashes)
     hashes = F.transform(shingles(text, n), lambda s: shingle_hash(s) % F.lit(_P))
 
     def _perm_fn(a: int, b: int):
@@ -96,6 +115,7 @@ def minhash_sig_df(
     in pipelines — one md5 per distinct shingle instead of a Catalyst
     expression tree per permutation.
     """
+    _check_n_hashes(n_hashes)
     a = np.array(_A[:n_hashes], dtype=np.int64)[:, None]
     b = np.array(_B[:n_hashes], dtype=np.int64)[:, None]
 
@@ -121,6 +141,7 @@ def minhash_lsh_pairs(
     equi-join on (band, band_hash) — shuffle key cardinality ~N*bands, no
     cross join anywhere.  Output: (doc_id_a, doc_id_b, n_shared_bands).
     """
+    _check_n_hashes(n_hashes, bands)
     rows_per_band = n_hashes // bands
     sigs = minhash_sig_df(documents, n_hashes, n)
     banded = sigs.select(
@@ -140,7 +161,9 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bhash")
     # the self-join consumes `banded` twice — persist so signatures are
-    # computed once (the kernel pass is the expensive stage)
+    # computed once (the kernel pass is the expensive stage).  The cache
+    # lives until session end / eviction: long-lived sessions doing many
+    # parameter sweeps should spark.catalog.clearCache() between runs.
     banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")

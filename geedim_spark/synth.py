@@ -307,8 +307,10 @@ def recipe_hash() -> str:
     import hashlib
     import inspect
 
+    from geedim_spark import codecs
+
     src = "".join(
         inspect.getsource(f)
         for f in (_scalar_base, _decorate_meta, _gen_bytes_batch, images_df)
-    )
+    ) + inspect.getsource(codecs)  # staged bytes embed the wire format
     return hashlib.sha1(src.encode()).hexdigest()[:8]

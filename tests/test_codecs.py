@@ -52,3 +52,17 @@ def test_phash_deterministic_and_discriminative():
     a = codecs.phash64(_strip_image(v=57))
     assert a == codecs.phash64(_strip_image(v=57))
     assert a != codecs.phash64(_strip_image(v=120))
+
+
+def test_dct8_bright_uint16_psnr():
+    """Regression: int16 coefficient storage clipped the DC term of any
+    block with mean > ~8192 (real Landsat SR range), silently decoding
+    bright content to garbage.  int32 coefficients hold the full range."""
+    rng = np.random.default_rng(11)
+    px = (20000 + rng.integers(0, 2000, size=(2, 24, 24))).astype(np.uint16)
+    out = codecs.decode(codecs.encode(px, "dct8"))
+    assert codecs.psnr(px.astype(float), out.astype(float), 65535.0) >= 40.0
+    # QA-style bit-15 blocks survive too
+    qa = np.full((1, 16, 16), 1 << 15, np.uint16)
+    back = codecs.decode(codecs.encode(qa, "dct8"))
+    assert codecs.psnr(qa.astype(float), back.astype(float), 65535.0) >= 40.0

@@ -149,7 +149,7 @@ def test_composite_tiled_equals_whole_image(spark):
             "time_start": base + pd.Timedelta(hours=i),
         })
     images = spark.createDataFrame(pd.DataFrame(rows))
-    for method in ["mosaic", "mean", "median"]:
+    for method in ["mosaic", "mean", "median", "mode", "medoid"]:
         whole = codecs.decode(bytes(
             comp.composite_collection(images, method).first()["bytes"]
         ))
@@ -205,3 +205,43 @@ def test_composite_deterministic_across_parallelism(spark):
     b = comp.composite_collection(
         spark.createDataFrame(pdf).repartition(8), "mosaic").first()["bytes"]
     assert bytes(a) == bytes(b)
+
+
+def test_masked_mode_vectorised_vs_bruteforce():
+    """Regression: the sort/run-length mode == per-pixel np.unique mode
+    (ties -> smallest value), including all-invalid pixels -> NaN."""
+    rng = np.random.default_rng(17)
+    n, bands, h, w = 7, 2, 6, 9
+    stack = rng.integers(0, 4, size=(n, bands, h, w)).astype(np.uint16)
+    valid = rng.random((n, h, w)) > 0.3
+    valid[:, 0, 0] = False  # an all-invalid pixel
+    got = comp._masked_mode(stack, valid)
+    for b in range(bands):
+        for y in range(h):
+            for x in range(w):
+                ok = valid[:, y, x]
+                if not ok.any():
+                    assert np.isnan(got[b, y, x])
+                    continue
+                vals, counts = np.unique(stack[ok, b, y, x], return_counts=True)
+                assert got[b, y, x] == vals[np.argmax(counts)], (b, y, x)
+
+
+def test_composite_tiled_honours_sort_key(spark):
+    """Regression: composite_tiled silently overwrote a caller-attached
+    sort_key with capture time — a date-targeted mosaic picked the newest
+    image instead of the closest-to-date one."""
+    import pandas as pd
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(4):
+        px = np.full((1, 8, 8), 10 + i, np.uint16)
+        rows.append({
+            "image_id": f"IMG/{i:08d}", "bytes": codecs.encode_raw(px),
+            "collection": "MOCK/CONST", "time_start": base + pd.Timedelta(days=i),
+        })
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    dated = comp.sort_for_composite(images, "mosaic", date="2024-01-02")
+    tiles = comp.composite_tiled(dated, "mosaic", tile_h=8, tile_w=8).collect()
+    px = codecs.decode(bytes(tiles[0]["bytes"]))
+    assert (px == 11).all()  # i=1 is closest to the target date, not i=3
