@@ -29,14 +29,22 @@ from geedim_spark.operators.spatial_join import filter_bounds_semi
 _PORTION_PROPS = ("FILL_PORTION", "CLOUDLESS_PORTION")
 
 
-def filter_date(images: DataFrame, start, end=None) -> DataFrame:
+def filter_date(images: DataFrame, start=None, end=None) -> DataFrame:
     """[start, end) time filter; end defaults to start + 1 ms
-    (collection.py:597-599 — tested to make a single-instant window)."""
-    start = _to_dt(start)
-    end = _to_dt(end) if end is not None else start + dt.timedelta(milliseconds=1)
-    return images.filter(
-        (F.col("time_start") >= F.lit(start)) & (F.col("time_start") < F.lit(end))
-    )
+    (collection.py:597-599 — tested to make a single-instant window).
+    Either bound may be None (end-only applies just the upper bound —
+    previously an end without a start was silently ignored)."""
+    if start is None and end is None:
+        return images
+    out = images
+    if start is not None:
+        start = _to_dt(start)
+        if end is None:
+            end = start + dt.timedelta(milliseconds=1)
+        out = out.filter(F.col("time_start") >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col("time_start") < F.lit(_to_dt(end)))
+    return out
 
 
 def _to_dt(v):
@@ -65,7 +73,7 @@ def search(
         )
 
     out = images
-    if start is not None:
+    if start is not None or end is not None:
         out = filter_date(out, start, end)
     if rois is not None:
         out = filter_bounds_semi(out, rois)

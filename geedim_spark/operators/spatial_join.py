@@ -121,7 +121,24 @@ def filter_bounds_semi(
     set selects << the broadcast threshold of ids.  Disable for joins where
     most of a 10^12-row table matches; the semi-join then shuffles on
     image_id (AQE picks the strategy)."""
-    matched = filter_bounds(images, rois, res, geo=geo).select("image_id").distinct()
+    # project to image_id BEFORE the single distinct: the pair-level
+    # distinct inside filter_bounds would shuffle the full candidate-pair
+    # set only to be collapsed to ids immediately after
+    img_cells = cover_cells(
+        images.select("image_id", "x0", "y0", "x1", "y1"),
+        "x0", "y0", "x1", "y1", res, geo=geo,
+    )
+    roi_sel = rois.select("roi_id", "rx0", "ry0", "rx1", "ry1")
+    roi_cells = F.broadcast(cover_cells(roi_sel, "rx0", "ry0", "rx1", "ry1", res, geo=geo))
+    refine = geo_bbox_intersects_col if geo else bbox_intersects_col
+    matched = (
+        img_cells.join(roi_cells, "cell")
+        .where(refine(
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+            F.col("rx0"), F.col("ry0"), F.col("rx1"), F.col("ry1"),
+        ))
+        .select("image_id").distinct()
+    )
     if broadcast_ids:
         matched = F.broadcast(matched)
     return images.join(matched, "image_id", "left_semi")
@@ -147,6 +164,12 @@ def salted_join(
     column share a bucket — harmless for correctness, and real tables carry
     a distinct id).
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left-side joins only (got {how!r}): "
+            "the small side is replicated `salt` times, so right/full outer "
+            "joins would emit unmatched small rows once per salt bucket"
+        )
     if salt_cols is None:
         salt_cols = [c for c, t in big.dtypes if not t.startswith("map")]
     big_s = big.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt)))
@@ -175,6 +198,10 @@ def adaptive_salted_join(
     fixed salt either under-splits the Zipfian head or multiplies the tail
     by the factor for nothing.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"adaptive_salted_join supports inner/left-side joins only (got {how!r})"
+        )
     counts = big.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt"))
     factors = counts.select(
         key,
@@ -184,12 +211,17 @@ def adaptive_salted_join(
         ).cast("int").alias("_n_salt"),
     )
     salt_cols = [c for c, t in big.dtypes if not t.startswith("map")]
+    # LEFT join + coalesce(1): an inner join here would silently DROP
+    # big rows with NULL keys and small rows whose key is absent from big
+    # (both must survive into the real join below with salt factor 1)
     big_s = (
-        big.join(F.broadcast(factors), key)
+        big.join(F.broadcast(factors), key, "left")
+        .withColumn("_n_salt", F.coalesce(F.col("_n_salt"), F.lit(1)))
         .withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.col("_n_salt")))
     )
     small_s = (
-        small.join(F.broadcast(factors), key)
+        small.join(F.broadcast(factors), key, "left")
+        .withColumn("_n_salt", F.coalesce(F.col("_n_salt"), F.lit(1)))
         .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_n_salt") - 1)))
     )
     return (

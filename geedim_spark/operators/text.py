@@ -96,11 +96,12 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def fingerprint(documents: DataFrame, window: int = 16) -> Column | DataFrame:
-    """(doc_id, fp): rolling polynomial hash of the document prefix —
-    cheap near-identity fingerprint (ints, deterministic)."""
+def fingerprint(documents: DataFrame, window: int = 64) -> DataFrame:
+    """(doc_id, fp, n_len): rolling polynomial hash of the first ``window``
+    characters — cheap near-identity fingerprint (ints, deterministic) plus
+    the document length."""
     text = F.col("text")
-    head = F.substring(text, 1, 64)
+    head = F.substring(text, 1, int(window))
     codes = F.transform(
         F.split(head, ""), lambda ch: F.when(ch != "", F.ascii(ch)).otherwise(F.lit(0))
     )

@@ -5,24 +5,43 @@ No Iceberg runtime jar ships in this environment (SURVEY §7.0), so the
 engine manages its own manifest over plain Parquet:
 
     table_dir/
-      data/<partition_col>=<key>/part-*.parquet
-      snapshots/snap-00000001.json      # full partition list + stats
+      data/commit-00000001/<partition_col>=<key>/part-*.parquet
+      data/commit-00000002/<partition_col>=<key>/part-*.parquet
+      snapshots/snap-00000001.json      # live partition list + stats
       snapshots/CURRENT                 # pointer, written last (atomic-ish)
 
-Each snapshot records every live partition with row counts and optional
-column stats (min/max) — that is what gives:
+Commits are APPEND-ONLY: every commit writes its partitions into its own
+``commit-<id>`` directory and the manifest maps each live partition key to
+the directory holding its current data.  Re-writing a partition points the
+new manifest at the new commit dir while the old files stay on disk — that
+is what makes isolation real: a reader resolving ``snap-1`` sees exactly
+snap-1's files even while snap-2 overwrites the same keys (the earlier
+in-place ``partitionOverwriteMode=dynamic`` layout silently leaked new data
+into old snapshots).  Unreferenced commit dirs can be garbage-collected by
+scanning manifests.
 
-- **snapshot isolation**: readers resolve CURRENT once and only read files
-  listed in that manifest;
+Partition keys are canonicalised to STRINGS in the manifest (JSON round-
+trips and directory names are strings anyway); a NULL key maps to Hive's
+``__HIVE_DEFAULT_PARTITION__``.  Per-partition row counts and optional
+min/max/sum stats are computed from the files just written (one columnar
+re-scan), never by re-running the input plan — at scale the input is the
+whole mask+tile pipeline and a second evaluation would both double the
+cost and, under task retries, describe different data than what landed.
+
+This gives:
+
+- **snapshot isolation**: readers resolve CURRENT (or an explicit id) once
+  and read only that manifest's directories;
 - **resume**: :func:`pending_keys` anti-joins the work list against the
   committed partitions, so a killed export restarts only unfinished
   partitions (the reference has no resume — a failed download restarts,
   tile.py:349-378; this is new capability per the north rule);
-- **pruning**: min/max stats allow partition skipping before a scan.
+- **pruning**: min/max stats allow partition skipping before a scan;
+- **time travel**: any retained snapshot id reads its exact file set.
 
 The reference's task-monitor polling (image.py:480-505) maps to reading the
 manifest; its per-tile retry loop maps to Spark task retries + idempotent
-partition overwrite before commit.
+per-commit directories.
 """
 
 from __future__ import annotations
@@ -34,9 +53,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+NULL_KEY = "__HIVE_DEFAULT_PARTITION__"
+
 
 def _snap_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "snapshots")
+
+
+def _canon_key(v) -> str:
+    return NULL_KEY if v is None else str(v)
 
 
 def current_snapshot(table_dir: str) -> dict | None:
@@ -49,7 +74,8 @@ def current_snapshot(table_dir: str) -> dict | None:
         return json.load(f)
 
 
-def committed_keys(table_dir: str) -> list:
+def committed_keys(table_dir: str) -> list[str]:
+    """Live partition keys of CURRENT, as canonical strings."""
     snap = current_snapshot(table_dir)
     return [p["key"] for p in snap["partitions"]] if snap else []
 
@@ -60,45 +86,49 @@ def write_snapshot(
     partition_col: str,
     stats_cols: tuple[str, ...] = (),
 ) -> str:
-    """Write ``df`` partitioned by ``partition_col`` and commit a snapshot.
+    """Write ``df`` into a fresh commit directory and flip CURRENT.
 
-    Data lands first (dynamic partition overwrite — idempotent per
-    partition), stats are aggregated in one pass (2-phase hash agg), the
-    manifest JSON is written, and CURRENT flips last via atomic rename.
-    Partitions already committed by the parent snapshot are carried forward.
+    Data lands under ``data/commit-<id>/`` (append-only — earlier
+    snapshots' files are never touched), stats are aggregated from the
+    written files in one columnar pass, the manifest JSON is written, and
+    CURRENT flips last via atomic rename.  Partitions committed by the
+    parent snapshot and not re-written here are carried forward.
     """
     parent = current_snapshot(table_dir)
     parent_parts = {p["key"]: p for p in parent["partitions"]} if parent else {}
     snap_id = f"{(int(parent['snapshot_id']) + 1) if parent else 1:08d}"
 
-    data_dir = os.path.join(table_dir, "data")
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(data_dir)
-    )
-
-    aggs = [F.count(F.lit(1)).alias("row_count")]
-    for c in stats_cols:
-        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
-                 F.sum(c).alias(f"sum_{c}")]
-    stats = df.groupBy(partition_col).agg(*aggs).collect()
+    commit_rel = f"data/commit-{snap_id}"
+    commit_dir = os.path.join(table_dir, commit_rel)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(commit_dir)
 
     # Spark %XX-escapes special chars (e.g. '/') in partition dir names —
-    # map real dirs back to raw keys instead of constructing paths
+    # map real dirs back to canonical keys instead of constructing paths
     from urllib.parse import unquote
     key_to_dir = {}
-    for d in os.listdir(data_dir):
+    for d in os.listdir(commit_dir):
         if d.startswith(f"{partition_col}="):
             key_to_dir[unquote(d.split("=", 1)[1])] = d
 
+    # stats from what actually landed (no second run of the input plan);
+    # an empty input (e.g. a fully-resumed download) writes no partition
+    # dirs and the manifest is pure carry-forward
+    if key_to_dir:
+        written = df.sparkSession.read.parquet(commit_dir)
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
+                     F.sum(c).alias(f"sum_{c}")]
+        stats = written.groupBy(partition_col).agg(*aggs).collect()
+    else:
+        stats = []
+
     parts = dict(parent_parts)
     for r in stats:
-        key = r[partition_col]
+        key = _canon_key(r[partition_col])
         entry = {
             "key": key,
-            "path": f"data/{key_to_dir[str(key)]}",
+            "path": f"{commit_rel}/{key_to_dir[key]}",
             "row_count": r["row_count"],
         }
         for c in stats_cols:
@@ -132,7 +162,9 @@ def read_snapshot(
     spark: SparkSession, table_dir: str, snapshot_id: str | None = None
 ) -> DataFrame:
     """Read exactly the partitions of a snapshot (isolation from later
-    commits).  Uses partition-path reads -> Spark still prunes row groups."""
+    commits).  Partition directories are grouped by their commit dir and
+    read with that basePath, so Spark partition-discovers the key column
+    and partition pruning / PartitionFilters still apply."""
     if snapshot_id is None:
         snap = current_snapshot(table_dir)
     else:
@@ -140,20 +172,35 @@ def read_snapshot(
             snap = json.load(f)
     if snap is None:
         raise FileNotFoundError(f"no snapshot in {table_dir}")
-    paths = [os.path.join(table_dir, p["path"]) for p in snap["partitions"]]
-    return (
-        spark.read.option("basePath", os.path.join(table_dir, "data")).parquet(*paths)
-    )
+
+    by_commit: dict[str, list[str]] = {}
+    for p in snap["partitions"]:
+        commit_rel = "/".join(p["path"].split("/")[:2])  # data/commit-XXXX
+        by_commit.setdefault(commit_rel, []).append(
+            os.path.join(table_dir, p["path"])
+        )
+    out = None
+    for commit_rel, paths in sorted(by_commit.items()):
+        part = spark.read.option(
+            "basePath", os.path.join(table_dir, commit_rel)
+        ).parquet(*paths)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def pending_keys(work: DataFrame, table_dir: str, key_col: str) -> DataFrame:
-    """Resume: rows of ``work`` whose partition key is not yet committed."""
+    """Resume: rows of ``work`` whose partition key is not yet committed.
+    Keys compare as canonical strings (manifest keys are strings)."""
     done = committed_keys(table_dir)
     if not done:
         return work
     spark = work.sparkSession
-    done_df = spark.createDataFrame([(k,) for k in done], f"{key_col} string")
-    return work.join(F.broadcast(done_df), key_col, "left_anti")
+    done_df = spark.createDataFrame([(k,) for k in done], "_done_key string")
+    return work.join(
+        F.broadcast(done_df),
+        F.col(key_col).cast("string") == F.col("_done_key"),
+        "left_anti",
+    )
 
 
 def prune_partitions(table_dir: str, stat: str, lo=None, hi=None) -> list:

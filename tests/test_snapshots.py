@@ -105,3 +105,53 @@ def test_lineage_emission(spark, tmp_path):
     import json
     rec = json.loads(open(p).read().strip())
     assert rec["job"] == "test_job" and rec["rows"] == 5
+
+
+def test_snapshot_isolation_under_overwrite(spark, table_dir):
+    """Regression: re-writing a partition must NOT leak into older
+    snapshots (the old in-place layout mutated the dirs snap-1 pointed at)."""
+    from pyspark.sql import functions as F
+
+    df1 = spark.range(10).select(
+        F.col("id").alias("x"), F.lit("A").alias("part"))
+    s1 = snap.write_snapshot(df1, table_dir, "part", stats_cols=("x",))
+    df2 = spark.range(5).select(
+        (F.col("id") + 100).alias("x"), F.lit("A").alias("part"))
+    s2 = snap.write_snapshot(df2, table_dir, "part", stats_cols=("x",))
+
+    old = snap.read_snapshot(spark, table_dir, s1)
+    assert old.count() == 10
+    assert old.agg(F.max("x")).first()[0] == 9      # snap-1 data intact
+    new = snap.read_snapshot(spark, table_dir, s2)
+    assert new.count() == 5
+    assert new.agg(F.min("x")).first()[0] == 100
+
+
+def test_pending_keys_integer_partition(spark, table_dir):
+    """Regression: non-string partition keys crashed pending_keys (JSON int
+    forced into a string createDataFrame schema)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(30).select(
+        F.col("id").alias("x"), (F.col("id") % 3).alias("year"))
+    done = df.filter("year = 0")
+    snap.write_snapshot(done, table_dir, "year")
+    pending = snap.pending_keys(df, table_dir, "year")
+    got = {r["year"] for r in pending.select("year").distinct().collect()}
+    assert got == {1, 2}
+
+
+def test_write_snapshot_null_partition_key(spark, table_dir):
+    """Regression: a NULL partition key raised KeyError after the data was
+    already written (orphaned uncommitted files)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(6).select(
+        F.col("id").alias("x"),
+        F.when(F.col("id") < 3, F.lit("A")).otherwise(F.lit(None)).alias("part"),
+    )
+    sid = snap.write_snapshot(df, table_dir, "part")
+    assert sid == "00000001"
+    keys = set(snap.committed_keys(table_dir))
+    assert keys == {"A", snap.NULL_KEY}
+    assert snap.read_snapshot(spark, table_dir).count() == 6
