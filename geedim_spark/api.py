@@ -206,7 +206,10 @@ class Image:
                  dtype: str = "uint16"):
         """toNumPy analog (image.py:1087-1176): assemble one image's tiles
         driver-side.  Test-scale only by design."""
-        rows = self.to_tiles().where(
-            F.col("image_id") == image_id
-        ).collect()
-        return export_ops.assemble_image(rows, bands, h, w, dtype)
+        # filter BEFORE export_tiles: a predicate above the mapInPandas
+        # barrier cannot be pushed down, so every image in the frame would
+        # be decoded and re-encoded just to assemble one
+        one = Image(self.df.where(F.col("image_id") == image_id),
+                    dict(self.cloud_kwargs))
+        return export_ops.assemble_image(one.to_tiles().collect(),
+                                         bands, h, w, dtype)

@@ -98,6 +98,15 @@ def buffer_bbox(x0, y0, x1, y1, dist: float):
 # raster <-> vector
 # ---------------------------------------------------------------------------
 
+def _require_axis_aligned(transform) -> None:
+    if transform[1] != 0 or transform[3] != 0:
+        raise ValueError(
+            "raster<->vector conversion requires an axis-aligned transform "
+            f"(shear terms b={transform[1]}, d={transform[3]}); rotate/"
+            "resample the raster first"
+        )
+
+
 def polygon_to_mask(
     poly: np.ndarray, transform: np.ndarray, h: int, w: int
 ) -> np.ndarray:

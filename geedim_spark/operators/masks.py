@@ -69,8 +69,13 @@ _S2_AEROSOL_HIGH = 3 << 6   # mask.py:258
 # ---------------------------------------------------------------------------
 
 def fill_mask(refl_bands: np.ndarray, nodata=0) -> np.ndarray:
-    """allNonZero over band validity: True where every band is valid."""
-    return np.all(refl_bands != nodata, axis=0)
+    """allNonZero over band validity: True where every band is valid.
+    For float inputs NaN is also invalid (composites mark all-masked pixels
+    NaN — counting them as filled inflated coverage stats)."""
+    valid = refl_bands != nodata
+    if np.issubdtype(refl_bands.dtype, np.floating):
+        valid &= ~np.isnan(refl_bands)
+    return np.all(valid, axis=0)
 
 
 def landsat_masks(

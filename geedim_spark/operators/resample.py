@@ -113,15 +113,18 @@ def resample_images(
 
     def _batch(pdf: pd.DataFrame):
         out = []
-        for _, row in pdf.iterrows():
-            buf = bytes(row["bytes"])
-            if has_fixed and not row["fixed"]:
-                out.append({"image_id": row["image_id"], "bytes": buf})
+        fixed_col = pdf["fixed"] if has_fixed else [True] * len(pdf)
+        for image_id, buf, fixed in zip(pdf["image_id"], pdf["bytes"], fixed_col):
+            buf = bytes(buf)
+            # pass through only on an EXPLICIT False (composites); a null
+            # flag resamples — None and NaN previously took different paths
+            if has_fixed and not pd.isna(fixed) and not fixed:
+                out.append({"image_id": image_id, "bytes": buf})
                 continue
             px = codecs.decode(buf)
             res = resample(px, out_h, out_w, method)
             out.append({
-                "image_id": row["image_id"],
+                "image_id": image_id,
                 "bytes": codecs.encode_raw(np.ascontiguousarray(res)),
             })
         return pd.DataFrame(out, columns=["image_id", "bytes"])

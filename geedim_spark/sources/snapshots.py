@@ -61,7 +61,13 @@ def _snap_dir(table_dir: str) -> str:
 
 
 def _canon_key(v) -> str:
-    return NULL_KEY if v is None else str(v)
+    """Canonical string form matching Spark's partition-directory naming
+    (booleans lowercase, NULL -> the Hive default dir)."""
+    if v is None:
+        return NULL_KEY
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def current_snapshot(table_dir: str) -> dict | None:
@@ -85,6 +91,7 @@ def write_snapshot(
     table_dir: str,
     partition_col: str,
     stats_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
 ) -> str:
     """Write ``df`` into a fresh commit directory and flip CURRENT.
 
@@ -93,7 +100,16 @@ def write_snapshot(
     written files in one columnar pass, the manifest JSON is written, and
     CURRENT flips last via atomic rename.  Partitions committed by the
     parent snapshot and not re-written here are carried forward.
+
+    ``mode``: 'overwrite' repoints a re-written partition at this commit's
+    data; 'append' EXTENDS it — the manifest entry accumulates this
+    commit's directory alongside the parent's (row counts summed, min/max
+    folded).  Streaming ingest commits per micro-batch with 'append';
+    without it every batch would silently discard the previous batches'
+    rows for the partitions it touches.
     """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append (got {mode!r})")
     parent = current_snapshot(table_dir)
     parent_parts = {p["key"]: p for p in parent["partitions"]} if parent else {}
     snap_id = f"{(int(parent['snapshot_id']) + 1) if parent else 1:08d}"
@@ -128,13 +144,27 @@ def write_snapshot(
         key = _canon_key(r[partition_col])
         entry = {
             "key": key,
-            "path": f"{commit_rel}/{key_to_dir[key]}",
+            "paths": [f"{commit_rel}/{key_to_dir[key]}"],
             "row_count": r["row_count"],
         }
         for c in stats_cols:
             entry[f"min_{c}"] = _plain(r[f"min_{c}"])
             entry[f"max_{c}"] = _plain(r[f"max_{c}"])
             entry[f"sum_{c}"] = _plain(r[f"sum_{c}"])
+        if mode == "append" and key in parts:
+            prev = parts[key]
+            entry["paths"] = prev["paths"] + entry["paths"]
+            entry["row_count"] += prev["row_count"]
+            for c in stats_cols:
+                for agg, fold in (("min", min), ("max", max)):
+                    a, b = prev.get(f"{agg}_{c}"), entry.get(f"{agg}_{c}")
+                    if a is not None and b is not None:
+                        entry[f"{agg}_{c}"] = fold(a, b)
+                    elif b is None:
+                        entry[f"{agg}_{c}"] = a
+                a, b = prev.get(f"sum_{c}"), entry.get(f"sum_{c}")
+                if a is not None or b is not None:
+                    entry[f"sum_{c}"] = (a or 0) + (b or 0)
         parts[key] = entry
 
     manifest = {
@@ -175,10 +205,11 @@ def read_snapshot(
 
     by_commit: dict[str, list[str]] = {}
     for p in snap["partitions"]:
-        commit_rel = "/".join(p["path"].split("/")[:2])  # data/commit-XXXX
-        by_commit.setdefault(commit_rel, []).append(
-            os.path.join(table_dir, p["path"])
-        )
+        for path in p["paths"]:
+            commit_rel = "/".join(path.split("/")[:2])  # data/commit-XXXX
+            by_commit.setdefault(commit_rel, []).append(
+                os.path.join(table_dir, path)
+            )
     out = None
     for commit_rel, paths in sorted(by_commit.items()):
         part = spark.read.option(
@@ -196,10 +227,12 @@ def pending_keys(work: DataFrame, table_dir: str, key_col: str) -> DataFrame:
         return work
     spark = work.sparkSession
     done_df = spark.createDataFrame([(k,) for k in done], "_done_key string")
+    # canonicalise like _canon_key: NULL -> the Hive default name (a raw
+    # NULL == comparison is NULL, so null-key rows would be re-exported on
+    # every resume); Spark's cast already lowercases booleans
+    work_key = F.coalesce(F.col(key_col).cast("string"), F.lit(NULL_KEY))
     return work.join(
-        F.broadcast(done_df),
-        F.col(key_col).cast("string") == F.col("_done_key"),
-        "left_anti",
+        F.broadcast(done_df), work_key == F.col("_done_key"), "left_anti"
     )
 
 

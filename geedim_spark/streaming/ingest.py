@@ -62,8 +62,11 @@ def stream_mask_stats(
             enriched = stats.join(
                 batch_df.select("image_id", "collection"), "image_id"
             )
+            # append: collections interleave across micro-batches — an
+            # overwrite commit would repoint each collection partition at
+            # ONLY this batch's rows, discarding earlier batches
             snapshots.write_snapshot(enriched, table_dir, "collection",
-                                     stats_cols=("fill_px",))
+                                     stats_cols=("fill_px",), mode="append")
         finally:
             batch_df.unpersist()
 

@@ -30,13 +30,15 @@ _N_GROUPS = 64
 
 def _dedup_fn(key, pdfs, state: GroupState):
     seen = set(state.get[0]) if state.exists else set()
+    # concat then ONE global sort: chunk-local sorting would make the
+    # emitted doc_id for a duplicated hash depend on partition layout,
+    # breaking deterministic replay from the checkpoint
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")
-        for doc_id, th in zip(pdf["doc_id"], pdf["text_hash"]):
-            if th not in seen:
-                seen.add(th)
-                out.append({"doc_id": int(doc_id), "text_hash": th})
+    for doc_id, th in zip(pdf["doc_id"], pdf["text_hash"]):
+        if th not in seen:
+            seen.add(th)
+            out.append({"doc_id": int(doc_id), "text_hash": th})
     state.update((sorted(seen),))
     yield pd.DataFrame(out, columns=["doc_id", "text_hash"])
 

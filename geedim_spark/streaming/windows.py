@@ -39,9 +39,17 @@ def stream_windowed_counts(
     window: str = "1 day",
     watermark: str = "1 hour",
     sink_table: str = "stream_window_counts",
+    output_mode: str = "update",
 ):
-    """Start the stream (availableNow) writing complete windows to an
-    in-memory sink table; returns the StreamingQuery."""
+    """Start the stream (availableNow) writing windowed counts to an
+    in-memory sink table; returns the StreamingQuery.
+
+    ``output_mode``: 'update' (default) lets the watermark EVICT window
+    state — the production setting for a continuous stream (each window row
+    is re-emitted as it grows; readers take the latest/max per window).
+    'complete' re-emits the full result per batch and makes the watermark
+    inert for eviction (Spark must retain every window) — fine for bounded
+    availableNow drains, unbounded state growth on a live stream."""
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 2)
@@ -55,7 +63,7 @@ def stream_windowed_counts(
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory").queryName(sink_table)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -20,10 +20,12 @@ def test_stream_windowed_counts_match_batch(spark, tmp_path):
 
     q = sw.stream_windowed_counts(spark, src, ckpt, sink_table="swc_test")
     q.awaitTermination(180)
-    got = {
-        (r["window_start"], r["event_type"]): r["n"]
-        for r in spark.table("swc_test").collect()
-    }
+    # update mode re-emits a window row each time it grows; the final
+    # (max) emission per key is the drained total
+    got = {}
+    for r in spark.table("swc_test").collect():
+        k = (r["window_start"], r["event_type"])
+        got[k] = max(got.get(k, 0), r["n"])
     want = {
         (r["window_start"], r["event_type"]): r["n"]
         for r in sw.windowed_counts_batch(events).collect()
@@ -107,3 +109,23 @@ def test_lineage_listener_records_batches(spark, tmp_path):
     assert sum(p["num_input_rows"] for p in progress) == 24
     # every progress record carries source offsets (per-batch lineage)
     assert all(p["sources"] and p["sources"][0]["end_offset"] for p in progress)
+
+
+def test_stream_ingest_multi_batch_append(spark, tmp_path):
+    """Regression: collections interleave across micro-batches — per-batch
+    overwrite commits repointed each collection partition at only the LAST
+    batch's rows.  With append commits the drained snapshot holds every
+    ingested image."""
+    source = str(tmp_path / "incoming_mb")
+    table = str(tmp_path / "stats_mb")
+    ckpt = str(tmp_path / "ckpt_mb")
+
+    synth.images_df(spark, 60).coalesce(6).write.parquet(source)
+    # 6 files / maxFilesPerTrigger=4 -> at least 2 micro-batches
+    q = ingest.stream_mask_stats(spark, source, table, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    n_raw = synth.images_df(spark, 60).filter("fmt = 'raw'").count()
+    back = snapshots.read_snapshot(spark, table)
+    assert back.count() == n_raw
+    assert back.select("image_id").distinct().count() == n_raw
