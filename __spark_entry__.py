@@ -133,9 +133,16 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil
 
+    import shutil
+
     n, _ = _sizes(sf_dir)
     n = min(n, 600)
-    base = tempfile.mkdtemp(prefix="geedim_stream_q_")
+    # fixed base dir, cleared up front: the snapshot table must outlive the
+    # returned (lazy) frame, so it cannot be deleted here — clearing the
+    # previous run's dir instead bounds /tmp to ONE copy
+    base = "/tmp/geedim_stream_q_cache"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
     synth.images_df(spark, n).coalesce(4).write.parquet(f"{base}/in")
     q = ingest.stream_mask_stats(
         spark, f"{base}/in", f"{base}/tbl", f"{base}/ckpt", available_now=True
@@ -146,8 +153,8 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = snapshots.read_snapshot(spark, f"{base}/tbl").select(
         "image_id", "total_px", "fill_px", "cloudless_px"
     )
-    # the returned frame reads only tbl/ lazily; drop the staged source and
-    # checkpoint now so repeated harness runs don't accrete /tmp copies
+    # the returned frame reads only tbl/ lazily; the source and checkpoint
+    # can go now (tbl/ itself is cleared by the NEXT run's rmtree above)
     shutil.rmtree(f"{base}/in", ignore_errors=True)
     shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
     return out
@@ -434,8 +441,11 @@ def q_composite_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mean/median/mosaic composites over the co-registered MOCK family,
     checked per-column against analytic SQL (integer sums -> exact floats)."""
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(
-        spark, min(n, 900), scalar_filter="i % 3 = 0 AND fmt = 'raw'"
+    # staged parquet: the three composite branches each re-execute the
+    # images lineage; over the generator that is 3x blob re-encodes, over
+    # parquet it is 3 pruned scans (see _staged_images)
+    imgs = _staged_images(spark, sf_dir).filter(
+        "i % 3 = 0 AND fmt = 'raw' AND i < 900"
     )
     mean_p = _column_profile(composite.composite_collection(imgs, "mean"), "mean_v")
     med_p = _column_profile(composite.composite_collection(imgs, "median"), "median_v")

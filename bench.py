@@ -116,11 +116,17 @@ def _bench_conf(master: str | None) -> dict:
     """Blob-kernel tasks are memory-bandwidth-bound: on wide sessions give
     each task 4 cpus so in-flight Arrow batches match the box's bandwidth
     (local[32] at task.cpus=1: 57 s; at 4: 21 s for the same job — the same
-    sizing you'd use for bandwidth-heavy UDF stages on a real cluster)."""
-    cores = os.cpu_count() or 8
+    sizing you'd use for bandwidth-heavy UDF stages on a real cluster).
+
+    Session width resolves exactly like get_session: explicit master first,
+    then $SPARK_GRAFT_CPUS — sizing from os.cpu_count() alone could set
+    task.cpus=4 on a local[2] session, which Spark rejects outright."""
+    spec = None
     if master and "[" in master:
         spec = master.split("[")[1].rstrip("]")
-        cores = int(spec) if spec.isdigit() else (os.cpu_count() or 8)
+    else:
+        spec = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    cores = int(spec) if spec and spec.isdigit() else (os.cpu_count() or 8)
     return {"spark.task.cpus": "4"} if cores >= 16 else {}
 
 

@@ -122,7 +122,10 @@ def col_kring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
     """
     n = F.lit(1 << res)
     nmax = F.lit((1 << res) - 1)
-    ix = (cell / n).cast("long")
+    # shiftright, not double division: (cell / n) goes through float64 and
+    # loses exactness for cells >= 2^53 (res 27+), silently recentring the
+    # ring; n is a power of two so ix = cell >> res is exact
+    ix = F.shiftright(cell, res)
     iy = cell % n
     dxs = F.sequence(F.lit(-k), F.lit(k))
     return F.flatten(
@@ -243,7 +246,7 @@ def col_geo_kring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
     np_geo_kring's np.unique."""
     n = F.lit(1 << res)
     nmax = F.lit((1 << res) - 1)
-    ix = (cell / n).cast("long")
+    ix = F.shiftright(cell, res)  # exact (see col_kring)
     iy = cell % n
     ring = F.flatten(
         F.transform(

@@ -25,13 +25,31 @@ import sys
 COMMANDS = ("config", "search", "composite", "download")
 
 
+# option names that consume the NEXT token as a value — a command name in
+# that position is the option's value, not a stage boundary
+_VALUE_OPTS = {
+    "--input", "--synthetic", "--master",
+    "--start", "--end", "--custom-filter", "--fill-portion",
+    "--cloudless-portion", "--rois", "--synthetic-rois",
+    "--method", "--date",
+    "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
+}
+
+
 def _split_chain(argv: list[str]) -> tuple[list[str], list[list[str]]]:
-    """Split argv into (global args, [per-command segments])."""
+    """Split argv into (global args, [per-command segments]).
+
+    A token equal to a command name starts a new segment UNLESS it follows
+    a value-taking option (e.g. ``--rois config`` names a path, not the
+    config stage)."""
     segments, current = [], []
     globals_done = False
     glob: list[str] = []
+    prev = None
     for tok in argv:
-        if tok in COMMANDS:
+        boundary = tok in COMMANDS and prev not in _VALUE_OPTS
+        prev = tok
+        if boundary:
             if globals_done:
                 segments.append(current)
             globals_done = True

@@ -63,7 +63,11 @@ def mask_and_tile(
                 m = {"FILL_MASK": fill, "CLOUDLESS_MASK": fill}
             cl = m["CLOUDLESS_MASK"]
             if focal_open_px or focal_dilate_px:
-                cloudy = ~cl
+                # open/dilate the combined CLOUD|SHADOW mask only
+                # (mask.py:466-472) — ~CLOUDLESS alone would include the
+                # nodata region, whose boundary would dilate into valid
+                # cloud-free pixels and under-count cloudless_px
+                cloudy = ~cl & m["FILL_MASK"]
                 cloudy = masks.focal_min(cloudy, focal_open_px)
                 cloudy = masks.focal_max(cloudy, max(focal_open_px, focal_dilate_px))
                 cl = ~cloudy & m["FILL_MASK"]

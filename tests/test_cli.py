@@ -53,3 +53,16 @@ def test_cli_arg_errors(spark):
         cli.main(["config", "--mask-cirrus"], spark=spark)  # no input source
     with pytest.raises(SystemExit):
         cli.main(["--synthetic", "10"], spark=spark)        # no commands
+
+
+def test_cli_chain_split_option_values_not_boundaries():
+    """Regression: a command name appearing as an option VALUE (--rois
+    config) must not start a new stage."""
+    glob, segs = cli._split_chain([
+        "--synthetic", "30",
+        "search", "--rois", "config", "--start", "2024-01-01",
+        "download", "--out", "download",
+    ])
+    assert [s[0] for s in segs] == ["search", "download"]
+    assert segs[0] == ["search", "--rois", "config", "--start", "2024-01-01"]
+    assert segs[1] == ["download", "--out", "download"]

@@ -304,3 +304,25 @@ def test_cloud_dist_saturates_beyond_uint16():
     cloudless = np.ones((4, 4), bool)
     d = masks.cloud_dist(cloudless, scale=10.0, max_cloud_dist=70000.0)
     assert (d == 65535).all()
+
+
+def test_pipeline_morphology_ignores_nodata_boundary(spark):
+    """Regression: open/dilate ran on ~CLOUDLESS (incl. nodata), so the fill
+    boundary dilated into valid pixels; the reference dilates only the
+    cloud|shadow combined mask (mask.py:466-472)."""
+    from geedim_spark import codecs
+    from geedim_spark.operators import pipeline
+
+    px = np.zeros((2, 30, 30), np.uint16)
+    px[0, :, :] = 7
+    px[0, :, :10] = 0                       # fill strip; NO clouds at all
+    rows = [{"image_id": "I", "caption": "c", "collection":
+             "LANDSAT/LC09/C02/T1_L2", "bytes": codecs.encode_raw(px)}]
+    import pandas as pd
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    tiles = pipeline.mask_and_tile(
+        images, focal_open_px=2, focal_dilate_px=5,
+        max_tile_dim=30, max_tile_bands=2,
+    ).collect()
+    assert len(tiles) == 1                 # 30x30x2 fits one tile
+    assert tiles[0]["cloudless_px"] == 20 * 30  # filled pixels stay cloudless
