@@ -777,6 +777,39 @@ def q_doc_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_counts(docs)
 
 
+_STREAM_DEDUP_SEQ = [0]
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (applyInPandasWithState) drained with
+    availableNow: exactly one output row per distinct text.  The emitted
+    hash SET is batching-invariant (which doc_id represents a duplicate
+    group depends on micro-batch boundaries, so the query returns the
+    hashes — the per-batch doc_id determinism is pytest-covered)."""
+    import shutil
+
+    from geedim_spark.streaming import stateful
+
+    base = "/tmp/geedim_stream_dedup_cache"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 micro-batches
+
+    _STREAM_DEDUP_SEQ[0] += 1
+    sink = f"q_stream_dedup_sink_{_STREAM_DEDUP_SEQ[0]}"
+    q = stateful.stream_dedup(spark, f"{base}/in", f"{base}/ckpt",
+                              sink_table=sink)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming dedup did not drain within 300 s")
+    out = spark.table(sink).select("text_hash").distinct()
+    # materialise off the memory sink so the frame survives later queries
+    out = spark.createDataFrame(out.collect(), "text_hash string")
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text.token_stats(docs).select(
@@ -890,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_recent": q_events_recent,
         "events_type_stats": q_events_type_stats,
         "doc_dup_counts": q_doc_dup_counts,
+        "streaming_dedup": q_streaming_dedup,
         "doc_token_stats": q_doc_token_stats,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1411,6 +1445,10 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-02-01'
             GROUP BY event_type
+        """,
+        "streaming_dedup": """
+            SELECT DISTINCT md5(coalesce(text, '')) AS text_hash
+            FROM documents
         """,
         "doc_dup_counts": """
             SELECT doc_id,
