@@ -1,7 +1,7 @@
 """Enum vocabularies — parity with /root/reference/geedim/enums.py.
 
 The reference exposes CompositeMethod / CloudMaskMethod / ResamplingMethod /
-ExportType / SplitType (enums.py:40-170); the engine accepts plain strings
+ExportType / SplitType (enums.py:40-170); the operators accepts plain strings
 everywhere but validates against these canonical sets.
 """
 

@@ -48,9 +48,15 @@ def promote_dtype(dtypes: list[str]) -> str:
 
 def cast_pixels(pixels: np.ndarray, dtype: str) -> np.ndarray:
     """toUint8...toDouble dispatch analog (image.py:571-596): clip to the
-    target range then cast (EE semantics saturate rather than wrap)."""
+    target range then cast (EE semantics saturate rather than wrap).
+    Non-finite inputs (NaN marks all-masked composite pixels) become the
+    target dtype's nodata — np.clip passes NaN through and NaN.astype(int)
+    is undefined (platform-dependent garbage)."""
     dt = np.dtype(dtype)
     if dt.kind in "ui":
+        px = pixels
+        if np.issubdtype(np.asarray(pixels).dtype, np.floating):
+            px = np.where(np.isfinite(pixels), pixels, nodata_for(dtype))
         info = np.iinfo(dt)
-        return np.clip(pixels, info.min, info.max).astype(dt)
+        return np.clip(px, info.min, info.max).astype(dt)
     return pixels.astype(dt)

@@ -29,7 +29,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """NULL for zero-norm vectors (undefined similarity) — _rank_topk drops
+    NULL sims so all-zero embeddings never rank as neighbours."""
+    denom = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return dot(a, b) / F.nullif(denom, F.lit(0.0))
 
 
 def cosine_topk(
@@ -65,7 +68,8 @@ def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
         F.desc(F.round(F.col("sim"), 6)), F.asc("neighbor_id")
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        sims.where(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -82,15 +86,7 @@ def lsh_bucket(emb_col: Column, planes: np.ndarray) -> Column:
     one fold per plane, OR-ed into an int."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                emb_col,
-                F.array(*[F.lit(float(v)) for v in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        proj = dot(emb_col, F.array(*[F.lit(float(v)) for v in plane]))
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
@@ -280,14 +276,15 @@ def ivf_topk(
     """
     import pandas as pd
 
-    # centroid training set: a bounded deterministic sample (full collect
-    # would melt the driver at 10^12 rows; nlist*2000 vectors suffice for
-    # Lloyd and the take() keeps it one narrow job)
+    # centroid training set: bounded AND deterministic — take() order
+    # follows partition layout, so the same data repartitioned would train
+    # different centroids; TakeOrderedAndProject on vec_id is one narrow
+    # job at any scale
     cap = max(nlist * 2000, 4000)
-    sample = np.array(
-        [r["embedding"] for r in embeddings.select("embedding").take(cap)],
-        dtype=np.float64,
-    )
+    rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").take(cap)
+    if not rows:
+        raise ValueError("embeddings table is empty — cannot train centroids")
+    sample = np.array([r["embedding"] for r in rows], dtype=np.float64)
     cent = ivf_centroids(sample, nlist)
     spark = embeddings.sparkSession
     bcent = spark.sparkContext.broadcast(cent)

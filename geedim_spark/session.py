@@ -14,8 +14,8 @@ import os
 from pyspark.sql import SparkSession
 
 # Arrow batch size bounds per-batch memory in pixel UDFs the same way the
-# reference bounds tile size to 4 MB (tile.py:111): ~1k rows of 40x40 uint16
-# 2-band tiles ≈ 6.4 MB per Arrow batch.
+# reference bounds tile size to 4 MB (tile.py:111); see the inline note on
+# maxRecordsPerBatch below for the actual sizing math.
 _DEFAULTS = {
     # AQE: runtime coalescing + skew-join splitting (north rule requires
     # explicit skew handling; salting in operators/spatial_join.py is the

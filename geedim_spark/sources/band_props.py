@@ -51,9 +51,18 @@ def band_props_df(spark: SparkSession) -> DataFrame:
 def with_scale_offset(images: DataFrame, props: DataFrame) -> DataFrame:
     """Broadcast-join the per-band scale/offset arrays onto each image row
     (sorted by band name for deterministic array order)."""
+    # sort key (len(band), band): numeric-aware for B1..B11-style names —
+    # plain lexicographic order puts B10 before B2, so a kernel applying
+    # band_so[i] to pixel band i would mix up scale/offsets
     agg = props.groupBy("collection").agg(
-        F.sort_array(
-            F.collect_list(F.struct("band", "scale", "offset"))
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.struct(F.length("band").alias("_l"), "band", "scale", "offset")
+            )),
+            lambda s: F.struct(
+                s["band"].alias("band"), s["scale"].alias("scale"),
+                s["offset"].alias("offset"),
+            ),
         ).alias("band_so")
     )
     return images.join(F.broadcast(agg), "collection", "left")

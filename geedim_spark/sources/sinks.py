@@ -28,6 +28,11 @@ def to_structured(
 ) -> np.ndarray:
     """(bands, h, w) -> (h, w) structured array with one field per band."""
     bands, h, w = array.shape
+    if len(band_names) < bands:
+        raise ValueError(
+            f"{bands} bands but only {len(band_names)} band names — "
+            "trailing bands would be silently dropped"
+        )
     dt = np.dtype([(n, array.dtype) for n in band_names[:bands]])
     out = np.empty((h, w), dtype=dt)
     for i, n in enumerate(dt.names):
@@ -89,7 +94,10 @@ def write_image_files(
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         image_id = pdf["image_id"].iloc[0]
         arr = assemble_image(pdf.to_dict("records"), bands, h, w, dtype)
-        safe = str(image_id).replace("/", "-")  # download.py:82-86 naming
+        # percent-escape (collision-free, reversible) rather than '/'->'-'
+        # (download.py:82-86): 'A/B' and 'A-B' must not share one file
+        from urllib.parse import quote
+        safe = quote(str(image_id), safe="")
         path = os.path.join(out_dir, f"{safe}.npy")
         np.save(path, arr)
         return pd.DataFrame([
