@@ -250,3 +250,48 @@ def prune_partitions(table_dir: str, stat: str, lo=None, hi=None) -> list:
             continue
         out.append(p["key"])
     return out
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Iceberg-style snapshot expiry: drop all but the newest ``keep_last``
+    manifests and delete commit directories no retained manifest references.
+
+    CURRENT always survives.  Returns {"removed_snapshots": [...],
+    "removed_commits": [...]} for audit.  Safe ordering: manifests are
+    deleted BEFORE their now-unreferenced data, so a crash mid-expiry can
+    orphan data (GC-able later) but never a manifest pointing at deleted
+    files.
+    """
+    import shutil
+
+    sdir = _snap_dir(table_dir)
+    cur = current_snapshot(table_dir)
+    if cur is None:
+        return {"removed_snapshots": [], "removed_commits": []}
+    snaps = sorted(
+        f[len("snap-"):-len(".json")]
+        for f in os.listdir(sdir)
+        if f.startswith("snap-") and f.endswith(".json")
+    )
+    keep = set(snaps[-max(keep_last, 1):]) | {cur["snapshot_id"]}
+    drop = [s for s in snaps if s not in keep]
+
+    referenced: set[str] = set()
+    for sid in keep:
+        with open(os.path.join(sdir, f"snap-{sid}.json")) as f:
+            man = json.load(f)
+        for p in man["partitions"]:
+            for path in p["paths"]:
+                referenced.add("/".join(path.split("/")[:2]))
+
+    for sid in drop:
+        os.remove(os.path.join(sdir, f"snap-{sid}.json"))
+
+    data_dir = os.path.join(table_dir, "data")
+    removed_commits = []
+    for d in sorted(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
+        rel = f"data/{d}"
+        if d.startswith("commit-") and rel not in referenced:
+            shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+            removed_commits.append(rel)
+    return {"removed_snapshots": drop, "removed_commits": removed_commits}

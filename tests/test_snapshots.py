@@ -155,3 +155,32 @@ def test_write_snapshot_null_partition_key(spark, table_dir):
     keys = set(snap.committed_keys(table_dir))
     assert keys == {"A", snap.NULL_KEY}
     assert snap.read_snapshot(spark, table_dir).count() == 6
+
+
+def test_expire_snapshots_gc(spark, table_dir):
+    """Snapshot expiry drops old manifests and exactly the commit dirs no
+    retained manifest references; CURRENT keeps reading correctly."""
+    import os
+    from pyspark.sql import functions as F
+
+    for i in range(3):
+        df = spark.range(4).select(
+            (F.col("id") + 10 * i).alias("x"), F.lit("A").alias("part"))
+        snap.write_snapshot(df, table_dir, "part")
+    assert snap.read_snapshot(spark, table_dir, "00000001").count() == 4
+
+    res = snap.expire_snapshots(table_dir, keep_last=1)
+    assert res["removed_snapshots"] == ["00000001", "00000002"]
+    # commits 1 and 2 are unreferenced by snap-3 (overwrite mode)
+    assert res["removed_commits"] == ["data/commit-00000001", "data/commit-00000002"]
+    back = snap.read_snapshot(spark, table_dir)
+    assert back.count() == 4
+    assert back.agg(F.min("x")).first()[0] == 20  # the third commit's rows
+    assert not os.path.exists(f"{table_dir}/data/commit-00000001")
+    # appended partitions keep every referenced commit alive
+    df = spark.range(2).select((F.col("id") + 100).alias("x"),
+                               F.lit("A").alias("part"))
+    snap.write_snapshot(df, table_dir, "part", mode="append")
+    res = snap.expire_snapshots(table_dir, keep_last=1)
+    assert res["removed_commits"] == []  # snap-4 references commits 3 AND 4
+    assert snap.read_snapshot(spark, table_dir).count() == 6
