@@ -126,14 +126,10 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> snapshot commits) drained with availableNow; returns the committed
     snapshot stats.  Streaming == batch at drain, so the result value-checks
     against the same closed forms as the batch mask pipeline."""
-    import tempfile
+    import shutil
 
     from geedim_spark.sources import snapshots
     from geedim_spark.streaming import ingest
-
-    import shutil
-
-    import shutil
 
     n, _ = _sizes(sf_dir)
     n = min(n, 600)

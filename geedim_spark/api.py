@@ -94,10 +94,10 @@ class Collection:
             src, method, mask_opts=self.cloud_kwargs
         )
         name = method.upper().replace("-", "_")
-        meta = self.df.agg(
-            F.first("w").alias("w"), F.first("h").alias("h"),
-            F.min("time_start").alias("time_start"),
-        )
+        # limit(1): the export guard enforces one (w, h) grid, so any row
+        # carries it — a full agg would re-execute the whole lineage (over
+        # the synthetic generator that re-encodes every blob) for 3 scalars
+        meta = self.df.limit(1).select("w", "h", "time_start")
         decorated = out.crossJoin(F.broadcast(meta)).select(
             F.concat(F.lit(f"{name}-COMP-"), F.col("group_id")).alias("image_id"),
             F.concat(F.lit(f"caption-{method}-"), F.col("group_id")).alias("caption"),

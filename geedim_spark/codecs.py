@@ -23,7 +23,8 @@ import struct
 import numpy as np
 
 MAGIC_RAW = b"GDR1"
-MAGIC_DCT = b"GDD1"
+MAGIC_DCT = b"GDD2"      # int32 coefficients
+MAGIC_DCT_V1 = b"GDD1"   # legacy int16 coefficients (read-only)
 
 # dtype codes on the wire (mirrors the reference's supported pixel types,
 # image.py:55-64; int64 unsupported there and here)
@@ -62,6 +63,8 @@ def decode(buf: bytes) -> np.ndarray:
         return arr.reshape(bands, h, w).copy()
     if magic == MAGIC_DCT:
         return _decode_dct8(buf, code, bands, h, w)
+    if magic == MAGIC_DCT_V1:
+        return _decode_dct8(buf, code, bands, h, w, coef_dtype=np.int16)
     raise ValueError(f"unknown image magic {magic!r}")
 
 
@@ -103,10 +106,11 @@ def encode_dct8(pixels: np.ndarray) -> bytes:
     return hdr + q.tobytes()
 
 
-def _decode_dct8(buf: bytes, code: int, bands: int, h: int, w: int) -> np.ndarray:
+def _decode_dct8(buf: bytes, code: int, bands: int, h: int, w: int,
+                 coef_dtype=np.int32) -> np.ndarray:
     hp, wp = -(-h // _N) * _N, -(-w // _N) * _N
     nb = bands * (hp // _N) * (wp // _N) * _N * _N
-    q = np.frombuffer(buf, dtype=np.int32, offset=_HDR.size, count=nb)
+    q = np.frombuffer(buf, dtype=coef_dtype, offset=_HDR.size, count=nb)
     q = q.reshape(bands, hp // _N, wp // _N, _N, _N).astype(np.float64) * _QSTEP
     blocks = np.einsum("ij,bklin,nm->bkljm", _DCT, q, _DCT)
     padded = blocks.transpose(0, 1, 3, 2, 4).reshape(bands, hp, wp)

@@ -112,6 +112,7 @@ def polygon_to_mask(
 ) -> np.ndarray:
     """Rasterise a polygon onto a tile grid (scanline via ray-cast at pixel
     centres).  ``transform`` = (sx, 0, x0, 0, -sy, y1) affine, row-major."""
+    _require_axis_aligned(transform)
     sx, _, x0, _, nsy, y1 = [float(t) for t in transform]
     cols = x0 + (np.arange(w) + 0.5) * sx
     rows = y1 + (np.arange(h) + 0.5) * nsy
@@ -127,6 +128,7 @@ def mask_to_polygons(mask: np.ndarray, transform: np.ndarray) -> list[np.ndarray
     engine produces (strip masks, bbox clips); a union of the returned rings
     rasterises back to the input mask bit-for-bit (tested inverse property).
     """
+    _require_axis_aligned(transform)
     sx, _, x0, _, nsy, y1 = [float(t) for t in transform]
     mask = np.asarray(mask, dtype=bool)
     h, w = mask.shape

@@ -71,6 +71,36 @@ def bbox_intersects_col(
     return (ax0 <= bx1) & (ax1 >= bx0) & (ay0 <= by1) & (ay1 >= by0)
 
 
+def _refined_pairs(
+    images: DataFrame,
+    rois: DataFrame,
+    res: int,
+    broadcast_rois: bool,
+    geo: bool,
+) -> DataFrame:
+    """Shared cover-join + exact refine: candidate (image, roi) rows before
+    any distinct — single source of truth for the pair and semi joins."""
+    img_cells = cover_cells(
+        images.select("image_id", "x0", "y0", "x1", "y1"),
+        "x0", "y0", "x1", "y1", res, geo=geo,
+    )
+    roi_sel = rois.select("roi_id", "rx0", "ry0", "rx1", "ry1")
+    roi_cells = cover_cells(roi_sel, "rx0", "ry0", "rx1", "ry1", res, geo=geo)
+    if broadcast_rois:
+        roi_cells = F.broadcast(roi_cells)
+    refine = geo_bbox_intersects_col if geo else bbox_intersects_col
+    return images_join_refine(img_cells, roi_cells, refine)
+
+
+def images_join_refine(img_cells, roi_cells, refine) -> DataFrame:
+    return img_cells.join(roi_cells, "cell").where(
+        refine(
+            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
+            F.col("rx0"), F.col("ry0"), F.col("rx1"), F.col("ry1"),
+        )
+    )
+
+
 def filter_bounds(
     images: DataFrame,
     rois: DataFrame,
@@ -87,22 +117,7 @@ def filter_bounds(
     the antimeridian (x0 > x1) cover both sides of the seam and the refine
     uses the wrap-aware circular-arc intersection.
     """
-    img_cells = cover_cells(
-        images.select("image_id", "x0", "y0", "x1", "y1"),
-        "x0", "y0", "x1", "y1", res, geo=geo,
-    )
-    roi_sel = rois.select("roi_id", "rx0", "ry0", "rx1", "ry1")
-    roi_cells = cover_cells(roi_sel, "rx0", "ry0", "rx1", "ry1", res, geo=geo)
-    if broadcast_rois:
-        roi_cells = F.broadcast(roi_cells)
-    cand = img_cells.join(roi_cells, "cell")
-    refine = geo_bbox_intersects_col if geo else bbox_intersects_col
-    exact = cand.where(
-        refine(
-            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
-            F.col("rx0"), F.col("ry0"), F.col("rx1"), F.col("ry1"),
-        )
-    )
+    exact = _refined_pairs(images, rois, res, broadcast_rois, geo)
     return exact.select("image_id", "roi_id").distinct()
 
 
@@ -124,19 +139,8 @@ def filter_bounds_semi(
     # project to image_id BEFORE the single distinct: the pair-level
     # distinct inside filter_bounds would shuffle the full candidate-pair
     # set only to be collapsed to ids immediately after
-    img_cells = cover_cells(
-        images.select("image_id", "x0", "y0", "x1", "y1"),
-        "x0", "y0", "x1", "y1", res, geo=geo,
-    )
-    roi_sel = rois.select("roi_id", "rx0", "ry0", "rx1", "ry1")
-    roi_cells = F.broadcast(cover_cells(roi_sel, "rx0", "ry0", "rx1", "ry1", res, geo=geo))
-    refine = geo_bbox_intersects_col if geo else bbox_intersects_col
     matched = (
-        img_cells.join(roi_cells, "cell")
-        .where(refine(
-            F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"),
-            F.col("rx0"), F.col("ry0"), F.col("rx1"), F.col("ry1"),
-        ))
+        _refined_pairs(images, rois, res, True, geo)
         .select("image_id").distinct()
     )
     if broadcast_ids:

@@ -44,8 +44,8 @@ def plan_has_exchange(df: DataFrame) -> bool:
     broadcast exchanges, which move only the small side)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return any(
-        line.strip().startswith(("Exchange", "+- Exchange", ":- Exchange"))
-        or "Exchange hashpartitioning" in line
+        "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
         for line in plan.splitlines()
-        if "BroadcastExchange" not in line
     )

@@ -92,6 +92,7 @@ def write_snapshot(
     partition_col: str,
     stats_cols: tuple[str, ...] = (),
     mode: str = "overwrite",
+    commit_token: str | None = None,
 ) -> str:
     """Write ``df`` into a fresh commit directory and flip CURRENT.
 
@@ -100,6 +101,10 @@ def write_snapshot(
     written files in one columnar pass, the manifest JSON is written, and
     CURRENT flips last via atomic rename.  Partitions committed by the
     parent snapshot and not re-written here are carried forward.
+
+    ``commit_token``: an idempotency key (e.g. the streaming batch id) —
+    if the CURRENT manifest already carries it, the call is a replay and
+    returns the existing snapshot id without writing.
 
     ``mode``: 'overwrite' repoints a re-written partition at this commit's
     data; 'append' EXTENDS it — the manifest entry accumulates this
@@ -111,6 +116,12 @@ def write_snapshot(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append (got {mode!r})")
     parent = current_snapshot(table_dir)
+    # idempotent replay: foreachBatch is at-least-once — a micro-batch
+    # re-executed after a crash (its write_snapshot landed but the stream
+    # checkpoint did not) passes the same token and must NOT append its
+    # rows a second time
+    if commit_token is not None and parent is not None             and parent.get("commit_token") == commit_token:
+        return parent["snapshot_id"]
     parent_parts = {p["key"]: p for p in parent["partitions"]} if parent else {}
     snap_id = f"{(int(parent['snapshot_id']) + 1) if parent else 1:08d}"
 
@@ -130,7 +141,10 @@ def write_snapshot(
     # an empty input (e.g. a fully-resumed download) writes no partition
     # dirs and the manifest is pure carry-forward
     if key_to_dir:
-        written = df.sparkSession.read.parquet(commit_dir)
+        # explicit schema: partition-type INFERENCE would parse a string
+        # key like '007' back as int 7, whose canonical form no longer
+        # matches the directory name (KeyError after data landed)
+        written = df.sparkSession.read.schema(df.schema).parquet(commit_dir)
         aggs = [F.count(F.lit(1)).alias("row_count")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
@@ -171,6 +185,7 @@ def write_snapshot(
         "snapshot_id": snap_id,
         "parent_id": parent["snapshot_id"] if parent else None,
         "partition_col": partition_col,
+        "commit_token": commit_token,
         "partitions": sorted(parts.values(), key=lambda p: str(p["key"])),
     }
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
@@ -202,6 +217,11 @@ def read_snapshot(
             snap = json.load(f)
     if snap is None:
         raise FileNotFoundError(f"no snapshot in {table_dir}")
+    if not snap["partitions"]:
+        raise ValueError(
+            f"snapshot {snap['snapshot_id']} in {table_dir} has no "
+            "partitions (empty commit with no parent data)"
+        )
 
     by_commit: dict[str, list[str]] = {}
     for p in snap["partitions"]:

@@ -66,7 +66,8 @@ def stream_mask_stats(
             # overwrite commit would repoint each collection partition at
             # ONLY this batch's rows, discarding earlier batches
             snapshots.write_snapshot(enriched, table_dir, "collection",
-                                     stats_cols=("fill_px",), mode="append")
+                                     stats_cols=("fill_px",), mode="append",
+                                     commit_token=f"batch-{batch_id}")
         finally:
             batch_df.unpersist()
 

@@ -184,3 +184,35 @@ def test_expire_snapshots_gc(spark, table_dir):
     res = snap.expire_snapshots(table_dir, keep_last=1)
     assert res["removed_commits"] == []  # snap-4 references commits 3 AND 4
     assert snap.read_snapshot(spark, table_dir).count() == 6
+
+
+def test_write_snapshot_idempotent_replay(spark, table_dir):
+    """Regression: foreachBatch is at-least-once — replaying a batch with
+    the same commit_token must not append its rows twice."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.col("id").alias("x"), F.lit("A").alias("part"))
+    s1 = snap.write_snapshot(df, table_dir, "part", mode="append",
+                             commit_token="batch-0")
+    s2 = snap.write_snapshot(df, table_dir, "part", mode="append",
+                             commit_token="batch-0")  # replay
+    assert s2 == s1
+    assert snap.read_snapshot(spark, table_dir).count() == 5
+    s3 = snap.write_snapshot(df, table_dir, "part", mode="append",
+                             commit_token="batch-1")  # genuinely new batch
+    assert s3 != s1
+    assert snap.read_snapshot(spark, table_dir).count() == 10
+
+
+def test_write_snapshot_numeric_string_keys(spark, table_dir):
+    """Regression: partition-type inference on the stats read-back parsed a
+    string key '007' as int 7, crashing the commit with KeyError."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("x"),
+        F.when(F.col("id") < 2, F.lit("007")).otherwise(F.lit("1e3")).alias("part"),
+    )
+    snap.write_snapshot(df, table_dir, "part")
+    assert sorted(snap.committed_keys(table_dir)) == ["007", "1e3"]
+    assert snap.read_snapshot(spark, table_dir).count() == 4
