@@ -11,8 +11,9 @@ provided documents/embeddings tables; relational operators on the TPC-H-ish
 tables.
 
 Column-name/type parity rules used throughout: ids as strings/BIGINT, counts
-as BIGINT, money as DECIMAL(18,2), ranks from ROW_NUMBER cast to BIGINT,
-floats only in ORDER BY (never in output columns) except where rounded.
+as BIGINT, money as BIGINT integer cents (``_cents``; see FIXTURES.md
+"Money rounding policy"), ranks from ROW_NUMBER cast to BIGINT, floats only
+in ORDER BY (never in output columns) except where rounded.
 """
 
 from __future__ import annotations
@@ -493,11 +494,12 @@ def q_composite_tiled_qmosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (fill strips only ever intersect tile column 0, cloud strips only
     tile column 1), so the whole argmax pipeline value-checks in SQL.
 
-    Every input has a nonzero fill AND cloud strip (i%5<>0, i%7<>0): no
-    image saturates at the 5000 clamp everywhere, so FINITE per-tile
-    distances decide the winners (with saturating images included, any
-    cloud-free image ties at the clamp and the ordering never runs).
-    What this pins: the valid-set masking, the (cd DESC, time DESC, id)
+    Every input has a nonzero fill AND cloud strip (i%5<>0, i%7<>0).
+    Invalid (nodata) pixels are NOT distance sources (mask.py:102-104), so
+    tc=0 tiles (fill strip, no cloud strip) saturate at the 5000 clamp and
+    exercise the (time DESC, id) tie order, while tc=1 tiles rank by the
+    finite distance to the cloud strip.  What this pins: cloud-only EDT
+    sources, the valid-set masking, the (cd DESC, time DESC, id)
     preference ordering, and the symmetric dropping of all-masked columns.
     Strip cd curves share a slope, so the winner is constant per tile by
     geometry — per-pixel winner VARIATION is covered by the direct argmax
@@ -560,7 +562,12 @@ def q_collection_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("time_start").alias("min_ts"),
         F.max("time_start").alias("max_ts"),
         F.count(F.lit(1)).cast("long").alias("n_images"),
-        F.slice(F.sort_array(F.collect_list("caption")), 1, 3).alias("first_captions"),
+        # join to one string: array<string> output columns crash the driver's
+        # pandas canonicalizer (unhashable list) — aggregate_array semantics
+        # stay exercised, the hashable projection is concat_ws
+        F.concat_ws(
+            "|", F.slice(F.sort_array(F.collect_list("caption")), 1, 3)
+        ).alias("first_captions"),
     )
 
 
@@ -645,20 +652,26 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relational queries (TPC-H-ish provided tables)
 # ---------------------------------------------------------------------------
 
+def _cents(c) -> F.Column:
+    """Money convention (FIXTURES.md §rounding): DOUBLE dollars -> BIGINT
+    integer cents via round(x*100).  All money aggregation is then exact
+    int64 arithmetic — identical on every engine, immune to decimal-scale
+    and trailing-zero canonicalization differences (DuckDB's pandas bridge
+    renders DECIMAL as float64; Spark keeps Decimal objects)."""
+    return F.round(F.col(c) * 100).cast("long")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # disc price in 1e-4 dollars: cents * (100 - disc_cents) is exact int64
+    disc_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(d("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            # keep scale 4 (the product's natural scale) — a final cast to
-            # scale 2 would round .xx5 halves differently across engines
-            F.sum(
-                d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))
-            ).cast("decimal(30,4)").alias("sum_disc_price"),
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(disc_c4).alias("sum_disc_price_c4"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
     )
@@ -673,11 +686,10 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("total_spent"),
+            F.sum(_cents("o_totalprice")).alias("total_spent_cents"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
-        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .orderBy(F.desc("total_spent_cents"), F.asc("c_custkey"))
         .limit(10)
     )
 
@@ -688,7 +700,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = spark.read.parquet(_t(sf_dir, "customer"))
     orders = spark.read.parquet(_t(sf_dir, "orders"))
     lineitem = spark.read.parquet(_t(sf_dir, "lineitem"))
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -698,11 +710,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") > F.lit("1998-01-01"))
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
-            .cast("decimal(30,4)").alias("revenue"),
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(F.sum(disc_c4).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
         .limit(10)
     )
 
@@ -715,7 +724,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = spark.read.parquet(_t(sf_dir, "supplier"))
     nation = spark.read.parquet(_t(sf_dir, "nation"))
     region = spark.read.parquet(_t(sf_dir, "region"))
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -731,8 +740,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
-            .cast("decimal(30,4)").alias("revenue"),
+            F.sum(disc_c4).alias("revenue_c4"),
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
@@ -757,8 +765,7 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").alias("total_value"),
+            F.sum(_cents("value")).alias("total_value_cents"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
@@ -853,8 +860,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (Lloyd-trained) quality gate: mean recall@10 vs the exact scan
+    (value-checked `ann_topk`) must be >= 30% — random-chance overlap on
+    this table is ~0.2%, so the assertion is a real index-quality check
+    while staying hashable (the Lloyd centroids themselves are not
+    SQL-expressible; measured recall is 56-60% at sf0.01/sf0.1)."""
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    return similarity.ivf_topk(emb, n_queries=5, k=10, nlist=8, nprobe=2)
+    rec = similarity.ivf_recall_at_k(emb, n_queries=5, k=10, nlist=8, nprobe=2)
+    return rec.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.sum("n_hits") * 100 >= F.count(F.lit(1)) * 10 * 30)
+        .cast("long").alias("recall_ge_30pct"),
+    )
 
 
 def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,7 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,  # rows-only (Lloyd centroids, approximate by construction)
+        "ann_ivf": q_ann_ivf,  # recall-vs-exact quality gate (hashable)
         "ann_ivf_flat": q_ann_ivf_flat,
         "embed_near_dup": q_embed_near_dup,
     }
@@ -1065,15 +1083,20 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "cloud_dist": f"""
             WITH images AS ({images}),
+            -- CLOUD_DIST semantics (mask.py:102-117): sources are cloud
+            -- pixels among VALID pixels only (nodata is non-cloud), and the
+            -- output is masked at invalid pixels -> the sum runs over
+            -- x >= f_px.  No cloud anywhere (mock family / c_px = 0) ->
+            -- every valid pixel saturates at the clamp.
             cols AS (
-              SELECT i.*, x FROM images i, range(40) r(x) WHERE fmt = 'raw'
+              SELECT i.*, x FROM images i, range(40) r(x)
+              WHERE fmt = 'raw' AND x >= f_px
             )
             SELECT image_id,
-                   CAST(SUM(h * LEAST(5000, CAST({synth.SCALE} AS BIGINT) * LEAST(
-                     CASE WHEN f_px > 0 THEN GREATEST(0, x - (f_px - 1)) ELSE 9999999 END,
+                   CAST(SUM(h * LEAST(5000, CAST({synth.SCALE} AS BIGINT) *
                      CASE WHEN c_px > 0 AND NOT ({mock})
                           THEN GREATEST(0, (w - c_px) - x) ELSE 9999999 END
-                   ))) AS BIGINT) AS dist_sum
+                   )) AS BIGINT) AS dist_sum
             FROM cols GROUP BY image_id
         """,
         "tile_grid": f"""
@@ -1243,13 +1266,16 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
               FROM lsat l, (SELECT unnest([0, 1]) AS tc) t, range(20) r(xl)),
             valid AS (SELECT * FROM cols WHERE x >= f_px AND x < w - c_px),
             cd AS (
+              -- sources are CLOUD pixels only (mask.py:102-104: invalid /
+              -- nodata pixels are non-cloud): tc=0 tiles have no cloud strip
+              -- so every valid pixel saturates at the 5000 clamp and the
+              -- (time DESC, id) tie order decides; tc=1 tiles rank by the
+              -- horizontal distance to the cloud strip
               SELECT image_id, v, time_start, tc, xl,
-                     LEAST(5000, CAST({synth.SCALE} AS BIGINT) * LEAST(
-                       CASE WHEN tc = 0 AND f_px > 0
-                            THEN x - (f_px - 1) ELSE 9999999 END,
+                     LEAST(5000, CAST({synth.SCALE} AS BIGINT) *
                        CASE WHEN tc = 1 AND c_px > 0
                             THEN (w - c_px) - x ELSE 9999999 END
-                     )) AS cdv
+                     ) AS cdv
               FROM valid),
             win AS (
               SELECT tc, xl, v,
@@ -1293,7 +1319,8 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT collection,
                    MIN(time_start) AS min_ts, MAX(time_start) AS max_ts,
                    CAST(COUNT(*) AS BIGINT) AS n_images,
-                   list_sort(list(caption))[1:3] AS first_captions
+                   array_to_string(list_sort(list(caption))[1:3], '|')
+                     AS first_captions
             FROM images GROUP BY collection
         """,
         "union_compat": f"""
@@ -1378,42 +1405,43 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                        AS DECIMAL(30,4)) AS sum_disc_price,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_base_price_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                     AS sum_disc_price_c4,
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "top_customers": """
             SELECT c_custkey, c_name, n_name,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_spent_cents,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY c_custkey, c_name, n_name
-            ORDER BY total_spent DESC, c_custkey LIMIT 10
+            ORDER BY total_spent_cents DESC, c_custkey LIMIT 10
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                        AS DECIMAL(30,4)) AS revenue
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                     AS revenue_c4
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                           JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
               AND o_orderdate < TIMESTAMP '1998-01-01'
               AND l_shipdate > TIMESTAMP '1998-01-01'
             GROUP BY l_orderkey, o_orderdate
-            ORDER BY revenue DESC, l_orderkey LIMIT 10
+            ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
         """,
         "local_supplier_volume": """
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-                        AS DECIMAL(30,4)) AS revenue,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                     AS revenue_c4,
                    CAST(COUNT(*) AS BIGINT) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                           JOIN customer ON o_custkey = c_custkey
@@ -1436,7 +1464,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "events_type_stats": """
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-02-01'
@@ -1555,5 +1583,13 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                              ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
               FROM sims) WHERE rank <= 10
+        """,
+        # Lloyd centroids are not SQL-expressible; the contract is the
+        # quality assertion itself (see q_ann_ivf) — the oracle states the
+        # expected assertion outcome.
+        "ann_ivf": """
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(5 AS BIGINT) AS n_queries,
+                   CAST(1 AS BIGINT) AS recall_ge_30pct
         """,
     }

@@ -94,10 +94,16 @@ class Collection:
             src, method, mask_opts=self.cloud_kwargs
         )
         name = method.upper().replace("-", "_")
-        # limit(1): the export guard enforces one (w, h) grid, so any row
-        # carries it — a full agg would re-execute the whole lineage (over
-        # the synthetic generator that re-encodes every blob) for 3 scalars
-        meta = self.df.limit(1).select("w", "h", "time_start")
+        # limit(1) for w/h only: the export guard enforces one (w, h) grid,
+        # so any row carries them — but time_start differs per image, so a
+        # bare limit(1) was nondeterministic across parallelism; use a MIN
+        # aggregate (the reference sets the composite time range to min/max
+        # of the inputs, collection.py:710-724).  Over a parquet source the
+        # agg is a pruned scalar scan; over a UDF-generated lineage it costs
+        # one extra pass — determinism wins.
+        meta = self.df.limit(1).select("w", "h").crossJoin(
+            F.broadcast(self.df.agg(F.min("time_start").alias("time_start")))
+        )
         decorated = out.crossJoin(F.broadcast(meta)).select(
             F.concat(F.lit(f"{name}-COMP-"), F.col("group_id")).alias("image_id"),
             F.concat(F.lit(f"caption-{method}-"), F.col("group_id")).alias("caption"),

@@ -39,8 +39,8 @@ NODATA_VALS = {
     "int16": -(2**15),
     "uint32": 0,
     "int32": -(2**31),
-    "float32": float(np.finfo("float32").min),
-    "float64": float(np.finfo("float64").min),
+    "float32": float("-inf"),
+    "float64": float("-inf"),
 }
 
 _HDR = struct.Struct("<4sBBHH")  # magic, dtype code, bands, h, w

@@ -140,13 +140,28 @@ def check_export_guards(images: DataFrame, bands: int = 2, dtype_size: int = 2) 
 
 
 def check_compatible_collections(images: DataFrame) -> list[str]:
-    """fromImages compatibility check (collection.py:124-160): all rows must
-    share a collection, or be Landsat variants of the same spacecraft."""
-    ids = [r["collection"] for r in images.select("collection").distinct().collect()]
+    """fromImages compatibility check (collection.py:65-81,124-160): all rows
+    must share a collection, or be spectrally compatible Landsat collections —
+    ids matching ``(LANDSAT/\\w{2})\\d{2}(/.*)`` with identical 2-letter sensor
+    prefix and identical suffix, any 2-digit spacecraft number (Landsat-8 with
+    Landsat-9, Landsat-4 with Landsat-5; different processing suffixes like
+    C01 vs C02 are incompatible)."""
+    import re
+
+    ids = sorted(
+        r["collection"] for r in images.select("collection").distinct().collect()
+    )
     if len(ids) <= 1:
         return ids
-    roots = {i.split("/")[0] + "/" + i.split("/")[1] if i.startswith("LANDSAT/") else i
-             for i in ids}
-    if len(roots) > 1:
-        raise ValueError(f"Incompatible collections: {sorted(ids)}")
+    landsat_re = re.compile(r"(LANDSAT/\w{2})(\d{2})(/.*)")
+    m0 = ids[0] and landsat_re.search(ids[0])
+    for name in ids[1:]:
+        if name and m0:
+            variant = re.compile(
+                rf"{re.escape(m0.group(1))}\d\d{re.escape(m0.group(3))}"
+            )
+            if not variant.search(name):
+                raise ValueError(f"Incompatible collections: {ids}")
+        elif name != ids[0]:
+            raise ValueError(f"Incompatible collections: {ids}")
     return ids

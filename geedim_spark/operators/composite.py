@@ -25,6 +25,8 @@ never partition order (SURVEY §7.3 hard-part 6).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -156,7 +158,7 @@ def sort_for_composite(
     return images.withColumn("sort_key", F.col("time_start").cast("double"))
 
 
-_COMP_SCHEMA = "group_id string, bytes binary, n_inputs int"
+_COMP_SCHEMA = "group_id string, bytes binary, n_inputs int, n_used int"
 
 
 def composite_collection(
@@ -191,7 +193,16 @@ def composite_collection(
         if method == "medoid" and len(pdf) > medoid_max_stack:
             # bound the O(N^2) pairwise-distance stack (the reference's own
             # TODO admits the cost, medoid.py:88-90): keep the best
-            # medoid_max_stack inputs by the explicit sort order
+            # medoid_max_stack inputs by the explicit sort order.  This is a
+            # DEPARTURE from the reference medoid (computed over all inputs);
+            # it is reported loudly — n_used < n_inputs in the output row —
+            # and warned once per task
+            warnings.warn(
+                f"medoid group of {n_total} exceeds medoid_max_stack="
+                f"{medoid_max_stack}: using the best {medoid_max_stack} "
+                "inputs by sort order (n_used column reports the truncation)",
+                RuntimeWarning, stacklevel=2,
+            )
             pdf = pdf.iloc[:medoid_max_stack]
         stacks, valids, dists = [], [], []
         for buf, coll in zip(pdf["bytes"], pdf["collection"]):
@@ -201,11 +212,13 @@ def composite_collection(
                 m = masks.landsat_masks(bands, **mask_opts)
             else:
                 fill = masks.fill_mask(px[:1])
-                m = {"CLOUDLESS_MASK": fill}
+                m = {"CLOUDLESS_MASK": fill, "FILL_MASK": fill}
             stacks.append(px)
             valids.append(m["CLOUDLESS_MASK"])
             if method == "q-mosaic":
-                dists.append(masks.cloud_dist(m["CLOUDLESS_MASK"], scale))
+                dists.append(masks.cloud_dist(
+                    m["CLOUDLESS_MASK"], scale, fill=m["FILL_MASK"]
+                ))
         stack = np.stack(stacks)
         valid = np.stack(valids)
         cd = np.stack(dists) if dists else None
@@ -215,6 +228,7 @@ def composite_collection(
             "group_id": pdf["group_id"].iloc[0],
             "bytes": codecs.encode_raw(comp.astype(np.float64)),
             "n_inputs": n_total,
+            "n_used": len(pdf),
         }])
 
     return src.groupBy("group_id").applyInPandas(_comp, schema=_COMP_SCHEMA)
@@ -273,8 +287,16 @@ def composite_tiled(
                 if masks._sensor_for(coll) == "landsat":
                     m = masks.landsat_masks(bands, **mask_opts)
                 else:
-                    m = {"CLOUDLESS_MASK": masks.fill_mask(px[:1])}
-                valid = m["CLOUDLESS_MASK"].astype(np.uint8)
+                    fill = masks.fill_mask(px[:1])
+                    m = {"CLOUDLESS_MASK": fill, "FILL_MASK": fill}
+                # 3-state validity code per pixel: 0 = invalid (no fill),
+                # 1 = filled but cloudy, 2 = cloudless — one uint8 plane
+                # carries both masks so the q-mosaic reducer can compute
+                # CLOUD_DIST with cloud-only sources (mask.py:102-104)
+                valid = (
+                    m["FILL_MASK"].astype(np.uint8)
+                    + m["CLOUDLESS_MASK"].astype(np.uint8)
+                )
                 _, h, w = px.shape
                 for tr in range(0, h, tile_h):
                     for tc in range(0, w, tile_w):
@@ -301,12 +323,15 @@ def composite_tiled(
             ["sort_key", "image_id"], ascending=[False, True], ignore_index=True
         )
         stack = np.stack([codecs.decode(bytes(b)) for b in pdf["tile_bytes"]])
-        valid = np.stack(
-            [codecs.decode(bytes(b))[0].astype(bool) for b in pdf["valid_bytes"]]
+        codes = np.stack(
+            [codecs.decode(bytes(b))[0] for b in pdf["valid_bytes"]]
         )
+        valid = codes >= 2
         cd = None
         if method == "q-mosaic":
-            cd = np.stack([masks.cloud_dist(v, scale) for v in valid])
+            cd = np.stack([
+                masks.cloud_dist(c >= 2, scale, fill=c >= 1) for c in codes
+            ])
         comp, out_valid = composite_stack(stack, valid, method, cd)
         comp = np.where(out_valid[None, :, :], comp, np.nan)
         return pd.DataFrame([{

@@ -314,12 +314,21 @@ def edt_squared(sources: np.ndarray, max_r: int | None = None) -> np.ndarray:
 
 
 def cloud_dist(
-    cloudless: np.ndarray, scale: float, max_cloud_dist: float = 5000.0
+    cloudless: np.ndarray,
+    scale: float,
+    max_cloud_dist: float = 5000.0,
+    fill: np.ndarray | None = None,
 ) -> np.ndarray:
-    """CLOUD_DIST band: metres to nearest non-cloudless pixel, clamped,
-    uint16 (mask.py:88-124).  Invalid pixels are treated as distance sources
-    (cloudless.Not() includes them), matching the reference."""
-    sources = ~cloudless
+    """CLOUD_DIST band: metres to nearest cloud pixel, clamped, uint16
+    (mask.py:88-124).  Distance sources are CLOUD pixels among VALID pixels
+    only — reference mask.py:102-104: fastDistanceTransform treats masked /
+    invalid pixels "as 0 (non cloud)", so with ``fill`` given the sources
+    are ``~cloudless & fill``.  The reference additionally masks CLOUD_DIST
+    at invalid pixels (updateMask, mask.py:117): values returned here at
+    ``~fill`` positions are geometrically defined but must be EXCLUDED by
+    callers (stats sum over fill; q-mosaic already drops invalid pixels).
+    ``fill=None`` means all pixels are valid."""
+    sources = ~cloudless if fill is None else (~cloudless & fill)
     if not sources.any():
         d = np.full(cloudless.shape, max_cloud_dist)
     else:
@@ -539,10 +548,17 @@ def cloud_dist_stats(
             else:
                 m = default_masks(bands)
             mk = m["CLOUDLESS_MASK"]
+            fk = m.get("FILL_MASK", np.ones_like(mk))
             if decimate > 1:
                 mk = mk[::decimate, ::decimate]
-            d = cloud_dist(mk, scale * decimate, max_cloud_dist)
-            rows.append({"image_id": image_id, "dist_sum": int(d.sum(dtype=np.int64))})
+                fk = fk[::decimate, ::decimate]
+            d = cloud_dist(mk, scale * decimate, max_cloud_dist, fill=fk)
+            # CLOUD_DIST is masked at invalid pixels (mask.py:117): the sum
+            # covers fill pixels only
+            rows.append({
+                "image_id": image_id,
+                "dist_sum": int(d[fk].sum(dtype=np.int64)),
+            })
         return pd.DataFrame(rows, columns=["image_id", "dist_sum"])
 
     src = images.select("image_id", "bytes", "collection")

@@ -71,10 +71,13 @@ def mask_and_tile(
                 cloudy = masks.focal_min(cloudy, focal_open_px)
                 cloudy = masks.focal_max(cloudy, max(focal_open_px, focal_dilate_px))
                 cl = ~cloudy & m["FILL_MASK"]
-            # coarse-projection cloud distance (mask.py:510-516 analog)
+            # coarse-projection cloud distance (mask.py:510-516 analog);
+            # sources = cloud & fill, sum over fill only (mask.py:102-117)
             dk = cl[::dist_decimate, ::dist_decimate]
-            d = masks.cloud_dist(dk, scale * dist_decimate, max_cloud_dist)
-            dist_sum = int(d.sum(dtype=np.int64))
+            fk = m["FILL_MASK"][::dist_decimate, ::dist_decimate]
+            d = masks.cloud_dist(dk, scale * dist_decimate, max_cloud_dist,
+                                 fill=fk)
+            dist_sum = int(d[fk].sum(dtype=np.int64))
             if apply_cloud_mask:
                 px = px.copy()
                 px[0][~cl] = codecs.NODATA_VALS[px.dtype.name]

@@ -274,16 +274,22 @@ def ivf_topk(
     key cardinality nlist; lists are ~N/nlist rows), the exact rank is a
     window inside each (query, cluster) slice — no cross join anywhere.
     """
-    import pandas as pd
-
-    # centroid training set: bounded AND deterministic — take() order
-    # follows partition layout, so the same data repartitioned would train
-    # different centroids; TakeOrderedAndProject on vec_id is one narrow
-    # job at any scale
+    # centroid training set: seeded Bernoulli sample — the 100 TB form (one
+    # narrow scan, no global sort, no ordered driver pull).  Deterministic
+    # for a fixed input layout (seed + partition split); rows are sorted by
+    # vec_id driver-side so training is order-independent of task finish.
     cap = max(nlist * 2000, 4000)
-    rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").take(cap)
-    if not rows:
+    n_total = embeddings.count()
+    if n_total == 0:
         raise ValueError("embeddings table is empty — cannot train centroids")
+    frac = min(1.0, (cap * 1.2) / n_total)
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .sample(fraction=frac, seed=42)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    rows = rows[:cap]
     sample = np.array([r["embedding"] for r in rows], dtype=np.float64)
     cent = ivf_centroids(sample, nlist)
     spark = embeddings.sparkSession
@@ -322,6 +328,42 @@ def ivf_topk(
         cosine(F.col("qe"), F.col("e")).alias("sim"),
     )
     return _rank_topk(sims, k)
+
+
+def ivf_recall_at_k(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Per-query IVF recall@k vs the exact scan: (query_id, n_hits).
+
+    ``n_hits`` counts IVF neighbours that appear anywhere in the exact
+    top-k (set overlap, rank-agnostic — ties at the boundary don't flip
+    membership because both sides use the round-6 + id total order).  The
+    exact side is :func:`cosine_topk`, itself value-checked against the
+    DuckDB oracle, so a recall assertion on this column is a real quality
+    gate for the (non-SQL-expressible) Lloyd-trained index.
+    """
+    approx = ivf_topk(embeddings, n_queries, k, nlist, nprobe)
+    exact = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    q_ids = embeddings.select(
+        F.col("vec_id").alias("query_id")
+    ).filter(F.col("query_id") < n_queries)
+    return (
+        q_ids.join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("hits")),
+            "query_id", "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
 
 
 def lsh_bucket_topk(

@@ -30,15 +30,14 @@ TABLES = [
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, canonicalise values, sort rows — an
     order-insensitive canonical form for hashing."""
-    from decimal import Decimal
-
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            sample = df[c].dropna()
-            if len(sample) and isinstance(sample.iloc[0], Decimal):
-                df[c] = df[c].astype(float).round(6)
-                continue
+            # NOTE: Decimal objects are stringified, NOT coerced to float —
+            # the round-1 driver run proved its canonicalizer is
+            # trailing-zero sensitive (Decimal('138014.00') != 138014.0),
+            # so the local gate must be at least that strict.  Money
+            # columns are integer cents everywhere now (FIXTURES.md).
             df[c] = df[c].map(
                 lambda v: str(sorted(v)) if isinstance(v, (list, tuple)) else str(v)
             )

@@ -45,7 +45,9 @@ def test_nodata_vals_match_reference():
     """Same per-dtype nodata as /root/reference/geedim/image.py:55-64."""
     assert codecs.NODATA_VALS["uint8"] == 0
     assert codecs.NODATA_VALS["int16"] == -(2**15)
-    assert codecs.NODATA_VALS["float32"] == float(np.finfo("float32").min)
+    # reference _nodata_vals uses -inf for both float types (image.py:55-64)
+    assert codecs.NODATA_VALS["float32"] == float("-inf")
+    assert codecs.NODATA_VALS["float64"] == float("-inf")
 
 
 def test_phash_deterministic_and_discriminative():

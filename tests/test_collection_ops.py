@@ -92,3 +92,30 @@ def test_compatible_collections(spark):
     mixed = synth.images_meta_df(spark, 9)
     with pytest.raises(ValueError, match="Incompatible"):
         co.check_compatible_collections(mixed)
+
+
+def test_compatible_collections_landsat(spark):
+    """Reference regex semantics (collection.py:65-81): same 2-letter sensor
+    prefix + identical suffix with any spacecraft number is compatible;
+    different suffix (C01 vs C02) or sensor prefix (LC vs LE) is not."""
+    def df(*ids):
+        return spark.createDataFrame([(i,) for i in ids], "collection string")
+
+    # Landsat-8 with Landsat-9, Landsat-4 with Landsat-5: compatible
+    assert co.check_compatible_collections(
+        df("LANDSAT/LC08/C02/T1_L2", "LANDSAT/LC09/C02/T1_L2")
+    ) == ["LANDSAT/LC08/C02/T1_L2", "LANDSAT/LC09/C02/T1_L2"]
+    assert len(co.check_compatible_collections(
+        df("LANDSAT/LT04/C02/T1_L2", "LANDSAT/LT05/C02/T1_L2"))) == 2
+    # same spacecraft, different processing suffix: incompatible
+    with pytest.raises(ValueError, match="Incompatible"):
+        co.check_compatible_collections(
+            df("LANDSAT/LC08/C01/T1_L2", "LANDSAT/LC08/C02/T1_L2"))
+    # different sensor prefix: incompatible
+    with pytest.raises(ValueError, match="Incompatible"):
+        co.check_compatible_collections(
+            df("LANDSAT/LC08/C02/T1_L2", "LANDSAT/LE07/C02/T1_L2"))
+    # landsat + non-landsat: incompatible
+    with pytest.raises(ValueError, match="Incompatible"):
+        co.check_compatible_collections(
+            df("LANDSAT/LC08/C02/T1_L2", "COPERNICUS/S2_SR_HARMONIZED"))
