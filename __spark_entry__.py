@@ -218,7 +218,7 @@ def q_mask_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = codecs.decode(bytes(buf))
                 tf = np.asarray(tf, dtype=np.float64)
                 fill = px[0] != 0
-                cloud = (px[1].astype(np.int64) & (1 << 9)) != 0
+                cloud = px[1] != 0  # the QA strip, family-independent
                 out = {"image_id": image_id}
                 for name, mask in [("fill", fill), ("cloud", cloud)]:
                     polys = geometry.mask_to_polygons(mask, tf)
@@ -251,6 +251,40 @@ def q_s2_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     scores = synth.scores_df(spark, n)
     return masks.s2_score_mask_stats(imgs, scores, score_thresh=0.6)
+
+
+def q_s2_qa_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 default-path masking through mask_stats dispatch (mask.py:536-544):
+    qa method with no match table — QA60 bit 10/11 cloud, the 2022-02 ..
+    2024-02 unpopulated window computed from time_start (mask.py:379-385;
+    synthetic rows i <= 744 fall inside it), and the qa pipeline's
+    open(20 m)+dilate(50 m) morphology (mask.py:466-472) — all exact strip
+    closed forms."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw' AND i % 3 = 2")
+    return masks.mask_stats(imgs)
+
+
+def q_s2_score_thresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cloud-score, 0.4) threshold delta vs the 0.6 default of
+    s2_score_join (test_mask.py:597-656 shape): at 0.4 both score levels
+    (0.5 / 0.9) are clear, so matched rows go fully cloudless while
+    unmatched rows still hit the fully-masked default."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    scores = synth.scores_df(spark, n)
+    return masks.s2_score_mask_stats(imgs, scores, score_thresh=0.4)
+
+
+def q_s2_prob_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cloud-prob, 60) method pair: probability match-join through the
+    full qa/prob pipeline (threshold -> morphology, mask.py:393-399 +
+    466-472); the left prob strip erodes 2 px then dilates 5 px, giving a
+    closed-form cloudless width."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    probs = synth.probs_df(spark, n)
+    return masks.s2_prob_mask_stats(imgs, probs, prob_thresh=60.0)
 
 
 def q_band_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +331,7 @@ def q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
                 px = codecs.decode(bytes(buf))
-                cloud = (px[1].astype(np.int64) & (1 << 9)) != 0
+                cloud = px[1] != 0  # the QA strip, family-independent
                 cast = masks.directional_project(cloud, 180.0, 5)
                 rows.append({
                     "image_id": image_id,
@@ -325,16 +359,16 @@ def q_dct8_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _batch(it):
         for pdf in it:
             rows = []
-            for image_id, caption, buf, v, f_px, c_px, w, h in zip(
-                pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["v"],
-                pdf["f_px"], pdf["c_px"], pdf["w"], pdf["h"],
+            for image_id, caption, buf, i, v, f_px, c_px, w, h in zip(
+                pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["i"],
+                pdf["v"], pdf["f_px"], pdf["c_px"], pdf["w"], pdf["h"],
             ):
                 dec = codecs.decode(bytes(buf))
                 orig = np.zeros((2, h, w), np.uint16)
                 orig[0, :, :] = v
                 orig[0, :, :f_px] = 0
                 if c_px:
-                    orig[1, :, w - c_px:] = 1 << 9
+                    orig[1, :, w - c_px:] = 1 << (10 if i % 3 == 2 else 9)
                 p = codecs.psnr(orig, dec, 1023.0)
                 rows.append({
                     "image_id": image_id, "caption": caption,
@@ -343,7 +377,7 @@ def q_dct8_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["image_id", "caption", "psnr_ok"])
 
     return imgs.select(
-        "image_id", "caption", "bytes", "v", "f_px", "c_px", "w", "h"
+        "image_id", "caption", "bytes", "i", "v", "f_px", "c_px", "w", "h"
     ).mapInPandas(_batch, schema="image_id string, caption string, psnr_ok boolean")
 
 
@@ -910,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "mask_polygons": q_mask_polygons,
         "s2_score_join": q_s2_score_join,
+        "s2_qa_portions": q_s2_qa_portions,
+        "s2_score_thresh": q_s2_score_thresh,
+        "s2_prob_join": q_s2_prob_join,
         "morphology": q_morphology,
         "cdi_join": q_cdi_join,
         "band_select": q_band_select,
@@ -976,6 +1013,24 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
     rois = synth.sql_rois(m)
 
     mock = "collection = 'MOCK/CONST'"
+    s2 = "collection = 'COPERNICUS/S2_SR_HARMONIZED'"
+    # QA60 validity window (mask.py:379-385): populated strictly OUTSIDE
+    # [2022-02-01, 2024-02-01]; the synthetic epoch starts 2024-01-01 so
+    # only the upper bound matters
+    qa_ok = "time_start > TIMESTAMP '2024-02-01'"
+    # effective S2 combined-cloud width after the qa pipeline's open(20 m =
+    # 2 px) + dilate(50 m = 5 px) morphology (mask.py:466-472): a full-height
+    # right strip of width c erodes to c-2 (empty for c <= 2) then dilates
+    # to c+3; zero when QA60 is in its unpopulated window
+    s2_ceff = (
+        f"CASE WHEN ({qa_ok}) AND c_px > 2 THEN c_px + 3 ELSE 0 END"
+    )
+    # cloudless strip width per mask family
+    clw = (
+        f"CASE WHEN {mock} THEN w - f_px "
+        f"WHEN {s2} THEN w - f_px - ({s2_ceff}) "
+        f"ELSE w - f_px - c_px END"
+    )
 
     minhash_shingle = (
         "list_transform("
@@ -1066,10 +1121,13 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT image_id,
                    CAST(w*h AS BIGINT) AS total_px,
                    CAST((w - f_px)*h AS BIGINT) AS fill_px,
-                   CAST(CASE WHEN {mock} THEN 0 ELSE c_px*h END AS BIGINT) AS cloud_px,
+                   -- CLOUD_MASK is the raw (pre-morphology) cloud band;
+                   -- S2 rows zero it inside the QA60 unpopulated window
+                   CAST(CASE WHEN {mock} THEN 0
+                             WHEN {s2} AND NOT ({qa_ok}) THEN 0
+                             ELSE c_px*h END AS BIGINT) AS cloud_px,
                    CAST(0 AS BIGINT) AS shadow_px,
-                   CAST(CASE WHEN {mock} THEN (w - f_px)*h
-                             ELSE (w - f_px - c_px)*h END AS BIGINT) AS cloudless_px
+                   CAST(({clw})*h AS BIGINT) AS cloudless_px
             FROM images WHERE fmt = 'raw'
         """,
         "streaming_ingest": f"""
@@ -1077,8 +1135,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT image_id,
                    CAST(w*h AS BIGINT) AS total_px,
                    CAST((w - f_px)*h AS BIGINT) AS fill_px,
-                   CAST(CASE WHEN {mock} THEN (w - f_px)*h
-                             ELSE (w - f_px - c_px)*h END AS BIGINT) AS cloudless_px
+                   CAST(({clw})*h AS BIGINT) AS cloudless_px
             FROM images WHERE fmt = 'raw'
         """,
         "cloud_dist": f"""
@@ -1094,8 +1151,17 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             )
             SELECT image_id,
                    CAST(SUM(h * LEAST(5000, CAST({synth.SCALE} AS BIGINT) *
-                     CASE WHEN c_px > 0 AND NOT ({mock})
-                          THEN GREATEST(0, (w - c_px) - x) ELSE 9999999 END
+                     CASE WHEN {mock} THEN 9999999
+                          -- S2 sources are the post-morphology combined
+                          -- strip [w - c_px - 3, w) (empty when c_px <= 2
+                          -- or QA60 unpopulated)
+                          WHEN {s2} THEN
+                            CASE WHEN ({qa_ok}) AND c_px > 2
+                                 THEN GREATEST(0, (w - c_px - 3) - x)
+                                 ELSE 9999999 END
+                          WHEN c_px > 0
+                               THEN GREATEST(0, (w - c_px) - x)
+                          ELSE 9999999 END
                    )) AS BIGINT) AS dist_sum
             FROM cols GROUP BY image_id
         """,
@@ -1124,7 +1190,10 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      (LEAST(r + 21, h) - r) *
                      CASE WHEN b = 0
                           THEN v * GREATEST(0, LEAST(c + 21, w) - GREATEST(c, f_px))
-                          ELSE 512 * GREATEST(0, LEAST(c + 21, w) - GREATEST(c, w - c_px))
+                          -- QA strip value: QA60 bit 10 (1024) on S2 rows,
+                          -- QA_PIXEL bit 9 (512) elsewhere
+                          ELSE (CASE WHEN {s2} THEN 1024 ELSE 512 END)
+                               * GREATEST(0, LEAST(c + 21, w) - GREATEST(c, w - c_px))
                                * CASE WHEN c_px > 0 THEN 1 ELSE 0 END
                      END AS BIGINT) AS pxsum
             FROM grid
@@ -1136,13 +1205,20 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM images WHERE fmt = 'raw'
         """,
         "cdi_join": f"""
-            WITH images AS ({images})
+            WITH images AS ({images}),
+            base AS (
+              -- base QA cloud width before CDI refinement: S2 rows use
+              -- QA60 (zeroed inside its unpopulated window), others
+              -- QA_PIXEL bit 9
+              SELECT *, CASE WHEN {s2} AND NOT ({qa_ok}) THEN 0
+                             ELSE c_px END AS base_c
+              FROM images WHERE fmt = 'raw')
             SELECT image_id,
-                   CAST(h * LEAST(c_px, (i % 4) * 10) AS BIGINT) AS cloud_px,
-                   CAST((w - f_px) * h - h * LEAST(c_px, (i % 4) * 10) AS BIGINT)
+                   CAST(h * LEAST(base_c, (i % 4) * 10) AS BIGINT) AS cloud_px,
+                   CAST((w - f_px) * h - h * LEAST(base_c, (i % 4) * 10) AS BIGINT)
                      AS cloudless_px,
                    TRUE AS cdi_matched
-            FROM images WHERE fmt = 'raw'
+            FROM base
         """,
         "morphology": f"""
             WITH images AS ({images})
@@ -1168,6 +1244,45 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS cloudless_px,
                    (i % 2 = 0) AS score_matched
             FROM images WHERE fmt = 'raw'
+        """,
+        "s2_qa_portions": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(w*h AS BIGINT) AS total_px,
+                   CAST((w - f_px)*h AS BIGINT) AS fill_px,
+                   CAST(CASE WHEN {qa_ok} THEN c_px*h ELSE 0 END AS BIGINT)
+                     AS cloud_px,
+                   CAST(0 AS BIGINT) AS shadow_px,
+                   CAST((w - f_px - ({s2_ceff}))*h AS BIGINT) AS cloudless_px
+            FROM images WHERE fmt = 'raw' AND i % 3 = 2
+        """,
+        "s2_score_thresh": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(w * h AS BIGINT) AS total_px,
+                   CAST((w - f_px) * h AS BIGINT) AS fill_px,
+                   CAST(CASE WHEN i % 2 = 0 THEN (w - f_px) * h
+                             ELSE 0 END AS BIGINT) AS cloudless_px,
+                   (i % 2 = 0) AS score_matched
+            FROM images WHERE fmt = 'raw'
+        """,
+        "s2_prob_join": f"""
+            WITH images AS ({images}),
+            base AS (
+              -- prob strip [0, p_px) with p_px = (i%10)*4: erode 2 px,
+              -- dilate 5 px -> combined [0, p_px+3) (empty when p_px <= 2)
+              SELECT *, (i % 10) * 4 AS p_px FROM images WHERE fmt = 'raw')
+            SELECT image_id,
+                   CAST(w * h AS BIGINT) AS total_px,
+                   CAST((w - f_px) * h AS BIGINT) AS fill_px,
+                   CAST(CASE WHEN i % 2 = 0
+                             THEN (w - GREATEST(f_px,
+                                    CASE WHEN p_px > 2
+                                         THEN LEAST(w, p_px + 3)
+                                         ELSE 0 END)) * h
+                             ELSE 0 END AS BIGINT) AS cloudless_px,
+                   (i % 2 = 0) AS prob_matched
+            FROM base
         """,
         "dct8_psnr": f"""
             WITH images AS ({images})
@@ -1209,8 +1324,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             WITH images AS ({images})
             SELECT image_id,
                    CAST((w - f_px) * h AS BIGINT) AS fill_px,
-                   CAST(CASE WHEN {mock} THEN (w - f_px) * h
-                             ELSE (w - f_px - c_px) * h END AS BIGINT) AS cloudless_px,
+                   CAST(({clw}) * h AS BIGINT) AS cloudless_px,
                    CAST(4 AS BIGINT) AS n_tiles
             FROM images WHERE fmt = 'raw'
         """,
@@ -1224,8 +1338,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
               AND EXISTS (
                 SELECT 1 FROM ({rois}) r
                 WHERE x0 <= rx1 AND x1 >= rx0 AND y0 <= ry1 AND y1 >= ry0)
-              AND (CASE WHEN {mock} THEN 100.0
-                        ELSE 100.0 * (w - f_px - c_px) / (w - f_px) END) >= 60.0
+              AND (100.0 * ({clw}) / (w - f_px)) >= 60.0
         """,
         "date_filter_1ms": f"""
             WITH images AS ({images})

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geedim_spark import schema as gd_schema
 from geedim_spark import synth
 from geedim_spark.operators import collection_ops, composite as comp_ops, pipeline
 from geedim_spark.operators import export_ops, masks
@@ -145,11 +146,46 @@ class Collection:
     def count(self) -> int:
         return self.df.count()
 
+    def collection_id(self) -> str | None:
+        """The (single) collection id of the wrapped frame, or None when
+        mixed/absent — drives the declared-schema lookups."""
+        if "collection" not in self.df.columns:
+            return None
+        ids = [r[0] for r in self.df.select("collection").distinct().limit(2).collect()]
+        return ids[0] if len(ids) == 1 else None
+
+    def schema(self, prop_names=None) -> dict[str, dict]:
+        """Declared property schema for this collection, optionally
+        restricted/extended to ``prop_names`` (schemaPropertyNames analog,
+        collection.py:233-292)."""
+        return gd_schema.schema_for(self.collection_id(), prop_names)
+
+    def schema_table(self, prop_names=None) -> str:
+        """Printable (ABBREV, NAME, DESCRIPTION) table (collection.py:
+        294-312)."""
+        return gd_schema.schema_table(self.schema(prop_names))
+
+    def properties_table(self, n: int = 20, prop_names=None) -> str:
+        """Schema-defined per-image property table with abbreviated headers
+        (propertiesTable analog, collection.py:330-360); portion columns
+        and time_start are folded into the props view when present."""
+        sch = self.schema(prop_names)
+        rows = self.df.limit(n).collect()
+        props = {}
+        for i, r in enumerate(rows):
+            d = dict(r["props"]) if "props" in self.df.columns and r["props"] else {}
+            if "time_start" in self.df.columns:
+                d.setdefault("system:time_start", r["time_start"])
+            for c in ("FILL_PORTION", "CLOUDLESS_PORTION"):
+                if c in self.df.columns:
+                    d[c] = r[c]
+            props[d.get("system:index", str(i))] = d
+        return gd_schema.properties_table(props, sch)
+
     def show_schema_table(self, n: int = 20) -> None:
-        """Tabular property display (schema.py tables analog)."""
-        cols = [c for c in ("image_id", "collection", "time_start",
-                            "FILL_PORTION", "CLOUDLESS_PORTION") if c in self.df.columns]
-        self.df.select(*cols).show(n, truncate=False)
+        """Print the declared schema + per-image property tables."""
+        print(self.schema_table())
+        print(self.properties_table(n))
 
 
 @dataclass

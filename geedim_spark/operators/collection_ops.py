@@ -53,6 +53,30 @@ def _to_dt(v):
     return v
 
 
+def expand_schema_filter(expr: str, collection_id: str | None) -> str:
+    """Rewrite declared schema ABBREVIATIONS in a filter expression to the
+    engine columns they name (the propertiesTable vocabulary,
+    collection.py:233-292 + schema.py): DATE -> time_start, FILL /
+    CLOUDLESS -> the portion columns, INDEX and sensor angles -> the props
+    map (numeric props cast to double).  Only whole-word abbreviations from
+    the collection's schema are touched; anything else passes through."""
+    import re
+
+    from geedim_spark import schema as gd_schema
+
+    direct = {
+        "DATE": "time_start",
+        "FILL": "FILL_PORTION",
+        "CLOUDLESS": "CLOUDLESS_PORTION",
+        "INDEX": "props['system:index']",
+    }
+    out = expr
+    for abbrev, prop in gd_schema.abbrev_map(collection_id).items():
+        repl = direct.get(abbrev, f"cast(props['{prop}'] as double)")
+        out = re.sub(rf"\b{re.escape(abbrev)}\b", repl, out)
+    return out
+
+
 def search(
     images: DataFrame,
     start=None,
@@ -62,9 +86,14 @@ def search(
     fill_portion: float | None = None,
     cloudless_portion: float | None = None,
     mask_opts: dict | None = None,
+    collection_id: str | None = None,
 ) -> DataFrame:
     """Filter an image collection; returns matching images + portion columns,
-    sorted by capture time."""
+    sorted by capture time.  ``custom_filter`` accepts the declared schema
+    abbreviations (e.g. ``"SAA <= 180 and CLOUDLESS >= 60"``) when
+    ``collection_id`` is given — see :func:`expand_schema_filter`."""
+    if custom_filter and collection_id is not None:
+        custom_filter = expand_schema_filter(custom_filter, collection_id)
     want_portions = fill_portion is not None or cloudless_portion is not None
     if want_portions and rois is None:
         # collection.py:590-594 guard

@@ -183,7 +183,9 @@ def composite_collection(
     )
     if "sort_key" not in src.columns:
         src = src.withColumn("sort_key", F.col("time_start").cast("double"))
-    src = src.select("group_id", "image_id", "bytes", "collection", "sort_key")
+    src = masks._with_time_start(src).select(
+        "group_id", "image_id", "bytes", "collection", "sort_key", "time_start"
+    )
 
     def _comp(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -205,14 +207,11 @@ def composite_collection(
             )
             pdf = pdf.iloc[:medoid_max_stack]
         stacks, valids, dists = [], [], []
-        for buf, coll in zip(pdf["bytes"], pdf["collection"]):
+        for buf, coll, ts in zip(pdf["bytes"], pdf["collection"], pdf["time_start"]):
             px = codecs.decode(bytes(buf))
-            bands = {n: px[i] for i, n in enumerate(masks.BAND_NAMES[: px.shape[0]])}
-            if masks._sensor_for(coll) == "landsat":
-                m = masks.landsat_masks(bands, **mask_opts)
-            else:
-                fill = masks.fill_mask(px[:1])
-                m = {"CLOUDLESS_MASK": fill, "FILL_MASK": fill}
+            names = masks.band_names_for(coll)
+            bands = {n: px[i] for i, n in enumerate(names[: px.shape[0]])}
+            m = masks.masks_for(coll, bands, time_start=ts, **mask_opts)
             stacks.append(px)
             valids.append(m["CLOUDLESS_MASK"])
             if method == "q-mosaic":
@@ -279,16 +278,14 @@ def composite_tiled(
     def _tiles(it):
         for pdf in it:
             rows = []
-            for image_id, buf, coll, sk in zip(
-                pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["sort_key"]
+            for image_id, buf, coll, sk, ts in zip(
+                pdf["image_id"], pdf["bytes"], pdf["collection"],
+                pdf["sort_key"], pdf["time_start"],
             ):
                 px = codecs.decode(bytes(buf))
-                bands = {n: px[i] for i, n in enumerate(masks.BAND_NAMES[: px.shape[0]])}
-                if masks._sensor_for(coll) == "landsat":
-                    m = masks.landsat_masks(bands, **mask_opts)
-                else:
-                    fill = masks.fill_mask(px[:1])
-                    m = {"CLOUDLESS_MASK": fill, "FILL_MASK": fill}
+                names = masks.band_names_for(coll)
+                bands = {n: px[i] for i, n in enumerate(names[: px.shape[0]])}
+                m = masks.masks_for(coll, bands, time_start=ts, **mask_opts)
                 # 3-state validity code per pixel: 0 = invalid (no fill),
                 # 1 = filled but cloudy, 2 = cloudless — one uint8 plane
                 # carries both masks so the q-mosaic reducer can compute

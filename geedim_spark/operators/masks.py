@@ -196,8 +196,12 @@ def s2_masks(
             dark_mask &= bands["SCL"] != 6  # exclude water
         azimuth = 90.0 - solar_azimuth
         npix = round(shadow_dist / scale)
-        cast = directional_project(cloud, azimuth, npix)
-        shadow = cast & dark_mask
+        if dark_mask.any() and cloud.any():
+            shadow = directional_project(cloud, azimuth, npix) & dark_mask
+        else:
+            # the projection is O(npix) shifted ORs; skip it when the dark
+            # mask (or cloud) is empty — the intersection is empty anyway
+            shadow = np.zeros(shape, bool)
         out["SHADOW_MASK"] = shadow
 
         combined = (cloud | shadow) if mask_shadows else cloud
@@ -361,24 +365,104 @@ _STATS_SCHEMA = (
 )
 
 
+def _with_time_start(images: DataFrame) -> DataFrame:
+    """Ensure a time_start column exists (NULL when the caller's table has
+    none — masks_for then assumes QA bands are populated)."""
+    if "time_start" in images.columns:
+        return images
+    return images.withColumn("time_start", F.lit(None).cast("timestamp"))
+
+
 def _sensor_for(collection: str) -> str:
-    """Collection id -> mask family (schema.py:75-241 / mask.py:536-544
-    dispatch analog; unknown ids -> no cloud support)."""
+    """Collection id -> mask family.  The declared registry
+    (geedim_spark.schema.COLLECTION_SCHEMA, reference schema.py:75-241 /
+    mask.py:536-544) decides first; the id-prefix fallback keeps unlisted
+    Landsat/S2 variants working; anything else has no cloud support."""
+    from geedim_spark import schema as gd_schema
+
+    fam = gd_schema.mask_family(collection)
+    if fam is not None:
+        return "landsat" if fam.startswith("landsat") else "s2"
     if collection.startswith("LANDSAT/"):
         return "landsat"
     if collection.startswith("COPERNICUS/S2"):
-        # synthetic S2 rows carry the same QA_PIXEL layout; they use the
-        # landsat bit kernel until a score table is joined (see s2_masks)
-        return "landsat"
+        return "s2"
     return "none"
+
+
+def band_names_for(collection: str) -> tuple[str, ...]:
+    """Synthetic-universe band layout per mask family: band 0 is the
+    reflectance band, band 1 the QA band under its family name (QA60 for
+    Sentinel-2, QA_PIXEL otherwise)."""
+    if _sensor_for(collection) == "s2":
+        return ("B1", "QA60")
+    return BAND_NAMES
+
+
+def qa60_valid(time_start) -> bool:
+    """QA60 (and other QA*) bands are unpopulated between 2022-02-01 and
+    2024-02-01; the qa cloud mask is only valid strictly outside that
+    window (mask.py:379-385: difference < 0 days OR difference > 0 days,
+    so both endpoints are *invalid*).  None -> assumed valid."""
+    if time_start is None:
+        return True
+    ts = pd.Timestamp(time_start)
+    return bool(
+        ts < pd.Timestamp("2022-02-01") or ts > pd.Timestamp("2024-02-01")
+    )
+
+
+# kwargs accepted by each family kernel (callers may pass a mixed bag when
+# one table spans families; masks_for routes only the applicable ones)
+_LANDSAT_OPTS = frozenset({
+    "mask_shadows", "mask_cirrus", "mask_saturation", "mask_nonphysical",
+    "mask_aerosols", "nodata",
+})
+_S2_OPTS = frozenset({
+    "mask_method", "score_thresh", "prob_thresh", "mask_cirrus",
+    "mask_shadows", "mask_nonphysical", "solar_azimuth", "dark",
+    "shadow_dist", "buffer", "scale", "s2_toa", "nodata",
+})
+
+
+def masks_for(
+    collection: str,
+    bands: dict[str, np.ndarray],
+    time_start=None,
+    **mask_opts,
+) -> dict[str, np.ndarray]:
+    """Per-collection mask dispatch (mask.py:536-544 `_get_class_for_id`):
+    Landsat -> :func:`landsat_masks`, Sentinel-2 -> :func:`s2_masks` with
+    the self-contained ``qa`` method by default (cloud-score / cloud-prob
+    need a match-image join — see :func:`s2_score_mask_stats`) and the
+    QA60 validity window computed from ``time_start``, anything else ->
+    :func:`default_masks` (no cloud support)."""
+    from geedim_spark import schema as gd_schema
+
+    sensor = _sensor_for(collection)
+    fam = gd_schema.mask_family(collection)
+    if sensor == "landsat":
+        opts = {k: v for k, v in mask_opts.items() if k in _LANDSAT_OPTS}
+        if fam == "landsat-toa-raw":
+            # TOA/raw collections have no SR-only bands: those mask options
+            # are SR-specific (mask.py:228-263 subclasses)
+            opts.pop("mask_nonphysical", None)
+            opts.pop("mask_aerosols", None)
+        return landsat_masks(bands, **opts)
+    if sensor == "s2":
+        opts = {k: v for k, v in mask_opts.items() if k in _S2_OPTS}
+        opts.setdefault("mask_method", "qa")
+        opts.setdefault("s2_toa", fam == "s2-toa")
+        return s2_masks(bands, qa_valid=qa60_valid(time_start), **opts)
+    return default_masks(bands)
 
 
 def default_masks(bands: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     """Fallback for collections without cloud support: FILL from the
-    reflectance bands, CLOUDLESS == FILL (portions pin to 100)."""
-    fill = fill_mask(
-        np.stack([v for k, v in bands.items() if k != "QA_PIXEL"])
-    )
+    reflectance bands (B*/SR_B*; QA bands are never validity evidence),
+    CLOUDLESS == FILL (portions pin to 100)."""
+    refl = [v for k, v in bands.items() if k.startswith(("B", "SR_B"))]
+    fill = fill_mask(np.stack(refl if refl else list(bands.values())))
     return {"FILL_MASK": fill, "CLOUDLESS_MASK": fill}
 
 
@@ -391,13 +475,11 @@ def mask_stats(images: DataFrame, **mask_opts) -> DataFrame:
     """
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for image_id, buf, coll in zip(pdf["image_id"], pdf["bytes"], pdf["collection"]):
-            bands = decode_bands(buf)
-            sensor = _sensor_for(coll)
-            if sensor == "landsat":
-                m = landsat_masks(bands, **mask_opts)
-            else:
-                m = default_masks(bands)
+        for image_id, buf, coll, ts in zip(
+            pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["time_start"]
+        ):
+            bands = decode_bands(buf, band_names_for(coll))
+            m = masks_for(coll, bands, time_start=ts, **mask_opts)
             step = stats_stride(m["FILL_MASK"].size)
             sub = (slice(None, None, step), slice(None, None, step))
             rows.append({
@@ -412,7 +494,9 @@ def mask_stats(images: DataFrame, **mask_opts) -> DataFrame:
             "image_id", "total_px", "fill_px", "cloud_px", "shadow_px", "cloudless_px",
         ])
 
-    src = images.select("image_id", "bytes", "collection")
+    src = _with_time_start(images).select(
+        "image_id", "bytes", "collection", "time_start"
+    )
     return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_STATS_SCHEMA)
 
 
@@ -475,6 +559,51 @@ def s2_score_mask_stats(
     )
 
 
+def s2_prob_mask_stats(
+    images: DataFrame,
+    probs: DataFrame,
+    prob_thresh: float = 60.0,
+) -> DataFrame:
+    """Sentinel-2 cloud-probability masking (mask.py:393-399) via the same
+    broadcast left-outer match-image join as the score method, but through
+    the full qa/prob pipeline: threshold -> shadow projection -> open(20 m)
+    + dilate(buffer) morphology (mask.py:466-472).  NULL prob payload ->
+    fully-masked default.  ``probs`` needs (image_id, prob_bytes) decoding
+    to a 1-band float raster in [0, 100] on the image grid.
+    """
+    joined = images.select("image_id", "bytes").join(
+        F.broadcast(probs.select("image_id", "prob_bytes")),
+        "image_id", "left_outer",
+    )
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for image_id, buf, pbuf in zip(pdf["image_id"], pdf["bytes"], pdf["prob_bytes"]):
+            px = codecs.decode(bytes(buf))
+            bands = {n: px[i] for i, n in enumerate(BAND_NAMES[: px.shape[0]])}
+            prob = codecs.decode(bytes(pbuf))[0] if pbuf is not None else None
+            m = s2_masks(
+                bands, prob=prob, mask_method="cloud-prob",
+                prob_thresh=prob_thresh,
+            )
+            rows.append({
+                "image_id": image_id,
+                "total_px": int(m["FILL_MASK"].size),
+                "fill_px": int(m["FILL_MASK"].sum()),
+                "cloudless_px": int(m["CLOUDLESS_MASK"].sum()),
+                "prob_matched": bool(m["VALID"]),
+            })
+        return pd.DataFrame(rows, columns=[
+            "image_id", "total_px", "fill_px", "cloudless_px", "prob_matched",
+        ])
+
+    return joined.mapInPandas(
+        lambda it: (_batch(p) for p in it),
+        schema="image_id string, total_px long, fill_px long, "
+               "cloudless_px long, prob_matched boolean",
+    )
+
+
 def cdi_mask_stats(
     images: DataFrame,
     cdi: DataFrame,
@@ -490,18 +619,32 @@ def cdi_mask_stats(
     evidence to remove cloud pixels).  ``cdi`` needs (image_id, cdi_bytes)
     decoding to a 1-band float raster.  Output: exact pixel counts.
     """
-    joined = images.select("image_id", "bytes").join(
+    joined = _with_time_start(images).select(
+        "image_id", "bytes", "collection", "time_start"
+    ).join(
         F.broadcast(cdi.select("image_id", "cdi_bytes")), "image_id", "left_outer"
     )
 
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for image_id, buf, cbuf in zip(pdf["image_id"], pdf["bytes"], pdf["cdi_bytes"]):
+        for image_id, buf, coll, ts, cbuf in zip(
+            pdf["image_id"], pdf["bytes"], pdf["collection"],
+            pdf["time_start"], pdf["cdi_bytes"],
+        ):
             px = codecs.decode(bytes(buf))
-            bands = {n: px[i] for i, n in enumerate(BAND_NAMES[: px.shape[0]])}
+            names = band_names_for(coll)
+            bands = {n: px[i] for i, n in enumerate(names[: px.shape[0]])}
             fill = fill_mask(px[:1])
-            qa = bands["QA_PIXEL"].astype(np.int64)
-            cloud = (qa & _QA_CLOUD_MID) == _QA_CLOUD_MID
+            # base cloud mask per family; CDI refines qa/prob clouds
+            # (mask.py:451-454: aux['cloud'].And(cdi_cloud_mask))
+            if _sensor_for(coll) == "s2":
+                qa = bands["QA60"].astype(np.int64)
+                cloud = ((qa & _QA60_CLOUD) != 0) | ((qa & _QA60_CIRRUS) != 0)
+                if not qa60_valid(ts):  # QA60 unpopulated window
+                    cloud = np.zeros_like(cloud)
+            else:
+                qa = bands["QA_PIXEL"].astype(np.int64)
+                cloud = (qa & _QA_CLOUD_MID) == _QA_CLOUD_MID
             matched = cbuf is not None
             if matched:
                 cdi_arr = codecs.decode(bytes(cbuf))[0]
@@ -541,12 +684,11 @@ def cloud_dist_stats(
     """
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for image_id, buf, coll in zip(pdf["image_id"], pdf["bytes"], pdf["collection"]):
-            bands = decode_bands(buf)
-            if _sensor_for(coll) == "landsat":
-                m = landsat_masks(bands, **mask_opts)
-            else:
-                m = default_masks(bands)
+        for image_id, buf, coll, ts in zip(
+            pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["time_start"]
+        ):
+            bands = decode_bands(buf, band_names_for(coll))
+            m = masks_for(coll, bands, time_start=ts, **mask_opts)
             mk = m["CLOUDLESS_MASK"]
             fk = m.get("FILL_MASK", np.ones_like(mk))
             if decimate > 1:
@@ -561,7 +703,9 @@ def cloud_dist_stats(
             })
         return pd.DataFrame(rows, columns=["image_id", "dist_sum"])
 
-    src = images.select("image_id", "bytes", "collection")
+    src = _with_time_start(images).select(
+        "image_id", "bytes", "collection", "time_start"
+    )
     return src.mapInPandas(
         lambda it: (_batch(p) for p in it), schema="image_id string, dist_sum long"
     )
@@ -578,13 +722,14 @@ def mask_clouds(images: DataFrame, **mask_opts) -> DataFrame:
     to 'raw'; callers joining back must take THIS fmt, not the source's."""
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for image_id, buf, coll in zip(
-            pdf["image_id"], pdf["bytes"], pdf["collection"]
+        for image_id, buf, coll, ts in zip(
+            pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["time_start"]
         ):
             px = codecs.decode(bytes(buf))
-            bands = {n: px[i] for i, n in enumerate(BAND_NAMES[: px.shape[0]])}
-            if _sensor_for(coll) == "landsat":
-                m = landsat_masks(bands, **mask_opts)
+            names = band_names_for(coll)
+            bands = {n: px[i] for i, n in enumerate(names[: px.shape[0]])}
+            if _sensor_for(coll) != "none":
+                m = masks_for(coll, bands, time_start=ts, **mask_opts)
                 px[0][~m["CLOUDLESS_MASK"]] = codecs.NODATA_VALS[px.dtype.name]
             out.append({
                 "image_id": image_id,
@@ -593,5 +738,7 @@ def mask_clouds(images: DataFrame, **mask_opts) -> DataFrame:
             })
         return pd.DataFrame(out, columns=["image_id", "bytes", "fmt"])
 
-    src = images.select("image_id", "bytes", "collection")
+    src = _with_time_start(images).select(
+        "image_id", "bytes", "collection", "time_start"
+    )
     return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_MASKED_SCHEMA)

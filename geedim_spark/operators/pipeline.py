@@ -51,16 +51,14 @@ def mask_and_tile(
     """
     def _batch(pdf: pd.DataFrame):
         all_rows = []
-        for image_id, caption, buf, coll in zip(
-            pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["collection"]
+        for image_id, caption, buf, coll, ts in zip(
+            pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["collection"],
+            pdf["time_start"],
         ):
             px = codecs.decode(bytes(buf))
-            bands = {n: px[i] for i, n in enumerate(masks.BAND_NAMES[: px.shape[0]])}
-            if masks._sensor_for(coll) == "landsat":
-                m = masks.landsat_masks(bands, **mask_opts)
-            else:
-                fill = masks.fill_mask(px[:1])
-                m = {"FILL_MASK": fill, "CLOUDLESS_MASK": fill}
+            names = masks.band_names_for(coll)
+            bands = {n: px[i] for i, n in enumerate(names[: px.shape[0]])}
+            m = masks.masks_for(coll, bands, time_start=ts, **mask_opts)
             cl = m["CLOUDLESS_MASK"]
             if focal_open_px or focal_dilate_px:
                 # open/dilate the combined CLOUD|SHADOW mask only
@@ -106,5 +104,7 @@ def mask_and_tile(
                 "dist_sum", "tile_bytes"]
         return pd.DataFrame(all_rows, columns=cols)
 
-    src = images.select("image_id", "caption", "bytes", "collection")
+    src = masks._with_time_start(images).select(
+        "image_id", "caption", "bytes", "collection", "time_start"
+    )
     return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_SCHEMA)

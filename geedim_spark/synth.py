@@ -17,8 +17,10 @@ known pixel width encode mask conditions, so portions are exact integers.
 
     band 0 (B1):       value v = 1 + i%200 everywhere, 0 (nodata) in the left
                        f_px = (i%5)*4 columns               -> FILL strip
-    band 1 (QA_PIXEL): bit 9 (mid-confidence cloud, the bit geedim's Landsat
-                       mask keys on — mask.py:183) set in the right
+    band 1 (QA):       the family QA band — QA_PIXEL bit 9 (mid-confidence
+                       cloud, mask.py:183) for Landsat/mock rows, QA60
+                       bit 10 (opaque cloud, mask.py:387) for Sentinel-2
+                       rows (i%3==2) — set in the right
                        c_px = (i%7)*2 columns               -> CLOUD strip
 
 Footprints are w*scale-metre boxes placed by a multiplicative scatter over
@@ -148,7 +150,11 @@ def _gen_bytes_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         px[0, :, :] = v
         px[0, :, :f_px] = 0                # fill strip (nodata)
         if c_px:
-            px[1, :, w - c_px:] = 1 << 9   # QA_PIXEL bit 9 = cloud (mask.py:183)
+            # band 1 is the family QA band: S2 rows (i%3==2) carry QA60
+            # bit 10 = opaque cloud (mask.py:387); other rows QA_PIXEL
+            # bit 9 = mid-confidence cloud (mask.py:183)
+            qa_bit = 10 if i % 3 == 2 else 9
+            px[1, :, w - c_px:] = 1 << qa_bit
         out_bytes.append(codecs.encode(px, fmt))
         out_phash.append(codecs.phash64(px))
     out = pdf.copy()
@@ -211,6 +217,43 @@ def scores_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFram
     return base.mapInPandas(
         lambda it: (_gen(p) for p in it),
         schema="i long, image_id string, s_px int, w int, h int, score_bytes binary",
+    )
+
+
+def probs_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFrame:
+    """Cloud-probability match images (the COPERNICUS/S2_CLOUD_PROBABILITY
+    analog) for EVEN-indexed images only — odd images exercise the no-match
+    -> fully-masked default (mask.py:317-328).
+
+    Probability raster: 90 (cloudy at the 60 threshold) in the left
+    p_px = (i%10)*4 columns, 50 (clear) elsewhere — exact strip closed
+    forms through the prob pipeline's open+dilate morphology.
+    """
+    i = F.col("i")
+    base = (
+        spark.range(n).withColumnRenamed("id", "i").filter("i % 2 = 0")
+        .select(
+            "i",
+            F.format_string("IMG/%08d", i).alias("image_id"),
+            ((i % 10) * 4).cast("int").alias("p_px"),
+            F.lit(w).cast("int").alias("w"),
+            F.lit(h).cast("int").alias("h"),
+        )
+    )
+
+    def _gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = []
+        for p_px, w_, h_ in zip(pdf["p_px"], pdf["w"], pdf["h"]):
+            pr = np.full((1, h_, w_), 50.0, dtype=np.float32)
+            pr[0, :, :p_px] = 90.0
+            blobs.append(codecs.encode_raw(pr))
+        out = pdf.copy()
+        out["prob_bytes"] = blobs
+        return out
+
+    return base.mapInPandas(
+        lambda it: (_gen(p) for p in it),
+        schema="i long, image_id string, p_px int, w int, h int, prob_bytes binary",
     )
 
 

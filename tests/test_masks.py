@@ -182,13 +182,22 @@ def test_focal_and_directional():
 # -- Spark operators ----------------------------------------------------------
 
 def test_mask_stats_matches_analytic(spark):
-    """Counts from decoded pixels == closed-form from the strip parameters."""
-    imgs = synth.images_df(spark, 60).filter("fmt = 'raw'")
+    """Counts from decoded pixels == closed-form from the strip parameters,
+    per mask family (mask.py:536-544 dispatch): mock -> no cloud support,
+    Landsat -> QA_PIXEL bits, S2 -> QA60 qa method with the unpopulated
+    window (i <= 744 falls inside it) + open(2)+dilate(5) morphology."""
+    # straddle the QA60 validity boundary (i = 744 <-> 2024-02-01)
+    imgs = synth.images_df(spark, 780).filter("fmt = 'raw' AND i >= 700")
     got = {
         r["image_id"]: r
         for r in masks.mask_stats(imgs).collect()
     }
-    for r in imgs.select("image_id", "collection", "f_px", "c_px", "w", "h").collect():
+    rows = imgs.select(
+        "image_id", "collection", "i", "f_px", "c_px", "w", "h"
+    ).collect()
+    assert {r["collection"] for r in rows} == {
+        "MOCK/CONST", "LANDSAT/LC09/C02/T1_L2", "COPERNICUS/S2_SR_HARMONIZED"}
+    for r in rows:
         g = got[r["image_id"]]
         w, h, f, c = r["w"], r["h"], r["f_px"], r["c_px"]
         assert g["total_px"] == w * h
@@ -197,9 +206,14 @@ def test_mask_stats_matches_analytic(spark):
             # no cloud support -> cloudless == fill (mask.py:66-82 analog)
             assert g["cloud_px"] == 0
             assert g["cloudless_px"] == (w - f) * h
-        else:
+        elif r["collection"].startswith("LANDSAT/"):
             assert g["cloud_px"] == c * h
             assert g["cloudless_px"] == (w - f - c) * h
+        else:  # S2 qa method
+            qa_ok = r["i"] > 744  # time_start > 2024-02-01
+            ceff = (c + 3) if (qa_ok and c > 2) else 0
+            assert g["cloud_px"] == (c * h if qa_ok else 0)
+            assert g["cloudless_px"] == (w - f - ceff) * h
 
 
 def test_with_portions(spark):
@@ -215,7 +229,11 @@ def test_with_portions(spark):
 
 def test_mask_clouds_applies_nodata(spark):
     from geedim_spark import codecs
-    imgs = synth.images_df(spark, 8).filter("fmt = 'raw' and c_px > 0")
+    # landsat rows only: S2 rows in this i-range sit in the QA60
+    # unpopulated window (no clouds masked), mock rows have no cloud support
+    imgs = synth.images_df(spark, 8).filter(
+        "fmt = 'raw' and c_px > 0 and i % 3 = 1"
+    )
     masked = masks.mask_clouds(imgs)
     row = masked.first()
     src = {r["image_id"]: r for r in imgs.select("image_id", "c_px", "w").collect()}
@@ -237,12 +255,15 @@ def test_cdi_unmatched_keeps_unrefined_cloud(spark):
            imgs.select("image_id", "i", "c_px", "h").collect()}
     for image_id, g in got.items():
         s = src[image_id]
+        # S2 rows at these indices sit inside the QA60 unpopulated window
+        # (time_start < 2024-02-01) -> no base QA cloud to refine
+        base_c = 0 if s["i"] % 3 == 2 else s["c_px"]
         if s["i"] % 2 == 0:  # matched: refined by the CDI strip
             assert g["cdi_matched"]
-            assert g["cloud_px"] == s["h"] * min(s["c_px"], (s["i"] % 4) * 10)
+            assert g["cloud_px"] == s["h"] * min(base_c, (s["i"] % 4) * 10)
         else:  # unmatched: raw QA cloud strip
             assert not g["cdi_matched"]
-            assert g["cloud_px"] == s["h"] * s["c_px"]
+            assert g["cloud_px"] == s["h"] * base_c
 
 
 def test_band_select_regex(spark):
@@ -326,3 +347,75 @@ def test_pipeline_morphology_ignores_nodata_boundary(spark):
     ).collect()
     assert len(tiles) == 1                 # 30x30x2 fits one tile
     assert tiles[0]["cloudless_px"] == 20 * 30  # filled pixels stay cloudless
+
+
+def test_qa60_validity_window():
+    """mask.py:379-385: QA60 populated strictly OUTSIDE [2022-02-01,
+    2024-02-01] — both endpoints invalid (difference lt 0 / gt 0)."""
+    import pandas as pd
+
+    assert masks.qa60_valid(pd.Timestamp("2022-01-31 23:59:59"))
+    assert not masks.qa60_valid(pd.Timestamp("2022-02-01"))
+    assert not masks.qa60_valid(pd.Timestamp("2023-06-15"))
+    assert not masks.qa60_valid(pd.Timestamp("2024-02-01"))
+    assert masks.qa60_valid(pd.Timestamp("2024-02-01 00:00:01"))
+    assert masks.qa60_valid(None)  # no timestamp -> assume populated
+
+
+def test_masks_for_dispatch():
+    """masks_for routes by collection id (mask.py:536-544) and applies the
+    QA60 window to the S2 qa method."""
+    w = h = 20
+    B1 = np.full((h, w), 7, np.uint16)
+    qa60 = np.zeros((h, w), np.uint16)
+    qa60[:, 12:] = 1 << 10  # 8-col opaque-cloud strip
+    qa_pixel = np.zeros((h, w), np.uint16)
+    qa_pixel[:, 12:] = 1 << 9
+
+    # S2 + populated QA60: qa cloud strip + open(2)/dilate(5) morphology
+    m = masks.masks_for(
+        "COPERNICUS/S2_SR_HARMONIZED", {"B1": B1, "QA60": qa60},
+        time_start="2024-06-01",
+    )
+    assert m["CLOUD_MASK"].sum() == 8 * h
+    assert m["CLOUDLESS_MASK"].sum() == (w - (8 + 3)) * h
+
+    # S2 inside the unpopulated window: no cloud evidence
+    m = masks.masks_for(
+        "COPERNICUS/S2_SR_HARMONIZED", {"B1": B1, "QA60": qa60},
+        time_start="2023-01-01",
+    )
+    assert m["CLOUD_MASK"].sum() == 0
+    assert m["CLOUDLESS_MASK"].all()
+
+    # Landsat: QA_PIXEL bits, no morphology
+    m = masks.masks_for(
+        "LANDSAT/LC09/C02/T1_L2", {"B1": B1, "QA_PIXEL": qa_pixel},
+        time_start="2023-01-01",  # window does not apply to Landsat
+    )
+    assert m["CLOUD_MASK"].sum() == 8 * h
+    assert m["CLOUDLESS_MASK"].sum() == (w - 8) * h
+
+    # unknown collection: no cloud support
+    m = masks.masks_for("MOCK/CONST", {"B1": B1, "QA_PIXEL": qa_pixel})
+    assert "CLOUD_MASK" not in m
+    assert m["CLOUDLESS_MASK"].all()
+
+
+def test_s2_prob_morphology_closed_form(spark):
+    """cloud-prob pipeline (threshold -> open/dilate): left prob strip of
+    width a erodes to a-2 then dilates to a+3; unmatched rows fully mask."""
+    imgs = synth.images_df(spark, 24, scalar_filter="fmt = 'raw'")
+    probs = synth.probs_df(spark, 24)
+    got = {r["image_id"]: r
+           for r in masks.s2_prob_mask_stats(imgs, probs, 60.0).collect()}
+    for r in imgs.select("image_id", "i", "f_px", "w", "h").collect():
+        g = got[r["image_id"]]
+        w, h, f = r["w"], r["h"], r["f_px"]
+        if r["i"] % 2 == 1:
+            assert g["cloudless_px"] == 0 and not g["prob_matched"]
+            continue
+        a = (r["i"] % 10) * 4
+        ceff = min(w, a + 3) if a > 2 else 0
+        assert g["prob_matched"]
+        assert g["cloudless_px"] == (w - max(f, ceff)) * h

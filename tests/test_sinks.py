@@ -63,7 +63,9 @@ def test_write_image_files_distributed_sink(spark, tmp_path):
     imgs = synth.images_df(spark, 9, scalar_filter="fmt = 'raw'")
     tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
     out = str(tmp_path / "files")
-    manifest = sinks.write_image_files(tiles, out, bands=2, h=40, w=40).collect()
+    manifest = sinks.write_image_files(
+        tiles, out, bands=2, h=40, w=40, fmt="npy"
+    ).collect()
     assert len(manifest) == imgs.count()
     for r in manifest:
         arr = np.load(r["path"])
@@ -72,3 +74,34 @@ def test_write_image_files_distributed_sink(spark, tmp_path):
             "uint16")
         assert np.array_equal(arr, want)
         assert r["nbytes"] == arr.nbytes + 128  # npy header
+
+
+def test_write_image_files_geotiff_sink(spark, tmp_path):
+    """K1 GeoTIFF completion: per-image .tif files written executor-side
+    carry the affine + EPSG + nodata tags and decode bit-exact."""
+    import numpy as np
+    from geedim_spark import synth
+    from geedim_spark.operators import export_ops
+    from geedim_spark.sources import geotiff, sinks
+
+    imgs = synth.images_df(spark, 6, scalar_filter="fmt = 'raw'")
+    tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
+    # ride the geo columns along (broadcast meta join on image_id)
+    from pyspark.sql import functions as F
+    geo = imgs.select("image_id", "transform", "crs")
+    tiles = tiles.join(F.broadcast(geo), "image_id")
+    out = str(tmp_path / "tifs")
+    manifest = sinks.write_image_files(
+        tiles, out, bands=2, h=40, w=40, nodata=0
+    ).collect()
+    assert len(manifest) == imgs.count()
+    src = {r["image_id"]: r for r in imgs.select("image_id", "transform").collect()}
+    for r in manifest:
+        assert r["path"].endswith(".tif")
+        arr, meta = geotiff.read_geotiff(r["path"])
+        want = export_ops.assemble_image(
+            tiles.where(tiles.image_id == r["image_id"]).collect(), 2, 40, 40,
+            "uint16")
+        assert np.array_equal(arr, want)
+        assert meta["crs_epsg"] == 3857 and meta["nodata"] == 0.0
+        assert meta["transform"] == [float(t) for t in src[r["image_id"]]["transform"]]
