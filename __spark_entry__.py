@@ -253,6 +253,42 @@ def q_s2_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.s2_score_mask_stats(imgs, scores, score_thresh=0.6)
 
 
+def q_halo_edt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 halo join through an exact oracle: tiled EDT (16 px tiles, 20 px
+    halo = the clamp reach, so tiled == whole image bit-for-bit per the
+    stencil exactness contract) over the Landsat family, per-image clamped
+    distance sums vs the strip closed form.  This is the hardest
+    correctness surface (SURVEY §7.3 #1): the kRing replication, halo
+    assembly offsets, ragged-edge tiles (40 = 2x16 + 8) and the
+    invalid-pixel exclusion are all pinned by the value hash."""
+    from geedim_spark.operators import stencil
+
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(
+        spark, min(n, 1200), scalar_filter="fmt = 'raw' AND i % 3 = 1"
+    )
+    tiles = stencil.mask_tiles(imgs, tile_h=16, tile_w=16, plane="code")
+    out = stencil.halo_apply(
+        tiles, stencil.cloud_dist_code_kernel(scale=synth.SCALE, max_cloud_dist=200.0),
+        halo_px=20, tile_h=16, tile_w=16, out_dtype="float64",
+    )
+
+    def _sums(it):
+        for pdf in it:
+            sums = [
+                int(codecs.decode(bytes(b))[0].sum(dtype=np.float64))
+                for b in pdf["tile_bytes"]
+            ]
+            out = pdf[["image_id"]].copy()
+            out["part_sum"] = sums
+            yield out
+
+    parts = out.mapInPandas(_sums, schema="image_id string, part_sum long")
+    return parts.groupBy("image_id").agg(
+        F.sum("part_sum").cast("long").alias("dist_sum")
+    )
+
+
 def q_s2_qa_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 default-path masking through mask_stats dispatch (mask.py:536-544):
     qa method with no match table — QA60 bit 10/11 cloud, the 2022-02 ..
@@ -945,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_polygons": q_mask_polygons,
         "s2_score_join": q_s2_score_join,
         "s2_qa_portions": q_s2_qa_portions,
+        "halo_edt": q_halo_edt,
         "s2_score_thresh": q_s2_score_thresh,
         "s2_prob_join": q_s2_prob_join,
         "morphology": q_morphology,
@@ -1244,6 +1281,19 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS cloudless_px,
                    (i % 2 = 0) AS score_matched
             FROM images WHERE fmt = 'raw'
+        """,
+        "halo_edt": f"""
+            WITH images AS ({synth.sql_images(min(n, 1200))}),
+            cols AS (
+              SELECT i.*, x FROM images i, range(40) r(x)
+              WHERE fmt = 'raw' AND i % 3 = 1 AND x >= f_px
+            )
+            SELECT image_id,
+                   CAST(SUM(h * LEAST(200, CAST({synth.SCALE} AS BIGINT) *
+                     CASE WHEN c_px > 0
+                          THEN GREATEST(0, (w - c_px) - x) ELSE 9999999 END
+                   )) AS BIGINT) AS dist_sum
+            FROM cols GROUP BY image_id
         """,
         "s2_qa_portions": f"""
             WITH images AS ({images})

@@ -131,8 +131,53 @@ def minhash_sig_df(
     )
 
 
+def _drop_oversized_buckets(
+    keyed: DataFrame, key_cols: list[str], max_bucket_size: int, op: str
+) -> DataFrame:
+    """Remove rows in LSH buckets larger than ``max_bucket_size`` and WARN
+    with exact drop counts (the no-silent-caps rule).
+
+    A b-member bucket contributes b(b-1)/2 candidate pairs inside ONE join
+    key: a 10M-copy boilerplate document is 5*10^13 pairs on a single task
+    — the scale-killer of an otherwise bucketed design.  Oversized buckets
+    are overwhelmingly exact-duplicate clusters; their membership is
+    recoverable at hash-groupBy cost via :func:`exact_dup_counts` (pairs
+    inside an exact cluster are trivially all-vs-all and should be treated
+    as a group, never materialised as pairs).  The oversized-key set is
+    tiny (<= N/max_bucket_size keys) so the removal is a broadcast
+    anti-join — no extra shuffle beyond the count aggregate, which reuses
+    the join's own key.
+    """
+    import warnings
+
+    sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bn"))
+    over = sizes.filter(F.col("bn") > max_bucket_size)
+    stats = over.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("bn").alias("rows"),
+        F.max("bn").alias("mx"),
+    ).first()
+    if not stats["k"]:
+        return keyed
+    warnings.warn(
+        f"{op}: dropped {stats['k']} oversized LSH bucket(s) "
+        f"(> {max_bucket_size} members; largest {stats['mx']}, "
+        f"{stats['rows']} rows total) to bound the candidate self-join. "
+        "Recover these as exact/near-duplicate GROUPS via exact_dup_counts "
+        "(all-pairs output inside such clusters is quadratic by nature).",
+        RuntimeWarning, stacklevel=3,
+    )
+    return keyed.join(
+        F.broadcast(over.select(*key_cols)), key_cols, "left_anti"
+    )
+
+
 def minhash_lsh_pairs(
-    documents: DataFrame, n_hashes: int = 16, bands: int = 4, n: int = 5
+    documents: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -140,6 +185,10 @@ def minhash_lsh_pairs(
     sharing any band hash land in the same bucket.  The bucket join is an
     equi-join on (band, band_hash) — shuffle key cardinality ~N*bands, no
     cross join anywhere.  Output: (doc_id_a, doc_id_b, n_shared_bands).
+
+    ``max_bucket_size`` bounds the quadratic blowup of giant buckets
+    (boilerplate mega-clusters): larger buckets are dropped with a loud
+    warning — see :func:`_drop_oversized_buckets`; ``None`` disables.
     """
     _check_n_hashes(n_hashes, bands)
     rows_per_band = n_hashes // bands
@@ -165,6 +214,10 @@ def minhash_lsh_pairs(
     # lives until session end / eviction: long-lived sessions doing many
     # parameter sweeps should spark.catalog.clearCache() between runs.
     banded = banded.persist()
+    if max_bucket_size is not None:
+        banded = _drop_oversized_buckets(
+            banded, ["band", "bhash"], max_bucket_size, "minhash_lsh_pairs"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

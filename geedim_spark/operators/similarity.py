@@ -218,6 +218,7 @@ def near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
     n_planes: int = 8,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidate pruning.
 
@@ -227,11 +228,25 @@ def near_dup_pairs(
     for same-bucket pairs (the standard LSH near-dup contract: recall < 1
     only for pairs near the threshold with some sign flips).
     Output: (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` bounds the quadratic blowup of a giant duplicate
+    cluster (e.g. millions of copies of one embedding all sharing a bucket):
+    larger buckets are dropped with a loud warning — recover those as
+    GROUPS via an exact hash on the quantised vector; ``None`` disables.
     """
+    from geedim_spark.operators.dedup import _drop_oversized_buckets
+
     planes = lsh_signature(embedding_dim(embeddings), n_planes)
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    # bucketing runs the n_planes fold expressions once, not once per side
+    # of the self-join and once for the size count
+    emb = emb.persist()
+    if max_bucket_size is not None:
+        emb = _drop_oversized_buckets(
+            emb, ["bucket"], max_bucket_size, "near_dup_pairs"
+        )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
                    F.col("bucket").alias("ba"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),

@@ -44,20 +44,39 @@ _TILE_SCHEMA = (
 
 
 def mask_tiles(
-    images: DataFrame, tile_h: int, tile_w: int, **mask_opts
+    images: DataFrame, tile_h: int, tile_w: int, plane: str = "cloudless",
+    **mask_opts,
 ) -> DataFrame:
-    """Decode each image, compute its CLOUDLESS mask, and emit uint8 mask
-    tiles on a (tr, tc) grid.  One decode per image; tiles are the unit of
-    all downstream stencil work."""
+    """Decode each image (per-collection mask dispatch), and emit uint8
+    mask tiles on a (tr, tc) grid.  One decode per image; tiles are the
+    unit of all downstream stencil work.
+
+    ``plane`` selects the emitted plane:
+    - ``'cloudless'`` — CLOUDLESS_MASK as 0/1 (generic stencil input);
+    - ``'cloud'``     — FILL & ~CLOUDLESS as 0/1 (the reference's EDT
+      source plane, mask.py:102-104: nodata pixels are non-cloud);
+    - ``'code'``      — 3-state 0 invalid / 1 filled-cloudy / 2 cloudless
+      (carries both masks for kernels that must also exclude invalid
+      pixels from their output, mask.py:117).
+    """
+    if plane not in ("cloudless", "cloud", "code"):
+        raise ValueError(f"unknown plane {plane!r}")
+
     def _batch(pdf: pd.DataFrame):
         rows = []
-        for image_id, buf, coll in zip(pdf["image_id"], pdf["bytes"], pdf["collection"]):
-            bands = masks.decode_bands(buf)
-            if masks._sensor_for(coll) == "landsat":
-                m = masks.landsat_masks(bands, **mask_opts)
+        for image_id, buf, coll, ts in zip(
+            pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["time_start"]
+        ):
+            bands = masks.decode_bands(buf, masks.band_names_for(coll))
+            m = masks.masks_for(coll, bands, time_start=ts, **mask_opts)
+            cl = m["CLOUDLESS_MASK"]
+            fill = m.get("FILL_MASK", np.ones_like(cl))
+            if plane == "cloudless":
+                mk = cl.astype(np.uint8)
+            elif plane == "cloud":
+                mk = (fill & ~cl).astype(np.uint8)
             else:
-                m = masks.default_masks(bands)
-            mk = m["CLOUDLESS_MASK"].astype(np.uint8)
+                mk = fill.astype(np.uint8) + cl.astype(np.uint8)
             h, w = mk.shape
             n_tr, n_tc = math.ceil(h / tile_h), math.ceil(w / tile_w)
             for tr in range(n_tr):
@@ -73,7 +92,9 @@ def mask_tiles(
             "image_id", "tr", "tc", "n_tr", "n_tc", "tile_bytes",
         ])
 
-    src = images.select("image_id", "bytes", "collection")
+    src = masks._with_time_start(images).select(
+        "image_id", "bytes", "collection", "time_start"
+    )
     return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_TILE_SCHEMA)
 
 
@@ -163,6 +184,27 @@ def cloud_dist_kernel(scale: float, max_cloud_dist: float):
         max_px = int(math.ceil(max_cloud_dist / scale))
         d = np.sqrt(masks.edt_squared(sources, max_r=max_px)) * scale
         return np.clip(d, 0, max_cloud_dist)
+    return kernel
+
+
+def cloud_dist_code_kernel(scale: float, max_cloud_dist: float):
+    """Reference-semantics tiled CLOUD_DIST over 3-state code tiles
+    (``mask_tiles(plane='code')``): sources are FILLED CLOUDY pixels only
+    (code 1 — mask.py:102-104), and invalid pixels (code 0 / beyond-image)
+    output 0 so per-image sums cover fill pixels only (the updateMask
+    analog, mask.py:117).  Exact vs the whole-image
+    ``masks.cloud_dist(..., fill=...)`` when
+    halo_px >= ceil(max_cloud_dist/scale)."""
+    def kernel(padded: np.ndarray, valid: np.ndarray, halo: int) -> np.ndarray:
+        sources = (padded == 1) & valid
+        if sources.any():
+            max_px = int(math.ceil(max_cloud_dist / scale))
+            d = np.sqrt(masks.edt_squared(sources, max_r=max_px)) * scale
+            d = np.clip(d, 0, max_cloud_dist)
+        else:
+            d = np.full(padded.shape, max_cloud_dist)
+        d[(padded == 0) | ~valid] = 0.0
+        return d
     return kernel
 
 

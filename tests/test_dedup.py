@@ -64,3 +64,45 @@ def test_lsh_pairs_find_planted_near_dups(spark, docs):
     for i in range(5):
         assert (i, i + 5000) in got, f"planted near-dup {i} not found"
         assert got[(i, i + 5000)] >= 1
+
+def test_lsh_bucket_cap_bounds_giant_cluster(spark):
+    """A planted 10k-copy cluster must not go quadratic: its buckets are
+    dropped with a loud warning, other near-dup pairs survive, and the
+    exact-dedup path still reports the cluster as a group."""
+    import warnings
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    boiler = "the same boilerplate paragraph repeated everywhere " * 5
+    rows = [{"doc_id": i, "text": boiler} for i in range(10_000)]
+    # two genuine near-dup docs outside the cluster
+    base = "a perfectly ordinary document about spark and ducks " * 4
+    rows += [
+        {"doc_id": 100_000, "text": base},
+        {"doc_id": 100_001, "text": base + "tail"},
+        {"doc_id": 100_002, "text": "something entirely unrelated " * 6},
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = dedup.minhash_lsh_pairs(
+            docs, n_hashes=16, bands=4, max_bucket_size=1000
+        ).collect()
+    msgs = [str(w.message) for w in caught if "minhash_lsh_pairs" in str(w.message)]
+    assert msgs and "10000" in msgs[0]  # drop count reported, not silent
+
+    ids = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}
+    assert (100_000, 100_001) in ids              # real near-dups survive
+    assert all(a >= 100_000 for a, _ in ids)      # cluster pairs dropped
+    # and the cluster is still recoverable as an exact-dup GROUP
+    grp = dedup.exact_dup_counts(docs).filter("doc_id = 0").first()
+    assert grp["n_copies"] == 10_000
+
+
+def test_lsh_bucket_cap_disabled_and_default_noop(spark, docs):
+    """Default cap leaves normal corpora untouched (oracle parity)."""
+    got = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4)
+    raw = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4,
+                                  max_bucket_size=None)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, raw.collect()))

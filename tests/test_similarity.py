@@ -102,3 +102,30 @@ def test_centroids_deterministic():
     assert np.array_equal(a, b)
     # unit norm
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_near_dup_bucket_cap_bounds_giant_cluster(spark):
+    """A planted 2k-copy embedding cluster is dropped with a warning while
+    distinct near-dup pairs survive (scale guard for the bucket self-join)."""
+    import warnings
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(16).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i in range(2000)]
+    u = rng.standard_normal(16).astype(np.float32)
+    rows += [
+        {"vec_id": 50_000, "embedding": u.tolist()},
+        {"vec_id": 50_001, "embedding": (2.0 * u).tolist()},  # same direction
+    ]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = sim.near_dup_pairs(
+            emb, threshold=0.99, max_bucket_size=500
+        ).collect()
+    msgs = [str(w.message) for w in caught if "near_dup_pairs" in str(w.message)]
+    assert msgs and "2000" in msgs[0]
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ids == {(50_000, 50_001)}

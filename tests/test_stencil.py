@@ -103,3 +103,37 @@ def test_halo_insufficient_is_detectably_different(spark, random_masks):
     got = stencil.assemble_tiles(out.collect(), 16, 16)
     want = np.clip(np.sqrt(masks.edt_squared(~mk)), 0, 50.0)
     assert got.shape == want.shape  # runs fine; equality not guaranteed
+
+
+def test_tiled_code_edt_equals_whole_image_fill_semantics(spark):
+    """cloud_dist_code_kernel == masks.cloud_dist(fill=...) per tile crop:
+    sources are filled-cloudy pixels only; invalid pixels output 0."""
+    rng = np.random.default_rng(31)
+    h, w = 37, 43
+    fill = rng.random((h, w)) > 0.1
+    cloud = (rng.random((h, w)) < 0.05) & fill
+    cloudless = fill & ~cloud
+    px = np.zeros((2, h, w), np.uint16)
+    px[0] = fill.astype(np.uint16) * 7
+    px[1][cloud] = 1 << 9
+    rows = pd.DataFrame([{
+        "image_id": "IMG/0", "bytes": codecs.encode_raw(px),
+        "collection": "LANDSAT/LC09/C02/T1_L2",
+    }])
+    tiles = stencil.mask_tiles(
+        spark.createDataFrame(rows), tile_h=16, tile_w=16, plane="code",
+        mask_shadows=False,
+    )
+    out = stencil.halo_apply(
+        tiles, stencil.cloud_dist_code_kernel(1.0, 12.0),
+        halo_px=12, tile_h=16, tile_w=16, out_dtype="float64",
+    )
+    got = stencil.assemble_tiles(out.collect(), 16, 16)
+    # float-form whole-image EDT (masks.cloud_dist truncates to uint16 for
+    # the export band; the kernel keeps float64) with cloud-only sources
+    want = np.clip(np.sqrt(masks.edt_squared(cloud)) * 1.0, 0, 12.0)
+    want[~fill] = 0.0
+    assert np.array_equal(got, want)
+    # and the uint16 export band agrees after the same truncation
+    band = masks.cloud_dist(cloudless, scale=1.0, max_cloud_dist=12.0, fill=fill)
+    assert np.array_equal(got[fill].astype(np.uint16), band[fill])
