@@ -60,7 +60,12 @@ def mask_and_tile(
             bands = {n: px[i] for i, n in enumerate(names[: px.shape[0]])}
             m = masks.masks_for(coll, bands, time_start=ts, **mask_opts)
             cl = m["CLOUDLESS_MASK"]
-            if focal_open_px or focal_dilate_px:
+            # S2 kernels already ran the reference's open+dilate internally
+            # (mask.py:466-472) — applying the pipeline's focal emulation
+            # again would double-dilate; it exists for the landsat/mock
+            # families only
+            is_s2 = masks._sensor_for(coll) == "s2"
+            if (focal_open_px or focal_dilate_px) and not is_s2:
                 # open/dilate the combined CLOUD|SHADOW mask only
                 # (mask.py:466-472) — ~CLOUDLESS alone would include the
                 # nodata region, whose boundary would dilate into valid

@@ -25,12 +25,15 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.shuffle.partitions": "64",
     # Arrow transport for all pandas UDFs / mapInPandas / applyInPandas.
-    # Batch size is set for BLOB rows: 256 rows x ~150 kB image ~ 38 MB per
-    # in-flight batch.  At 2048 (the old value) 32 concurrent tasks each
-    # buffering ~300 MB of Arrow data overwhelmed an 8 GB heap — local[32]
-    # ran 3.5x SLOWER than local[4] purely from GC thrash.
+    # Batch size is set for BLOB rows: 128 rows x ~150 kB image ~ 19 MB per
+    # in-flight batch.  At 2048 (the original value) 32 concurrent tasks
+    # each buffering ~300 MB of Arrow data overwhelmed an 8 GB heap —
+    # local[32] ran 3.5x SLOWER than local[4] purely from GC thrash; the
+    # round-2 sweep (64/128/256 x task.cpus 1/2/4 at sf0.1) put the
+    # throughput peak at 128 rows with task.cpus=2 (72k tiles/s vs 45k at
+    # 256x4 and 17k at 64x1).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "128",
     # Broadcast joins for small dims (ROIs, band_props, score images at test
     # scale).  64 MB: at 100 TB the ROI/cell tables stay << this.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
