@@ -253,6 +253,101 @@ def q_s2_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.s2_score_mask_stats(imgs, scores, score_thresh=0.6)
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 resampling with exact oracles: 4x block-mean downsample (the QA
+    strip is NOT 4-aligned, so blocks carry fractional means — real
+    averaging, not subsampling) and 2x bilinear upsample (pixel-centre
+    convention + edge clamp reproduced column-by-column in SQL).  All
+    values are exact dyadic rationals -> order-independent float sums."""
+    from geedim_spark.operators import resample as rs
+
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                px = codecs.decode(bytes(buf))
+                avg = rs.resample(px, px.shape[1] // 4, px.shape[2] // 4, "average")
+                bil = rs.resample(px[:1], px.shape[1], px.shape[2] * 2, "bilinear")
+                rows.append({
+                    "image_id": image_id,
+                    "avg_b0_sum": float(avg[0].sum()),
+                    "avg_qa_sum": float(avg[1].sum()),
+                    "bilin_b0_sum": float(bil[0].sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "avg_b0_sum", "avg_qa_sum", "bilin_b0_sum",
+            ])
+
+    return imgs.select("image_id", "bytes").mapInPandas(
+        _batch,
+        schema="image_id string, avg_b0_sum double, avg_qa_sum double, "
+               "bilin_b0_sum double",
+    )
+
+
+def q_sort_portion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: rank the collection by CLOUDLESS_PORTION descending
+    (sort_for_composite(by_portion=True), collection.py:409-418), ties by
+    image_id — the portion doubles are identical IEEE ratios of the exact
+    pixel counts on both engines."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    stats = masks.with_portions(masks.mask_stats(imgs)).select(
+        "image_id", F.col("cloudless_portion").alias("CLOUDLESS_PORTION"),
+    )
+    keyed = composite.sort_for_composite(stats, "mosaic", by_portion=True)
+    w = Window.orderBy(F.desc("sort_key"), F.asc("image_id"))
+    return keyed.select(
+        "image_id", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+_STREAM_WIN_SEQ = [0]
+
+
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling event-time windows (streaming/windows.py)
+    drained with availableNow in update mode: the max-per-window of the
+    incremental emissions equals the batch window aggregation — value-
+    checked against DuckDB's date_trunc."""
+    import shutil
+
+    from geedim_spark.streaming import windows as sw
+
+    base = "/tmp/geedim_stream_win_cache"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    events.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
+
+    _STREAM_WIN_SEQ[0] += 1
+    sink = f"q_stream_win_sink_{_STREAM_WIN_SEQ[0]}"
+    # watermark beyond the table's full time span: micro-batch replay order
+    # is not time-ordered, so a short watermark could drop genuinely-late
+    # rows nondeterministically (that semantic is pytest-covered); parity
+    # with the batch aggregate needs every row retained until drain
+    q = sw.stream_windowed_counts(
+        spark, f"{base}/in", f"{base}/ckpt", window="1 day",
+        watermark="90 days", sink_table=sink, output_mode="update",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming windows did not drain within 300 s")
+    out = (
+        spark.table(sink)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n").cast("long").alias("n"))
+    )
+    out = spark.createDataFrame(
+        out.collect(), "window_start timestamp, event_type string, n long"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_halo_edt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 halo join through an exact oracle: tiled EDT (16 px tiles, 20 px
     halo = the clamp reach, so tiled == whole image bit-for-bit per the
@@ -953,6 +1048,17 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_flat_topk(emb, n_queries=5, k=10, nlist=8, nprobe=2)
 
 
+def q_embed_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding dedup groups: planted byte-identical copies
+    (vec_id+200000) must count; the quantised-hash key is reproducible in
+    SQL (floor(x*4096) is exact — power-of-two scale)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", "embedding")
+    planted = emb.filter("vec_id < 40").select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    return similarity.exact_embed_dup_counts(emb.unionByName(planted))
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via LSH buckets.  Duplicates are planted
     (vec_id+100000 = 2x the vector — exact float scaling, so LSH signs and
@@ -982,6 +1088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_score_join": q_s2_score_join,
         "s2_qa_portions": q_s2_qa_portions,
         "halo_edt": q_halo_edt,
+        "resample": q_resample,
+        "sort_portion": q_sort_portion,
+        "streaming_windows": q_streaming_windows,
         "s2_score_thresh": q_s2_score_thresh,
         "s2_prob_join": q_s2_prob_join,
         "morphology": q_morphology,
@@ -1020,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,  # recall-vs-exact quality gate (hashable)
         "ann_ivf_flat": q_ann_ivf_flat,
         "embed_near_dup": q_embed_near_dup,
+        "embed_dup_counts": q_embed_dup_counts,
     }
 
 
@@ -1281,6 +1391,48 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS cloudless_px,
                    (i % 2 = 0) AS score_matched
             FROM images WHERE fmt = 'raw'
+        """,
+        "resample": f"""
+            WITH images AS ({images}),
+            -- 2x bilinear upsample in x: replicate _lin_weights exactly
+            -- (pixel-centre positions, clamp-then-weight edge handling)
+            bil AS (
+              SELECT image_id,
+                     SUM((CASE WHEN lo >= f_px THEN v ELSE 0 END) * (1 - t)
+                         + (CASE WHEN hi >= f_px THEN v ELSE 0 END) * t) AS rowsum
+              FROM (
+                SELECT i.*,
+                       LEAST(GREATEST(CAST(floor(0.5 * x - 0.25) AS BIGINT), 0), w - 1) AS lo,
+                       LEAST(LEAST(GREATEST(CAST(floor(0.5 * x - 0.25) AS BIGINT), 0), w - 1) + 1, w - 1) AS hi,
+                       LEAST(GREATEST((0.5 * x - 0.25)
+                         - LEAST(GREATEST(CAST(floor(0.5 * x - 0.25) AS BIGINT), 0), w - 1), 0.0), 1.0) AS t
+                FROM images i, range(80) r(x) WHERE fmt = 'raw')
+              GROUP BY image_id)
+            SELECT i.image_id,
+                   -- f_px is 4-aligned: 4x block means reduce to the strip sum / 16
+                   CAST(v * (w - f_px) * h AS DOUBLE) / 16 AS avg_b0_sum,
+                   -- the QA strip is NOT 4-aligned: fractional block means
+                   -- still sum to qa * c_px * h / 16 exactly
+                   CAST((CASE WHEN {s2} THEN 1024 ELSE 512 END)
+                        * c_px * h AS DOUBLE) / 16 AS avg_qa_sum,
+                   CAST(bil.rowsum * h AS DOUBLE) AS bilin_b0_sum
+            FROM images i JOIN bil USING (image_id) WHERE fmt = 'raw'
+        """,
+        "sort_portion": f"""
+            WITH images AS ({images}),
+            p AS (
+              SELECT image_id,
+                     (100.0 * ({clw}) * h) / ((w - f_px) * h) AS portion
+              FROM images WHERE fmt = 'raw')
+            SELECT image_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY portion DESC, image_id)
+                        AS BIGINT) AS rank
+            FROM p
+        """,
+        "streaming_windows": """
+            SELECT date_trunc('day', ts) AS window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
         """,
         "halo_edt": f"""
             WITH images AS ({synth.sql_images(min(n, 1200))}),
@@ -1746,6 +1898,22 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                              ORDER BY round(sim, 6) DESC, neighbor_id) AS BIGINT) AS rank
               FROM sims) WHERE rank <= 10
+        """,
+        "embed_dup_counts": """
+            WITH emb AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 200000, embedding FROM embeddings
+              WHERE vec_id < 40),
+            keyed AS (
+              SELECT vec_id,
+                     md5(array_to_string(list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)),
+                       ',')) AS k
+              FROM emb)
+            SELECT vec_id,
+                   CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_copies
+            FROM keyed
         """,
         # Lloyd centroids are not SQL-expressible; the contract is the
         # quality assertion itself (see q_ann_ivf) — the oracle states the

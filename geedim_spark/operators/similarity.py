@@ -258,6 +258,23 @@ def near_dup_pairs(
     )
 
 
+def exact_embed_dup_counts(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, n_copies): exact duplicate-embedding group sizes via a hash
+    on the integer-quantised vector (bit-exact key — see :func:`quantise`).
+
+    This is the GROUP-wise recovery path :func:`near_dup_pairs` points
+    oversized-bucket drops at: a 10M-copy embedding cluster is one
+    hash-groupBy key here (linear), never 5*10^13 pairs.  Same plan shape
+    as text exact-dedup (dedup.exact_dup_counts): window count over the
+    hash partition, shuffle key = the hash.
+    """
+    key = F.md5(F.concat_ws(",", quantise(F.col("embedding"))))
+    w = Window.partitionBy(key)
+    return embeddings.select(
+        "vec_id", F.count(F.lit(1)).over(w).cast("long").alias("n_copies")
+    )
+
+
 def ivf_centroids(vectors: np.ndarray, nlist: int, iters: int = 5) -> np.ndarray:
     """Deterministic Lloyd k-means (init = evenly-strided rows).  Driver-side
     over a sample — at 100 TB the sample is a `.sample(fraction)` collect,
