@@ -71,10 +71,14 @@ class Collection:
         fill_portion: float | None = None,
         cloudless_portion: float | None = None,
     ) -> "Collection":
+        # resolve the collection id only when a filter could use schema
+        # abbreviations — collection_id() runs a (meta-only) distinct query
+        cid = self.collection_id() if custom_filter else None
         found = collection_ops.search(
             self.df, start=start, end=end, rois=rois,
             custom_filter=custom_filter, fill_portion=fill_portion,
             cloudless_portion=cloudless_portion, mask_opts=self.cloud_kwargs,
+            collection_id=cid,
         )
         return Collection(found, self.cloud_kwargs)
 
@@ -108,7 +112,8 @@ class Collection:
         decorated = out.crossJoin(F.broadcast(meta)).select(
             F.concat(F.lit(f"{name}-COMP-"), F.col("group_id")).alias("image_id"),
             F.concat(F.lit(f"caption-{method}-"), F.col("group_id")).alias("caption"),
-            "bytes", "n_inputs",
+            "bytes", "n_inputs", "n_used",  # n_used < n_inputs reports the
+                                            # medoid stack truncation loudly
             F.lit(f"COMPOSITE/{name}").alias("collection"),
             "w", "h", F.lit("raw").alias("fmt"), "time_start",
         )
@@ -170,7 +175,11 @@ class Collection:
         (propertiesTable analog, collection.py:330-360); portion columns
         and time_start are folded into the props view when present."""
         sch = self.schema(prop_names)
-        rows = self.df.limit(n).collect()
+        # prune to the meta columns the table needs — a bare collect would
+        # pull every image's ~150 kB bytes blob to the driver
+        want = [c for c in ("props", "time_start", "FILL_PORTION",
+                            "CLOUDLESS_PORTION") if c in self.df.columns]
+        rows = self.df.select(*want).limit(n).collect() if want else []
         props = {}
         for i, r in enumerate(rows):
             d = dict(r["props"]) if "props" in self.df.columns and r["props"] else {}

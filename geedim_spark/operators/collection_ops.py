@@ -70,11 +70,15 @@ def expand_schema_filter(expr: str, collection_id: str | None) -> str:
         "CLOUDLESS": "CLOUDLESS_PORTION",
         "INDEX": "props['system:index']",
     }
-    out = expr
-    for abbrev, prop in gd_schema.abbrev_map(collection_id).items():
-        repl = direct.get(abbrev, f"cast(props['{prop}'] as double)")
-        out = re.sub(rf"\b{re.escape(abbrev)}\b", repl, out)
-    return out
+    # split on single-quoted SQL string literals so abbreviations inside
+    # them (e.g. caption LIKE '%DATE%') are never rewritten
+    parts = re.split(r"('(?:[^']|'')*')", expr)
+    amap = gd_schema.abbrev_map(collection_id)
+    for i in range(0, len(parts), 2):  # even indices = outside literals
+        for abbrev, prop in amap.items():
+            repl = direct.get(abbrev, f"cast(props['{prop}'] as double)")
+            parts[i] = re.sub(rf"\b{re.escape(abbrev)}\b", repl, parts[i])
+    return "".join(parts)
 
 
 def search(

@@ -403,8 +403,11 @@ def qa60_valid(time_start) -> bool:
     """QA60 (and other QA*) bands are unpopulated between 2022-02-01 and
     2024-02-01; the qa cloud mask is only valid strictly outside that
     window (mask.py:379-385: difference < 0 days OR difference > 0 days,
-    so both endpoints are *invalid*).  None -> assumed valid."""
-    if time_start is None:
+    so both endpoints are *invalid*).  None/NaT (no timestamp available,
+    e.g. a table without time_start) -> assumed valid — NaT comparisons
+    are all-False, which would otherwise silently land every such row
+    INSIDE the window and disable its cloud mask."""
+    if time_start is None or pd.isna(time_start):
         return True
     ts = pd.Timestamp(time_start)
     return bool(

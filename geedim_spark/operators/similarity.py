@@ -240,10 +240,16 @@ def near_dup_pairs(
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
-    # bucketing runs the n_planes fold expressions once, not once per side
-    # of the self-join and once for the size count
-    emb = emb.persist()
     if max_bucket_size is not None:
+        # the cap needs a size-count pass over the buckets, so persist to
+        # run the n_planes fold expressions once (count + both join sides).
+        # NOTE: the cache lives until session end / eviction — parameter
+        # sweeps in long sessions should spark.catalog.clearCache(), same
+        # contract as dedup.minhash_lsh_pairs.  The count also makes this
+        # call eager (one bucketing job at plan time): the price of the
+        # loud drop report.  max_bucket_size=None restores the fully lazy,
+        # persist-free plan.
+        emb = emb.persist()
         emb = _drop_oversized_buckets(
             emb, ["bucket"], max_bucket_size, "near_dup_pairs"
         )

@@ -60,12 +60,11 @@ def mask_stats_with_metrics(
     """masks.mask_stats + accumulator side-channel (same output schema)."""
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for image_id, buf, coll in zip(pdf["image_id"], pdf["bytes"], pdf["collection"]):
-            bands = masks.decode_bands(buf)
-            if masks._sensor_for(coll) == "landsat":
-                m = masks.landsat_masks(bands, **mask_opts)
-            else:
-                m = masks.default_masks(bands)
+        for image_id, buf, coll, ts in zip(
+            pdf["image_id"], pdf["bytes"], pdf["collection"], pdf["time_start"]
+        ):
+            bands = masks.decode_bands(buf, masks.band_names_for(coll))
+            m = masks.masks_for(coll, bands, time_start=ts, **mask_opts)
             rows.append({
                 "image_id": image_id,
                 "total_px": int(m["FILL_MASK"].size),
@@ -83,7 +82,9 @@ def mask_stats_with_metrics(
         metrics.cloudless_px.add(int(out["cloudless_px"].sum()))
         return out
 
-    src = images.select("image_id", "bytes", "collection")
+    src = masks._with_time_start(images).select(
+        "image_id", "bytes", "collection", "time_start"
+    )
     return src.mapInPandas(
         lambda it: (_batch(p) for p in it), schema=masks._STATS_SCHEMA
     )

@@ -240,23 +240,31 @@ def write_geotiff(
         raise ValueError(f"unsupported compression {compress!r}")
     do_compress = compress == "deflate"
 
-    # page list: main image + optional overview levels
-    pages = [(pixels, 0)]
+    # page list: main image + optional overview levels (2x decimation per
+    # level; each page's geo tags carry ITS OWN pixel scale — the tiepoint
+    # is unchanged because [::2] keeps the top-left pixel's origin)
+    pages = [(pixels, 0, 1)]
     if overviews:
-        level = pixels
+        level, factor = pixels, 1
         while (
             level.shape[1] >= 2 * min_overview_dim
             or level.shape[2] >= 2 * min_overview_dim
         ):
-            level = level[:, ::2, ::2]  # nearest decimation
-            pages.append((level, 1))
+            level, factor = level[:, ::2, ::2], factor * 2
+            pages.append((level, 1, factor))
+
+    def _scaled_tf(f: int):
+        if transform is None or f == 1:
+            return transform
+        sx, b, x0, c, nsy, y1 = [float(t) for t in transform]
+        return [sx * f, b, x0, c, nsy * f, y1]
 
     built = [
         _build_page(
-            px, transform, crs_epsg, geographic, nodata, do_compress,
+            px, _scaled_tf(f), crs_epsg, geographic, nodata, do_compress,
             rows_per_strip, description if lvl == 0 else None, lvl,
         )
-        for px, lvl in pages
+        for px, lvl, f in pages
     ]
 
     # layout: header | all strip data | IFD chain

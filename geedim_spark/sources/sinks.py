@@ -125,7 +125,11 @@ def write_image_files(
                 crs = str(pdf["crs"].iloc[0])
                 if crs.upper().startswith("EPSG:"):
                     epsg = int(crs.split(":", 1)[1])
-                    geographic = epsg == 4326
+                    # common geographic (lat/lon) EPSG codes; everything
+                    # else is written as a projected CRS key
+                    geographic = epsg in (
+                        4326, 4269, 4267, 4258, 4283, 4148, 4490,
+                    )
             write_geotiff(
                 path, arr, transform=transform, crs_epsg=epsg,
                 geographic=geographic, nodata=nodata,

@@ -23,7 +23,7 @@ from geedim_spark.sources import snapshots
 IMAGES_SCHEMA = (
     "i long, image_id string, collection string, w int, h int, fmt string, "
     "v int, f_px int, c_px int, x0 double, y0 double, x1 double, y1 double, "
-    "caption string, bytes binary, phash long"
+    "caption string, time_start timestamp, bytes binary, phash long"
 )
 
 

@@ -132,3 +132,18 @@ def test_write_guards(tmp_path):
         geotiff.write_geotiff(
             str(tmp_path / "x.tif"), np.zeros((1, 1, 2, 2), np.uint8)
         )
+
+
+def test_overview_geo_tags_scale_per_level(tmp_path):
+    arr = np.zeros((1, 128, 128), np.uint16)
+    p = str(tmp_path / "ovg.tif")
+    geotiff.write_geotiff(
+        p, arr, transform=[10.0, 0, 500.0, 0, -10.0, 900.0],
+        crs_epsg=3857, overviews=True, min_overview_dim=32,
+    )
+    _, m0 = geotiff.read_geotiff(p, page=0)
+    _, m1 = geotiff.read_geotiff(p, page=1)
+    _, m2 = geotiff.read_geotiff(p, page=2)
+    assert m0["transform"] == [10.0, 0, 500.0, 0, -10.0, 900.0]
+    assert m1["transform"] == [20.0, 0, 500.0, 0, -20.0, 900.0]
+    assert m2["transform"] == [40.0, 0, 500.0, 0, -40.0, 900.0]

@@ -419,3 +419,31 @@ def test_s2_prob_morphology_closed_form(spark):
         ceff = min(w, a + 3) if a > 2 else 0
         assert g["prob_matched"]
         assert g["cloudless_px"] == (w - max(f, ceff)) * h
+
+
+def test_qa60_valid_nat_assumes_populated():
+    """NaT (tables without time_start) must NOT land inside the unpopulated
+    window — NaT comparisons are all-False, which silently disabled S2
+    cloud masking before the explicit isna guard."""
+    import pandas as pd
+
+    assert masks.qa60_valid(pd.NaT)
+    qa = np.zeros((8, 8), np.uint16); qa[:, 4:] = 1 << 10
+    bands = {"B1": np.full((8, 8), 5, np.uint16), "QA60": qa}
+    m = masks.masks_for("COPERNICUS/S2_SR_HARMONIZED", bands, time_start=pd.NaT)
+    assert m["CLOUD_MASK"].sum() == 4 * 8  # qa bits honoured
+
+
+def test_mask_stats_with_metrics_matches_mask_stats(spark):
+    """Regression: the metrics variant must route through the same
+    per-collection dispatch as masks.mask_stats (S2 rows diverged when the
+    dispatch moved to masks_for)."""
+    from geedim_spark.plans import metrics as mx
+
+    imgs = synth.images_df(spark, 30).filter("fmt = 'raw'")
+    pm = mx.PipelineMetrics(spark)
+    got = sorted(map(tuple, mx.mask_stats_with_metrics(imgs, pm).collect()))
+    want = sorted(map(tuple, masks.mask_stats(imgs).collect()))
+    assert got == want
+    snap = pm.snapshot()
+    assert snap["images"] == len(want)

@@ -128,3 +128,37 @@ def test_search_accepts_schema_abbreviations(spark):
         custom_filter="cast(props['MEAN_SOLAR_AZIMUTH_ANGLE'] as double) <= 180",
     ).select("image_id").collect()
     assert sorted(got) == sorted(want) and len(got) > 0
+
+
+def test_expand_schema_filter_skips_string_literals():
+    from geedim_spark.operators import collection_ops as co
+
+    out = co.expand_schema_filter(
+        "caption LIKE '%DATE%' AND DATE >= timestamp'2024-01-01'",
+        "COPERNICUS/S2_SR_HARMONIZED",
+    )
+    assert "'%DATE%'" in out                       # literal untouched
+    assert "time_start >= timestamp'2024-01-01'" in out
+
+
+def test_api_search_accepts_abbreviations(spark):
+    from geedim_spark.api import Collection
+    from geedim_spark import synth
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    coll = Collection(
+        synth.images_meta_df(spark, 30).filter("collection = 'MOCK/CONST'")
+    )
+    # MOCK is not in the registry -> default schema has no SAA -> the token
+    # passes through and fails analysis loudly; a registered id expands it
+    with pytest.raises(AnalysisException, match="SAA"):
+        coll.search(custom_filter="SAA <= 180")
+    coll2 = Collection(
+        synth.images_meta_df(spark, 30)
+        .filter("collection = 'COPERNICUS/S2_SR_HARMONIZED'")
+    )
+    rows = coll2.search(custom_filter="SAA <= 180").df.collect()
+    assert all(
+        int(r["props"]["MEAN_SOLAR_AZIMUTH_ANGLE"]) <= 180 for r in rows
+    ) and rows
