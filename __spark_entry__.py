@@ -788,6 +788,22 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap) vs the
+    lag+cumsum sessionisation the oracle builds — pins Spark's
+    session-merge semantics (start = first event, window closes after a
+    30-min silence) against the closed gap-based form."""
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events",
+        )
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return dedup.simhash_df(docs, bits=16, n=5)
@@ -1001,6 +1017,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4, n=5)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUP resolution: LSH candidate pairs -> connected
+    components via iterative min-label propagation (every doc labelled by
+    its cluster's minimum id; singletons label themselves).  The oracle
+    resolves the same pairs with a recursive CTE — the full pipeline
+    (shingle -> minhash -> bands -> bucket join -> components) value-checks
+    end to end."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4, n=5)
+    return dedup.dup_components(docs, pairs)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     return similarity.cosine_topk(emb, n_queries=5, k=10)
@@ -1109,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_fns": q_string_fns,
         "limit_sorted": q_limit_sorted,
         "events_sessions": q_events_sessions,
+        "session_windows": q_session_windows,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -1124,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,  # recall-vs-exact quality gate (hashable)
@@ -1671,6 +1701,27 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                           THEN 1 ELSE 0 END AS ns
               FROM events)
         """,
+        "session_windows": """
+            -- NOTE >= 1800 (not >): a session window spans [t, t+gap); an
+            -- event at exactly t+gap starts a NEW session in Spark's
+            -- native session_window (merge condition is next < prev_end)
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+                          OR lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS ns
+              FROM events),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sidx
+              FROM marked)
+            SELECT user_id, MIN(ts) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sidx
+        """,
         "simhash": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, {raw_shingle_hashes} AS hs FROM documents)
@@ -1830,6 +1881,36 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "embed_near_dup": """
             SELECT vec_id AS id_a, vec_id + 100000 AS id_b
             FROM embeddings WHERE vec_id < 50
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE
+            sh AS (SELECT doc_id, {minhash_shingle} AS sh FROM documents),
+            sigs AS (
+              SELECT doc_id, [{', '.join(
+                  f'list_min(list_transform(sh, h -> ({dedup._A[i]} * h '
+                  f'+ {dedup._B[i]}) % 2147483647))' for i in range(16))}] AS sig
+              FROM sh),
+            banded AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(sig[b*4 + 1 : b*4 + 4], ',')) AS bhash
+              FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+              FROM banded a JOIN banded b USING (b, bhash)
+              WHERE a.doc_id < b.doc_id),
+            edges AS (
+              SELECT pa AS a, pb AS bb FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+            -- min-label reachability: label c spreads from its node along
+            -- edges; the c < bb prune is lossless (the minimum always
+            -- passes it) and keeps the enumeration subquadratic
+            reach(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.bb, r.comp FROM reach r JOIN edges e ON e.a = r.id
+              WHERE r.comp < e.bb)
+            SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+            FROM reach GROUP BY id
         """,
         "ann_lsh": f"""
             WITH emb AS (

@@ -230,6 +230,70 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve candidate duplicate PAIRS into duplicate GROUPS: connected
+    components labelled by their minimum member id.
+
+    Output: (``id_col``, component) for EVERY node (singletons label
+    themselves) — the step a real dedup pipeline runs after LSH pair
+    generation, because keep/drop decisions act on clusters, not edges.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbours; converges in
+    O(cluster diameter) rounds.  LSH dup clusters are near-cliques (every
+    copy shares every band), so the diameter is tiny and this beats the
+    O(log n)-round large-star/small-star transforms that pay two extra
+    shuffles per round on general graphs.  Each round is one shuffle
+    (edge-label join) + one min-aggregate; lineage is cut with
+    localCheckpoint so the plan stays O(1) per round.  Deterministic:
+    labels are pure min() folds, independent of partitioning.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).persist()
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "comp")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "id")
+            .where(F.col("n.comp") < F.col("o.comp")).count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dup_components: not converged after {max_iters} rounds — "
+            "returning the current labels (a pathological chain longer "
+            "than max_iters; raise max_iters)", RuntimeWarning,
+        )
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
 def ngram_jaccard(documents: DataFrame, pairs: DataFrame, n: int = 5) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification stage).
 

@@ -106,3 +106,35 @@ def test_lsh_bucket_cap_disabled_and_default_noop(spark, docs):
     raw = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4,
                                   max_bucket_size=None)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, raw.collect()))
+
+
+def test_dup_components_chain_and_singletons(spark):
+    """Min-label propagation over a chain (worst-case diameter) and
+    disconnected singletons: every node labelled by its cluster minimum."""
+    import pandas as pd
+
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(10))}))
+    # chain 9-8-...-3 (diameter 6), pair (1,2), singleton 0
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "doc_id_a": [3, 4, 5, 6, 7, 8, 1],
+        "doc_id_b": [4, 5, 6, 7, 8, 9, 2],
+    }))
+    got = {r["doc_id"]: r["component"]
+           for r in dedup.dup_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 3, 5: 3,
+                   6: 3, 7: 3, 8: 3, 9: 3}
+
+
+def test_dup_components_from_lsh_pairs(spark):
+    """End-to-end: planted exact copies resolve to one component."""
+    import pandas as pd
+
+    text = "an identical paragraph for every clone in this cluster " * 3
+    rows = [{"doc_id": i, "text": text} for i in (5, 17, 23)]
+    rows += [{"doc_id": 99, "text": "a lone unrelated document " * 5}]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4)
+    got = {r["doc_id"]: r["component"]
+           for r in dedup.dup_components(docs, pairs).collect()}
+    assert got == {5: 5, 17: 5, 23: 5, 99: 99}
