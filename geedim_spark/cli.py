@@ -87,6 +87,10 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     search.add_argument("--rois", help="parquet path of the ROI table")
     search.add_argument("--synthetic-rois", type=int, default=None,
                         help="generate M synthetic ROIs instead of --rois")
+    search.add_argument("--show-table", action="store_true",
+                        help="print the schema + abbreviated properties "
+                             "tables for the results (the reference CLI's "
+                             "search display, cli.py results table)")
 
     composite = argparse.ArgumentParser(prog="composite", add_help=False)
     composite.add_argument("--method", default="q-mosaic")
@@ -152,6 +156,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 cloudless_portion=args.cloudless_portion,
             )
             print(f"search: {coll.count()} images match")
+            if args.show_table:
+                coll.show_schema_table()
         elif cmd == "composite":
             coll = coll.composite(args.method, date=args.date,
                                   by_portion=args.by_portion)

@@ -66,3 +66,16 @@ def test_cli_chain_split_option_values_not_boundaries():
     assert [s[0] for s in segs] == ["search", "download"]
     assert segs[0] == ["search", "--rois", "config", "--start", "2024-01-01"]
     assert segs[1] == ["download", "--out", "download"]
+
+
+def test_cli_search_show_table(spark, capsys):
+    from geedim_spark import cli
+
+    rc = cli.main([
+        "--synthetic", "30", "search",
+        "--start", "2024-01-01", "--end", "2025-01-01", "--show-table",
+    ], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "images match" in out
+    assert "ABBREV" in out and "INDEX" in out and "DATE" in out
