@@ -271,20 +271,23 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = codecs.decode(bytes(buf))
                 avg = rs.resample(px, px.shape[1] // 4, px.shape[2] // 4, "average")
                 bil = rs.resample(px[:1], px.shape[1], px.shape[2] * 2, "bilinear")
+                bic = rs.resample(px[:1], px.shape[1], px.shape[2] * 2, "bicubic")
                 rows.append({
                     "image_id": image_id,
                     "avg_b0_sum": float(avg[0].sum()),
                     "avg_qa_sum": float(avg[1].sum()),
                     "bilin_b0_sum": float(bil[0].sum()),
+                    "bicub_b0_sum": float(bic[0].sum()),
                 })
             yield pd.DataFrame(rows, columns=[
                 "image_id", "avg_b0_sum", "avg_qa_sum", "bilin_b0_sum",
+                "bicub_b0_sum",
             ])
 
     return imgs.select("image_id", "bytes").mapInPandas(
         _batch,
         schema="image_id string, avg_b0_sum double, avg_qa_sum double, "
-               "bilin_b0_sum double",
+               "bilin_b0_sum double, bicub_b0_sum double",
     )
 
 
@@ -1190,6 +1193,30 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
     rois = synth.sql_rois(m)
 
     mock = "collection = 'MOCK/CONST'"
+
+    def _keys_w(t: str) -> str:
+        """Keys a=-0.5 bicubic kernel on |t| (resample._cubic_kernel);
+        every tap |t| here is a non-integer dyadic quarter, so the
+        polynomial evaluates exactly in both engines."""
+        return (
+            f"(CASE WHEN {t} <= 1 THEN 1.5*{t}*{t}*{t} - 2.5*{t}*{t} + 1 "
+            f"WHEN {t} < 2 THEN -0.5*{t}*{t}*{t} + 2.5*{t}*{t} - 4*{t} + 2 "
+            f"ELSE 0 END)"
+        )
+
+    def _bicubic_val() -> str:
+        """Per-output-column bicubic value for the 2x upsample of the
+        band-0 strip row: 4 clipped taps, weight-normalised like
+        resample.resample_bicubic."""
+        base = "CAST(floor(0.5 * x - 0.25) AS BIGINT)"
+        num, den = [], []
+        for k in (-1, 0, 1, 2):
+            t = f"abs((0.5 * x - 0.25) - ({base} + {k}))"
+            w = _keys_w(t)
+            idx = f"LEAST(GREATEST({base} + {k}, 0), w - 1)"
+            num.append(f"{w} * (CASE WHEN {idx} >= f_px THEN v ELSE 0 END)")
+            den.append(w)
+        return f"(({' + '.join(num)}) / ({' + '.join(den)}))"
     s2 = "collection = 'COPERNICUS/S2_SR_HARMONIZED'"
     # QA60 validity window (mask.py:379-385): populated strictly OUTSIDE
     # [2022-02-01, 2024-02-01]; the synthetic epoch starts 2024-01-01 so
@@ -1429,13 +1456,15 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             bil AS (
               SELECT image_id,
                      SUM((CASE WHEN lo >= f_px THEN v ELSE 0 END) * (1 - t)
-                         + (CASE WHEN hi >= f_px THEN v ELSE 0 END) * t) AS rowsum
+                         + (CASE WHEN hi >= f_px THEN v ELSE 0 END) * t) AS rowsum,
+                     SUM(bicv) AS bicsum
               FROM (
                 SELECT i.*,
                        LEAST(GREATEST(CAST(floor(0.5 * x - 0.25) AS BIGINT), 0), w - 1) AS lo,
                        LEAST(LEAST(GREATEST(CAST(floor(0.5 * x - 0.25) AS BIGINT), 0), w - 1) + 1, w - 1) AS hi,
                        LEAST(GREATEST((0.5 * x - 0.25)
-                         - LEAST(GREATEST(CAST(floor(0.5 * x - 0.25) AS BIGINT), 0), w - 1), 0.0), 1.0) AS t
+                         - LEAST(GREATEST(CAST(floor(0.5 * x - 0.25) AS BIGINT), 0), w - 1), 0.0), 1.0) AS t,
+                       {_bicubic_val()} AS bicv
                 FROM images i, range(80) r(x) WHERE fmt = 'raw')
               GROUP BY image_id)
             SELECT i.image_id,
@@ -1445,7 +1474,8 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    -- still sum to qa * c_px * h / 16 exactly
                    CAST((CASE WHEN {s2} THEN 1024 ELSE 512 END)
                         * c_px * h AS DOUBLE) / 16 AS avg_qa_sum,
-                   CAST(bil.rowsum * h AS DOUBLE) AS bilin_b0_sum
+                   CAST(bil.rowsum * h AS DOUBLE) AS bilin_b0_sum,
+                   CAST(bil.bicsum * h AS DOUBLE) AS bicub_b0_sum
             FROM images i JOIN bil USING (image_id) WHERE fmt = 'raw'
         """,
         "sort_portion": f"""

@@ -245,17 +245,42 @@ def _shift(mask: np.ndarray, dy: int, dx: int, fill: bool) -> np.ndarray:
 
 
 def focal_max(mask: np.ndarray, radius: int) -> np.ndarray:
-    """Binary dilation with a disk (EE focal_max analog)."""
+    """Binary dilation with a disk (EE focal_max analog).
+
+    Decomposed form: the disk is a union of vertical segments — one per
+    column offset dx with half-height floor(sqrt(r^2-dx^2)) — so the cost
+    is O(r) shifted ORs (2r vertical to build the running segment
+    dilations + 2r+1 horizontal placements) instead of the O(r^2) per-
+    offset loop; identical output (property-tested vs the naive union)."""
     if radius <= 0:
         return mask
+    # vdil[h] = dilation by the vertical segment [-h, h], built incrementally
+    vdil = [mask]
+    for h in range(1, radius + 1):
+        vdil.append(vdil[h - 1] | _shift(mask, -h, 0, False)
+                    | _shift(mask, h, 0, False))
     out = np.zeros_like(mask)
-    for dy, dx in _disk_offsets(radius):
-        out |= _shift(mask, dy, dx, False)
+    r2 = radius * radius
+    for dx in range(-radius, radius + 1):
+        hy = int(math.isqrt(r2 - dx * dx))
+        out |= _shift(vdil[hy], 0, dx, False)
     return out
 
 
 def focal_min(mask: np.ndarray, radius: int) -> np.ndarray:
-    """Binary erosion with a disk (EE focal_min analog)."""
+    """Binary erosion with a disk (EE focal_min analog).
+
+    Exact dual of :func:`focal_max` under the boundary conventions used
+    here (erosion treats beyond-image as set, dilation as clear):
+    focal_min(m) == ~focal_max(~m) for every pixel, so the decomposed
+    dilation serves both."""
+    if radius <= 0:
+        return mask
+    return ~focal_max(~mask, radius)
+
+
+def _focal_min_naive(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Reference per-offset erosion (kept for the equivalence tests)."""
     if radius <= 0:
         return mask
     out = np.ones_like(mask)

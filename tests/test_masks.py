@@ -447,3 +447,19 @@ def test_mask_stats_with_metrics_matches_mask_stats(spark):
     assert got == want
     snap = pm.snapshot()
     assert snap["images"] == len(want)
+
+
+def test_focal_decomposition_equals_naive():
+    """The vertical-segment disk decomposition must equal the per-offset
+    union/intersection for every radius and boundary case."""
+    rng = np.random.default_rng(17)
+    for shape in [(23, 31), (5, 5), (9, 40)]:
+        m = rng.random(shape) < 0.15
+        for r in (1, 2, 3, 5, 7):
+            naive_max = np.zeros_like(m)
+            for dy, dx in masks._disk_offsets(r):
+                naive_max |= masks._shift(m, dy, dx, False)
+            assert np.array_equal(masks.focal_max(m, r), naive_max), (shape, r)
+            assert np.array_equal(
+                masks.focal_min(m, r), masks._focal_min_naive(m, r)
+            ), (shape, r)
