@@ -351,6 +351,45 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_STREAM_SESS_SEQ = [0]
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows on a DRAINED stream (complete mode: sessions
+    MERGE so update emissions are unsupported; the memory sink replaces its
+    contents per batch, holding exactly the final merged sessions at
+    drain) — must equal the batch gap-rule closed form, the same oracle as
+    the batch `session_windows` query."""
+    import shutil
+
+    from geedim_spark.streaming import windows as sw
+
+    base = "/tmp/geedim_stream_sess_cache"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    events.coalesce(4).write.parquet(f"{base}/in")
+
+    _STREAM_SESS_SEQ[0] += 1
+    sink = f"q_stream_sess_sink_{_STREAM_SESS_SEQ[0]}"
+    q = sw.stream_session_counts(
+        spark, f"{base}/in", f"{base}/ckpt", gap="30 minutes",
+        watermark="90 days", sink_table=sink,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming sessions did not drain within 300 s")
+    out = spark.table(sink).select(
+        "user_id", "session_start", F.col("n").alias("n_events")
+    )
+    out = spark.createDataFrame(
+        out.collect(),
+        "user_id long, session_start timestamp, n_events long",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_halo_edt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 halo join through an exact oracle: tiled EDT (16 px tiles, 20 px
     halo = the clamp reach, so tiled == whole image bit-for-bit per the
@@ -1141,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_sorted": q_limit_sorted,
         "events_sessions": q_events_sessions,
         "session_windows": q_session_windows,
+        "streaming_sessions": q_streaming_sessions,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -1185,6 +1225,29 @@ def _lsh_bucket_sql(dim: int = ORACLE_EMB_DIM, n_planes: int = 4) -> str:
             f"(CASE WHEN list_dot_product(qv, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
         )
     return " + ".join(terms)
+
+
+_SESSION_ORACLE = """
+            -- NOTE >= 1800 (not >): a session window spans [t, t+gap); an
+            -- event at exactly t+gap starts a NEW session in Spark's
+            -- native session_window (merge condition is next < prev_end)
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+                          OR lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS ns
+              FROM events),
+            sess AS (
+              SELECT user_id, ts,
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sidx
+              FROM marked)
+            SELECT user_id, MIN(ts) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sidx
+        """
 
 
 def oracle_sql(sf: float = 0.01) -> dict[str, str]:
@@ -1731,27 +1794,9 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                           THEN 1 ELSE 0 END AS ns
               FROM events)
         """,
-        "session_windows": """
-            -- NOTE >= 1800 (not >): a session window spans [t, t+gap); an
-            -- event at exactly t+gap starts a NEW session in Spark's
-            -- native session_window (merge condition is next < prev_end)
-            WITH marked AS (
-              SELECT user_id, ts,
-                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
-                          OR lag(ts) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id) IS NULL
-                          THEN 1 ELSE 0 END AS ns
-              FROM events),
-            sess AS (
-              SELECT user_id, ts,
-                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS sidx
-              FROM marked)
-            SELECT user_id, MIN(ts) AS session_start,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM sess GROUP BY user_id, sidx
-        """,
+        "session_windows": _SESSION_ORACLE,
+        # drained streaming session windows reduce to the same final state
+        "streaming_sessions": _SESSION_ORACLE,
         "simhash": f"""
             SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
             FROM (SELECT doc_id, {raw_shingle_hashes} AS hs FROM documents)

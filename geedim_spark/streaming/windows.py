@@ -69,3 +69,46 @@ def stream_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "90 days",
+    sink_table: str = "stream_session_counts",
+):
+    """Native session windows on a stream (F.session_window + watermark),
+    drained with availableNow in COMPLETE mode; returns the StreamingQuery.
+
+    Session-window aggregations reject update mode (sessions MERGE, so an
+    update emission can supersede rows with different keys); complete mode
+    re-emits the whole result per batch and the memory sink REPLACES its
+    contents, so at drain the sink holds exactly the final merged sessions.
+    On a live unbounded stream complete mode retains all state — there,
+    use append mode with a real watermark and accept that only
+    watermark-finalised sessions are emitted.
+    """
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"), "n",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

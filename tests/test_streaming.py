@@ -129,3 +129,31 @@ def test_stream_ingest_multi_batch_append(spark, tmp_path):
     back = snapshots.read_snapshot(spark, table)
     assert back.count() == n_raw
     assert back.select("image_id").distinct().count() == n_raw
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path):
+    """Drained complete-mode session windows == the batch gap rule
+    (>= gap opens a new session, matching F.session_window merge)."""
+    from pyspark.sql import functions as F
+    from geedim_spark.streaming import windows as sw
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(4).write.parquet(src)
+
+    q = sw.stream_session_counts(spark, src, ckpt, gap="30 minutes",
+                                 watermark="90 days", sink_table="ssc_test")
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"]): r["n"]
+        for r in spark.table("ssc_test").collect()
+    }
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["user_id"], r["w"]["start"]): r["n"]
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
+    }
+    assert got == want and len(want) > 10
