@@ -308,6 +308,34 @@ def q_sort_portion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_Q_SEQ = [0]
+
+
+def _drained_events_stream(spark, sf_dir, start_fn, finalize, out_schema):
+    """Shared scaffold for drained-stream queries over the events table:
+    stage to a UNIQUE temp dir (two drivers on one host must not rmtree
+    each other's staged input mid-run), start the availableNow stream via
+    ``start_fn(src_dir, ckpt_dir, sink_name)``, materialise
+    ``finalize(sink_table)`` off the memory sink, clean up."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="geedim_stream_q_")
+    _STREAM_Q_SEQ[0] += 1
+    sink = f"q_stream_sink_{_STREAM_Q_SEQ[0]}"
+    try:
+        events = spark.read.parquet(_t(sf_dir, "events"))
+        events.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
+        q = start_fn(f"{base}/in", f"{base}/ckpt", sink)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream did not drain within 300 s")
+        return spark.createDataFrame(finalize(spark.table(sink)).collect(),
+                                     out_schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _STREAM_WIN_SEQ = [0]
 
 
@@ -315,43 +343,22 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling event-time windows (streaming/windows.py)
     drained with availableNow in update mode: the max-per-window of the
     incremental emissions equals the batch window aggregation — value-
-    checked against DuckDB's date_trunc."""
-    import shutil
-
+    checked against DuckDB's date_trunc.  The watermark exceeds the
+    table's time span: micro-batch replay is not time-ordered, so a short
+    watermark could drop genuinely-late rows nondeterministically (that
+    semantic is pytest-covered); batch parity needs every row retained."""
     from geedim_spark.streaming import windows as sw
 
-    base = "/tmp/geedim_stream_win_cache"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
-    events = spark.read.parquet(_t(sf_dir, "events"))
-    events.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
-
-    _STREAM_WIN_SEQ[0] += 1
-    sink = f"q_stream_win_sink_{_STREAM_WIN_SEQ[0]}"
-    # watermark beyond the table's full time span: micro-batch replay order
-    # is not time-ordered, so a short watermark could drop genuinely-late
-    # rows nondeterministically (that semantic is pytest-covered); parity
-    # with the batch aggregate needs every row retained until drain
-    q = sw.stream_windowed_counts(
-        spark, f"{base}/in", f"{base}/ckpt", window="1 day",
-        watermark="90 days", sink_table=sink, output_mode="update",
+    return _drained_events_stream(
+        spark, sf_dir,
+        lambda src, ckpt, sink: sw.stream_windowed_counts(
+            spark, src, ckpt, window="1 day", watermark="90 days",
+            sink_table=sink, output_mode="update",
+        ),
+        lambda t: t.groupBy("window_start", "event_type")
+                   .agg(F.max("n").cast("long").alias("n")),
+        "window_start timestamp, event_type string, n long",
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming windows did not drain within 300 s")
-    out = (
-        spark.table(sink)
-        .groupBy("window_start", "event_type")
-        .agg(F.max("n").cast("long").alias("n"))
-    )
-    out = spark.createDataFrame(
-        out.collect(), "window_start timestamp, event_type string, n long"
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    return out
-
-
-_STREAM_SESS_SEQ = [0]
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,34 +367,19 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     contents per batch, holding exactly the final merged sessions at
     drain) — must equal the batch gap-rule closed form, the same oracle as
     the batch `session_windows` query."""
-    import shutil
-
     from geedim_spark.streaming import windows as sw
 
-    base = "/tmp/geedim_stream_sess_cache"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
-    events = spark.read.parquet(_t(sf_dir, "events"))
-    events.coalesce(4).write.parquet(f"{base}/in")
-
-    _STREAM_SESS_SEQ[0] += 1
-    sink = f"q_stream_sess_sink_{_STREAM_SESS_SEQ[0]}"
-    q = sw.stream_session_counts(
-        spark, f"{base}/in", f"{base}/ckpt", gap="30 minutes",
-        watermark="90 days", sink_table=sink,
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming sessions did not drain within 300 s")
-    out = spark.table(sink).select(
-        "user_id", "session_start", F.col("n").alias("n_events")
-    )
-    out = spark.createDataFrame(
-        out.collect(),
+    return _drained_events_stream(
+        spark, sf_dir,
+        lambda src, ckpt, sink: sw.stream_session_counts(
+            spark, src, ckpt, gap="30 minutes", watermark="90 days",
+            sink_table=sink,
+        ),
+        lambda t: t.select(
+            "user_id", "session_start", F.col("n").alias("n_events")
+        ),
         "user_id long, session_start timestamp, n_events long",
     )
-    shutil.rmtree(base, ignore_errors=True)
-    return out
 
 
 def q_halo_edt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,7 +1224,7 @@ _SESSION_ORACLE = """
             -- event at exactly t+gap starts a NEW session in Spark's
             -- native session_window (merge condition is next < prev_end)
             WITH marked AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
                             (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
                           OR lag(ts) OVER (PARTITION BY user_id
@@ -1240,8 +1232,12 @@ _SESSION_ORACLE = """
                           THEN 1 ELSE 0 END AS ns
               FROM events),
             sess AS (
+              -- the cumsum MUST share the marked CTE's (ts, event_id)
+              -- tiebreak: ordering by ts alone is nondeterministic when a
+              -- user has two events at one timestamp straddling a session
+              -- boundary
               SELECT user_id, ts,
-                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                     SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sidx
               FROM marked)
             SELECT user_id, MIN(ts) AS session_start,
@@ -1310,6 +1306,21 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         return (
             f"list_min(list_transform(sh, h -> ({a} * h + {b}) % 2147483647)) AS sig_{i}"
         )
+
+    # shared MinHash-LSH CTE fragment (sh -> sigs -> banded): used verbatim
+    # by BOTH the minhash_lsh_pairs and dedup_components oracles so the two
+    # value checks can never desynchronise
+    lsh_ctes = f"""
+            sh AS (SELECT doc_id, {minhash_shingle} AS sh FROM documents),
+            sigs AS (
+              SELECT doc_id, [{', '.join(
+                  f'list_min(list_transform(sh, h -> ({dedup._A[i]} * h '
+                  f'+ {dedup._B[i]}) % 2147483647))' for i in range(16))}] AS sig
+              FROM sh),
+            banded AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(sig[b*4 + 1 : b*4 + 4], ',')) AS bhash
+              FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b))"""
 
     raw_shingle_hashes = (
         "list_transform("
@@ -1937,16 +1948,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM (SELECT doc_id, {minhash_shingle} AS sh FROM documents)
         """,
         "minhash_lsh_pairs": f"""
-            WITH sh AS (SELECT doc_id, {minhash_shingle} AS sh FROM documents),
-            sigs AS (
-              SELECT doc_id, [{', '.join(
-                  f'list_min(list_transform(sh, h -> ({dedup._A[i]} * h '
-                  f'+ {dedup._B[i]}) % 2147483647))' for i in range(16))}] AS sig
-              FROM sh),
-            banded AS (
-              SELECT doc_id, b,
-                     md5(array_to_string(sig[b*4 + 1 : b*4 + 4], ',')) AS bhash
-              FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b))
+            WITH {lsh_ctes}
             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                    CAST(COUNT(*) AS BIGINT) AS n_shared_bands
             FROM banded a JOIN banded b USING (b, bhash)
@@ -1958,17 +1960,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM embeddings WHERE vec_id < 50
         """,
         "dedup_components": f"""
-            WITH RECURSIVE
-            sh AS (SELECT doc_id, {minhash_shingle} AS sh FROM documents),
-            sigs AS (
-              SELECT doc_id, [{', '.join(
-                  f'list_min(list_transform(sh, h -> ({dedup._A[i]} * h '
-                  f'+ {dedup._B[i]}) % 2147483647))' for i in range(16))}] AS sig
-              FROM sh),
-            banded AS (
-              SELECT doc_id, b,
-                     md5(array_to_string(sig[b*4 + 1 : b*4 + 4], ',')) AS bhash
-              FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)),
+            WITH RECURSIVE {lsh_ctes},
             pairs AS (
               SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
               FROM banded a JOIN banded b USING (b, bhash)

@@ -264,6 +264,16 @@ def dup_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).persist()
+
+    def _label_sum(df: DataFrame):
+        # labels only ever DECREASE, so an unchanged exact sum means a
+        # fixpoint — one scalar aggregate per round instead of a
+        # join+count; decimal(38,0) keeps the sum exact at any node count
+        return df.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.src == labels.id)
@@ -274,14 +284,12 @@ def dup_components(
             .groupBy("id").agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n").join(labels.alias("o"), "id")
-            .where(F.col("n.comp") < F.col("o.comp")).count()
-        )
         labels.unpersist()
         labels = new
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         import warnings
 

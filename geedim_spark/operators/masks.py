@@ -254,16 +254,20 @@ def focal_max(mask: np.ndarray, radius: int) -> np.ndarray:
     offset loop; identical output (property-tested vs the naive union)."""
     if radius <= 0:
         return mask
-    # vdil[h] = dilation by the vertical segment [-h, h], built incrementally
-    vdil = [mask]
-    for h in range(1, radius + 1):
-        vdil.append(vdil[h - 1] | _shift(mask, -h, 0, False)
-                    | _shift(mask, h, 0, False))
-    out = np.zeros_like(mask)
+    # group column offsets by required vertical half-height and consume
+    # each group while the running segment dilation reaches it — one live
+    # vdil array (O(H*W) extra memory), same O(r) shift count
     r2 = radius * radius
+    by_h: dict[int, list[int]] = {}
     for dx in range(-radius, radius + 1):
-        hy = int(math.isqrt(r2 - dx * dx))
-        out |= _shift(vdil[hy], 0, dx, False)
+        by_h.setdefault(int(math.isqrt(r2 - dx * dx)), []).append(dx)
+    out = np.zeros_like(mask)
+    vdil = mask
+    for h in range(0, radius + 1):
+        if h > 0:
+            vdil = vdil | _shift(mask, -h, 0, False) | _shift(mask, h, 0, False)
+        for dx in by_h.get(h, ()):
+            out |= _shift(vdil, 0, dx, False)
     return out
 
 
