@@ -18,9 +18,13 @@ Subpackages
 - :mod:`geedim_spark.synth`       deterministic synthetic images/ROI tables
 - :mod:`geedim_spark.operators`   tiler, spatial join, masks, stencils, composites,
                                   dedup, similarity, text analysis
-- :mod:`geedim_spark.sources`     table IO + Iceberg-style snapshot manifests
+- :mod:`geedim_spark.sources`     table IO, Iceberg-style snapshot manifests,
+                                  pure-numpy GeoTIFF writer/reader
 - :mod:`geedim_spark.functions`   column helpers (dtype promotion, nodata, geometry)
 - :mod:`geedim_spark.plans`       metrics listener + lineage
+- :mod:`geedim_spark.schema`      declared per-collection property schemas,
+                                  abbreviations, mask-family registry
+- :mod:`geedim_spark.streaming`   ingest/windows/sessions/stateful dedup
 """
 
 __version__ = "0.1.0"

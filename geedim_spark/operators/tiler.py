@@ -100,10 +100,20 @@ def explode_tiles(
     broadcast map; the grid explode itself is sequence/explode (Catalyst).
     """
     spark = images.sparkSession
+    # guard the driver pull: shape cardinality is tiny for real collections
+    # (the export guard even enforces ONE grid); a pathological table with
+    # per-row shapes must fail loudly, not OOM the driver
+    max_shapes = 100_000
     shapes = [
         (int(r["w"]), int(r["h"]))
-        for r in images.select("w", "h").distinct().collect()
+        for r in images.select("w", "h").distinct().limit(max_shapes + 1).collect()
     ]
+    if len(shapes) > max_shapes:
+        raise ValueError(
+            f"explode_tiles: more than {max_shapes} distinct (w, h) shapes — "
+            "tile-shape planning is per-shape driver-side; bucket shapes or "
+            "tile per partition instead"
+        )
     rows = []
     for w, h in shapes:
         tb, th, tw = tile_shape(
