@@ -291,6 +291,59 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 GeoTIFF container through the driver gate: every image writes a
+    striped-deflate GeoTIFF executor-side (pure-numpy writer), the
+    hand-rolled parser reads it back, and pixel/transform/CRS/nodata
+    equality is emitted as boolean columns (files live only inside the
+    kernel call — write, verify, delete)."""
+    import os as _os
+    import tempfile
+
+    from geedim_spark.sources import geotiff
+
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(
+        spark, min(n, 600), scalar_filter="fmt = 'raw'"
+    ).select("image_id", "bytes", "transform", "crs")
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf, tf, crs in zip(
+                pdf["image_id"], pdf["bytes"], pdf["transform"], pdf["crs"]
+            ):
+                px = codecs.decode(bytes(buf))
+                tf = [float(t) for t in tf]
+                epsg = int(str(crs).split(":", 1)[1])
+                fd, path = tempfile.mkstemp(suffix=".tif")
+                _os.close(fd)
+                try:
+                    geotiff.write_geotiff(
+                        path, px, transform=tf, crs_epsg=epsg, nodata=0,
+                        compress="deflate",
+                    )
+                    got, meta = geotiff.read_geotiff(path)
+                finally:
+                    _os.remove(path)
+                rows.append({
+                    "image_id": image_id,
+                    "pixels_ok": bool(np.array_equal(got, px)),
+                    "transform_ok": meta.get("transform") == tf,
+                    "crs_ok": meta.get("crs_epsg") == epsg,
+                    "nodata_ok": meta.get("nodata") == 0.0,
+                })
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "pixels_ok", "transform_ok", "crs_ok", "nodata_ok",
+            ])
+
+    return imgs.mapInPandas(
+        _batch,
+        schema="image_id string, pixels_ok boolean, transform_ok boolean, "
+               "crs_ok boolean, nodata_ok boolean",
+    )
+
+
 def q_sort_portion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: rank the collection by CLOUDLESS_PORTION descending
     (sort_for_composite(by_portion=True), collection.py:409-418), ties by
@@ -1151,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_qa_portions": q_s2_qa_portions,
         "halo_edt": q_halo_edt,
         "resample": q_resample,
+        "geotiff_roundtrip": q_geotiff_roundtrip,
         "sort_portion": q_sort_portion,
         "streaming_windows": q_streaming_windows,
         "s2_score_thresh": q_s2_score_thresh,
@@ -1551,6 +1605,12 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(bil.rowsum * h AS DOUBLE) AS bilin_b0_sum,
                    CAST(bil.bicsum * h AS DOUBLE) AS bicub_b0_sum
             FROM images i JOIN bil USING (image_id) WHERE fmt = 'raw'
+        """,
+        "geotiff_roundtrip": f"""
+            WITH images AS ({synth.sql_images(min(n, 600))})
+            SELECT image_id, TRUE AS pixels_ok, TRUE AS transform_ok,
+                   TRUE AS crs_ok, TRUE AS nodata_ok
+            FROM images WHERE fmt = 'raw'
         """,
         "sort_portion": f"""
             WITH images AS ({images}),
