@@ -291,6 +291,40 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_band_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 STAC-analog dimension join through the driver gate: the static
+    band-properties catalog broadcast-joins onto every image and the B1
+    scale/offset converts the exact integer pixel sum to reflectance
+    (image.py:137-172 semantics, applied as scale*sum + offset*n — one
+    float op per image, bit-identical across engines)."""
+    from geedim_spark.sources import band_props
+
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    joined = band_props.with_scale_offset(imgs, band_props.band_props_df(spark))
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf, so in zip(
+                pdf["image_id"], pdf["bytes"], pdf["band_so"]
+            ):
+                px = codecs.decode(bytes(buf))
+                b1 = so[0]  # sorted (len, name): B1 first
+                pxsum = int(px[0].sum(dtype=np.int64))
+                rows.append({
+                    "image_id": image_id,
+                    "b1_scale": float(b1["scale"]),
+                    "refl_sum": float(b1["scale"]) * pxsum
+                    + float(b1["offset"]) * px[0].size,
+                })
+            yield pd.DataFrame(rows, columns=["image_id", "b1_scale", "refl_sum"])
+
+    return joined.select("image_id", "bytes", "band_so").mapInPandas(
+        _batch, schema="image_id string, b1_scale double, refl_sum double"
+    )
+
+
 def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 GeoTIFF container through the driver gate: every image writes a
     striped-deflate GeoTIFF executor-side (pure-numpy writer), the
@@ -1205,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "halo_edt": q_halo_edt,
         "resample": q_resample,
         "geotiff_roundtrip": q_geotiff_roundtrip,
+        "band_props": q_band_props,
         "sort_portion": q_sort_portion,
         "streaming_windows": q_streaming_windows,
         "s2_score_thresh": q_s2_score_thresh,
@@ -1605,6 +1640,19 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(bil.rowsum * h AS DOUBLE) AS bilin_b0_sum,
                    CAST(bil.bicsum * h AS DOUBLE) AS bicub_b0_sum
             FROM images i JOIN bil USING (image_id) WHERE fmt = 'raw'
+        """,
+        "band_props": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(CASE WHEN {mock} THEN 1.0
+                             WHEN {s2} THEN 1e-4
+                             ELSE 2.75e-05 END AS DOUBLE) AS b1_scale,
+                   (CASE WHEN {mock} THEN 1.0
+                         WHEN {s2} THEN 1e-4
+                         ELSE 2.75e-05 END) * (v * (w - f_px) * h)
+                   + (CASE WHEN {mock} OR {s2} THEN 0.0 ELSE -0.2 END)
+                     * (w * h) AS refl_sum
+            FROM images WHERE fmt = 'raw'
         """,
         "geotiff_roundtrip": f"""
             WITH images AS ({synth.sql_images(min(n, 600))})

@@ -26,7 +26,7 @@ _CATALOG = {
     },
     "COPERNICUS/S2_SR_HARMONIZED": {
         "B1": (1e-4, 0.0, 60.0, 0.4427),
-        "QA_PIXEL": (1.0, 0.0, 60.0, None),
+        "QA60": (1.0, 0.0, 60.0, None),  # the S2 QA band (masks.band_names_for)
     },
     "MOCK/CONST": {
         "B1": (1.0, 0.0, 10.0, None),
