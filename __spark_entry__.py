@@ -291,6 +291,29 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mask_clouds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 pixel-mask predicate: updateMask(CLOUDLESS_MASK) writes nodata
+    into non-cloudless pixels (mask.py:131-133) — the surviving band-0 sum
+    equals v * cloudless_width * h per family closed form (mock rows pass
+    through unmasked, which coincides with their cloudless == fill)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    masked = masks.mask_clouds(imgs)
+
+    def _batch(it):
+        for pdf in it:
+            out = pdf[["image_id"]].copy()
+            out["masked_sum"] = [
+                int(codecs.decode(bytes(b))[0].sum(dtype=np.int64))
+                for b in pdf["bytes"]
+            ]
+            yield out
+
+    return masked.select("image_id", "bytes").mapInPandas(
+        _batch, schema="image_id string, masked_sum long"
+    )
+
+
 def q_band_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 STAC-analog dimension join through the driver gate: the static
     band-properties catalog broadcast-joins onto every image and the B1
@@ -1240,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "band_props": q_band_props,
+        "mask_clouds": q_mask_clouds,
         "sort_portion": q_sort_portion,
         "streaming_windows": q_streaming_windows,
         "s2_score_thresh": q_s2_score_thresh,
@@ -1640,6 +1664,12 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(bil.rowsum * h AS DOUBLE) AS bilin_b0_sum,
                    CAST(bil.bicsum * h AS DOUBLE) AS bicub_b0_sum
             FROM images i JOIN bil USING (image_id) WHERE fmt = 'raw'
+        """,
+        "mask_clouds": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(v * ({clw}) * h AS BIGINT) AS masked_sum
+            FROM images WHERE fmt = 'raw'
         """,
         "band_props": f"""
             WITH images AS ({images})
