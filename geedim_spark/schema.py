@@ -20,14 +20,14 @@ Re-expression of the reference's declared schema system
 from __future__ import annotations
 
 DEFAULT_PROP_SCHEMA = {
-    "system:index": {"abbrev": "INDEX", "description": "Image index"},
+    "system:index": {"abbrev": "INDEX", "description": "image index within its collection"},
     "system:time_start": {
         "abbrev": "DATE",
-        "description": "Image capture date/time (UTC)",
+        "description": "capture timestamp (UTC)",
     },
     "FILL_PORTION": {
         "abbrev": "FILL",
-        "description": "Portion of region pixels that are valid (%)",
+        "description": "valid share of the region's pixels (%)",
     },
 }
 
@@ -35,42 +35,42 @@ LANDSAT_PROP_SCHEMA = {
     **DEFAULT_PROP_SCHEMA,
     "CLOUDLESS_PORTION": {
         "abbrev": "CLOUDLESS",
-        "description": "Portion of filled pixels that are cloud-free (%)",
+        "description": "cloud-free share of the filled pixels (%)",
     },
     "GEOMETRIC_RMSE_MODEL": {
         "abbrev": "GRMSE",
-        "description": "Orthorectification RMSE (m)",
+        "description": "geometric model RMSE, metres",
     },
-    "SUN_AZIMUTH": {"abbrev": "SAA", "description": "Solar azimuth angle (deg)"},
-    "SUN_ELEVATION": {"abbrev": "SEA", "description": "Solar elevation angle (deg)"},
+    "SUN_AZIMUTH": {"abbrev": "SAA", "description": "sun azimuth, degrees"},
+    "SUN_ELEVATION": {"abbrev": "SEA", "description": "sun elevation, degrees"},
 }
 
 S2_PROP_SCHEMA = {
     **DEFAULT_PROP_SCHEMA,
     "CLOUDLESS_PORTION": {
         "abbrev": "CLOUDLESS",
-        "description": "Portion of filled pixels that are cloud-free (%)",
+        "description": "cloud-free share of the filled pixels (%)",
     },
     "RADIOMETRIC_QUALITY": {
         "abbrev": "RADQ",
-        "description": "Radiometric quality check",
+        "description": "radiometric QC flag",
     },
-    "GEOMETRIC_QUALITY": {"abbrev": "GEOMQ", "description": "Geometric quality check"},
+    "GEOMETRIC_QUALITY": {"abbrev": "GEOMQ", "description": "geometric QC flag"},
     "MEAN_SOLAR_AZIMUTH_ANGLE": {
         "abbrev": "SAA",
-        "description": "Solar azimuth angle (deg)",
+        "description": "sun azimuth, degrees",
     },
     "MEAN_SOLAR_ZENITH_ANGLE": {
         "abbrev": "SZA",
-        "description": "Solar zenith angle (deg)",
+        "description": "sun zenith, degrees",
     },
     "MEAN_INCIDENCE_AZIMUTH_ANGLE_B1": {
         "abbrev": "VAA",
-        "description": "View (B1) azimuth angle (deg)",
+        "description": "B1 view azimuth, degrees",
     },
     "MEAN_INCIDENCE_ZENITH_ANGLE_B1": {
         "abbrev": "VZA",
-        "description": "View (B1) zenith angle (deg)",
+        "description": "B1 view zenith, degrees",
     },
 }
 
@@ -101,64 +101,64 @@ COLLECTION_SCHEMA = {
     # Landsat surface reflectance
     "LANDSAT/LT04/C02/T1_L2": _landsat(
         "4", "LT", "l2", "landsat-sr",
-        "Landsat 4, collection 2, tier 1, level 2 surface reflectance."),
+        "Landsat-4 C2 T1 L2 surface reflectance"),
     "LANDSAT/LT05/C02/T1_L2": _landsat(
         "5", "LT", "l2", "landsat-sr",
-        "Landsat 5, collection 2, tier 1, level 2 surface reflectance."),
+        "Landsat-5 C2 T1 L2 surface reflectance"),
     "LANDSAT/LE07/C02/T1_L2": _landsat(
         "7", "LE", "l2", "landsat-sr",
-        "Landsat 7, collection 2, tier 1, level 2 surface reflectance."),
+        "Landsat-7 C2 T1 L2 surface reflectance"),
     "LANDSAT/LC08/C02/T1_L2": _landsat(
         "8", "LC", "l2", "landsat-sr-aerosol",
-        "Landsat 8, collection 2, tier 1, level 2 surface reflectance."),
+        "Landsat-8 C2 T1 L2 surface reflectance"),
     "LANDSAT/LC09/C02/T1_L2": _landsat(
         "9", "LC", "l2", "landsat-sr-aerosol",
-        "Landsat 9, collection 2, tier 1, level 2 surface reflectance."),
+        "Landsat-9 C2 T1 L2 surface reflectance"),
     # Landsat TOA reflectance
     "LANDSAT/LT04/C02/T1_TOA": _landsat(
         "4", "LT", "toa", "landsat-toa-raw",
-        "Landsat 4, collection 2, tier 1, TOA reflectance."),
+        "Landsat-4 C2 T1 top-of-atmosphere reflectance"),
     "LANDSAT/LT05/C02/T1_TOA": _landsat(
         "5", "LT", "toa", "landsat-toa-raw",
-        "Landsat 5, collection 2, tier 1, TOA reflectance."),
+        "Landsat-5 C2 T1 top-of-atmosphere reflectance"),
     "LANDSAT/LE07/C02/T1_TOA": _landsat(
         "7", "LE", "toa", "landsat-toa-raw",
-        "Landsat 7, collection 2, tier 1, TOA reflectance."),
+        "Landsat-7 C2 T1 top-of-atmosphere reflectance"),
     "LANDSAT/LC08/C02/T1_TOA": _landsat(
         "8", "LC", "toa", "landsat-toa-raw",
-        "Landsat 8, collection 2, tier 1, TOA reflectance."),
+        "Landsat-8 C2 T1 top-of-atmosphere reflectance"),
     "LANDSAT/LC09/C02/T1_TOA": _landsat(
         "9", "LC", "toa", "landsat-toa-raw",
-        "Landsat 9, collection 2, tier 1, TOA reflectance."),
+        "Landsat-9 C2 T1 top-of-atmosphere reflectance"),
     # Landsat at-sensor radiance
     "LANDSAT/LT04/C02/T1": _landsat(
         "4", "LT", "raw", "landsat-toa-raw",
-        "Landsat 4, collection 2, tier 1, at sensor radiance."),
+        "Landsat-4 C2 T1 at-sensor radiance"),
     "LANDSAT/LT05/C02/T1": _landsat(
         "5", "LT", "raw", "landsat-toa-raw",
-        "Landsat 5, collection 2, tier 1, at sensor radiance."),
+        "Landsat-5 C2 T1 at-sensor radiance"),
     "LANDSAT/LE07/C02/T1": _landsat(
         "7", "LE", "raw", "landsat-toa-raw",
-        "Landsat 7, collection 2, tier 1, at sensor radiance."),
+        "Landsat-7 C2 T1 at-sensor radiance"),
     "LANDSAT/LC08/C02/T1": _landsat(
         "8", "LC", "raw", "landsat-toa-raw",
-        "Landsat 8, collection 2, tier 1, at sensor radiance."),
+        "Landsat-8 C2 T1 at-sensor radiance"),
     "LANDSAT/LC09/C02/T1": _landsat(
         "9", "LC", "raw", "landsat-toa-raw",
-        "Landsat 9, collection 2, tier 1, at sensor radiance."),
+        "Landsat-9 C2 T1 at-sensor radiance"),
     # Sentinel-2 surface reflectance
     "COPERNICUS/S2_SR": _s2(
-        "s2-sr", "s2-sr", "Sentinel-2, level 2A, surface reflectance."),
+        "s2-sr", "s2-sr", "Sentinel-2 L2A surface reflectance"),
     "COPERNICUS/S2_SR_HARMONIZED": _s2(
         "s2-sr-hm", "s2-sr",
-        "Harmonised Sentinel-2, level 2A, surface reflectance."),
+        "Sentinel-2 L2A surface reflectance, harmonised"),
     # Sentinel-2 TOA reflectance
     "COPERNICUS/S2": _s2(
         "s2-toa", "s2-toa",
-        "Sentinel-2, level 1C, top of atmosphere reflectance."),
+        "Sentinel-2 L1C top-of-atmosphere reflectance"),
     "COPERNICUS/S2_HARMONIZED": _s2(
         "s2-toa-hm", "s2-toa",
-        "Harmonised Sentinel-2, level 1C, top of atmosphere reflectance."),
+        "Sentinel-2 L1C top-of-atmosphere reflectance, harmonised"),
 }
 
 # geedim <-> Earth Engine collection name maps (schema.py:243-245)
