@@ -354,7 +354,6 @@ def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-rolled parser reads it back, and pixel/transform/CRS/nodata
     equality is emitted as boolean columns (files live only inside the
     kernel call — write, verify, delete)."""
-    import os as _os
     import tempfile
 
     from geedim_spark.sources import geotiff
@@ -374,7 +373,7 @@ def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tf = [float(t) for t in tf]
                 epsg = int(str(crs).split(":", 1)[1])
                 fd, path = tempfile.mkstemp(suffix=".tif")
-                _os.close(fd)
+                os.close(fd)
                 try:
                     geotiff.write_geotiff(
                         path, px, transform=tf, crs_epsg=epsg, nodata=0,
@@ -382,7 +381,7 @@ def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     got, meta = geotiff.read_geotiff(path)
                 finally:
-                    _os.remove(path)
+                    os.remove(path)
                 rows.append({
                     "image_id": image_id,
                     "pixels_ok": bool(np.array_equal(got, px)),
