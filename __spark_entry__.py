@@ -291,6 +291,40 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prepare_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prepareForExport plan rewrite (image.py:741-862): per-band
+    scale/offset then SATURATING uint8 cast (clip-then-truncate,
+    image.py:571-596).  Band 0 exercises both clip ends (1.75v-20 spans
+    -18.25..330); the untouched QA band saturates its 512/1024 bits to
+    255.  All arithmetic is exact dyadics, so the truncation is
+    engine-unambiguous."""
+    from geedim_spark.operators import export_ops
+
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'").withColumn(
+        "caption", F.col("caption")  # prepare op carries caption through
+    )
+    prepped = export_ops.prepare_for_export(
+        imgs, scale_offset={0: (1.75, -20.0)}, dtype="uint8"
+    )
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                px = codecs.decode(bytes(buf))
+                rows.append({
+                    "image_id": image_id,
+                    "b0_sum": int(px[0].sum(dtype=np.int64)),
+                    "qa_sum": int(px[1].sum(dtype=np.int64)),
+                })
+            yield pd.DataFrame(rows, columns=["image_id", "b0_sum", "qa_sum"])
+
+    return prepped.select("image_id", "bytes").mapInPandas(
+        _batch, schema="image_id string, b0_sum long, qa_sum long"
+    )
+
+
 def q_mask_clouds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 pixel-mask predicate: updateMask(CLOUDLESS_MASK) writes nodata
     into non-cloudless pixels (mask.py:131-133) — the surviving band-0 sum
@@ -1263,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "band_props": q_band_props,
         "mask_clouds": q_mask_clouds,
+        "prepare_export": q_prepare_export,
         "sort_portion": q_sort_portion,
         "streaming_windows": q_streaming_windows,
         "s2_score_thresh": q_s2_score_thresh,
@@ -1663,6 +1698,20 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(bil.rowsum * h AS DOUBLE) AS bilin_b0_sum,
                    CAST(bil.bicsum * h AS DOUBLE) AS bicub_b0_sum
             FROM images i JOIN bil USING (image_id) WHERE fmt = 'raw'
+        """,
+        "prepare_export": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   -- band 0: clip(1.75*v - 20, 0, 255) truncated; the fill
+                   -- strip (v=0) clips to 0 after the offset
+                   CAST(h * (w - f_px) *
+                        trunc(LEAST(GREATEST(1.75 * v - 20, 0), 255))
+                        AS BIGINT) AS b0_sum,
+                   -- QA band untouched by scale/offset; 512/1024 saturate
+                   CAST(h * c_px * 255 *
+                        CASE WHEN c_px > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS qa_sum
+            FROM images WHERE fmt = 'raw'
         """,
         "mask_clouds": f"""
             WITH images AS ({images})
