@@ -858,6 +858,23 @@ def q_composite_tiled_qmosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tiled_column_profile(tiles, "qmosaic_v")
 
 
+def q_qmosaic_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-image-EDT q-mosaic at tile-bounded memory
+    (composite_tiled_qmosaic_halo): the halo join supplies each 16 px tile
+    the exact whole-image CLOUD_DIST (clamp 200 m -> 20 px halo), so the
+    per-column winner is the global distance argmax — no per-tile
+    saturation branch in the oracle, unlike composite_tiled_qmosaic."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(
+        spark, min(n, 900),
+        scalar_filter="fmt = 'raw' AND i % 3 = 1 AND i % 5 <> 0 AND i % 7 <> 0",
+    )
+    tiles = composite.composite_tiled_qmosaic_halo(
+        imgs, tile_h=16, tile_w=16, scale=synth.SCALE, max_cloud_dist=200.0
+    )
+    return _tiled_column_profile(tiles, "qmosaic_v")
+
+
 def q_medoid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Medoid composite over cloud-free MOCK images (QA all zero -> pure-B1
     integer distances, exactly reproducible in SQL)."""
@@ -1311,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "medoid_profile": q_medoid_profile,
         "composite_tiled_profile": q_composite_tiled_profile,
         "composite_tiled_qmosaic": q_composite_tiled_qmosaic,
+        "qmosaic_halo": q_qmosaic_halo,
         "image_features": q_image_features,
         "sort_date_dist": q_sort_date_dist,
         "collection_minmax": q_collection_minmax,
@@ -1921,6 +1939,33 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT CAST(tr AS INT) AS tr, CAST(tc AS INT) AS tc,
                    CAST(xl AS INT) AS x_local, CAST(v AS DOUBLE) AS qmosaic_v
             FROM win, (SELECT unnest([0, 1]) AS tr) WHERE rn = 1
+        """,
+        "qmosaic_halo": f"""
+            WITH images AS ({synth.sql_images(min(n, 900))}),
+            lsat AS (SELECT * FROM images
+                     WHERE i % 3 = 1 AND fmt = 'raw'
+                       AND i % 5 <> 0 AND i % 7 <> 0),
+            cols AS (
+              SELECT l.*, tc, xl, tc * 16 + xl AS x
+              FROM lsat l, (SELECT unnest([0, 1, 2]) AS tc) t, range(16) r(xl)
+              WHERE xl < CASE WHEN tc = 2 THEN 8 ELSE 16 END),
+            valid AS (SELECT * FROM cols WHERE x >= f_px AND x < w - c_px),
+            cd AS (
+              -- WHOLE-IMAGE distance at every tile column (the halo join
+              -- delivers the global EDT): no per-tile saturation branch
+              SELECT image_id, v, time_start, tc, xl,
+                     LEAST(200, CAST({synth.SCALE} AS BIGINT) *
+                           ((w - c_px) - x)) AS cdv
+              FROM valid),
+            win AS (
+              SELECT tc, xl, v,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tc, xl
+                       ORDER BY cdv DESC, time_start DESC, image_id ASC) AS rn
+              FROM cd)
+            SELECT CAST(tr AS INT) AS tr, CAST(tc AS INT) AS tc,
+                   CAST(xl AS INT) AS x_local, CAST(v AS DOUBLE) AS qmosaic_v
+            FROM win, (SELECT unnest([0, 1, 2]) AS tr) WHERE rn = 1
         """,
         "medoid_profile": f"""
             WITH images AS ({synth.sql_images(min(n, 210))}),

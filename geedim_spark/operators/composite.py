@@ -168,6 +168,7 @@ def composite_collection(
     mask_opts: dict | None = None,
     scale: float = 10.0,
     medoid_max_stack: int = 64,
+    max_cloud_dist: float = 5000.0,
 ) -> DataFrame:
     """Composite co-registered images (same w/h grid) per group.
 
@@ -216,7 +217,8 @@ def composite_collection(
             valids.append(m["CLOUDLESS_MASK"])
             if method == "q-mosaic":
                 dists.append(masks.cloud_dist(
-                    m["CLOUDLESS_MASK"], scale, fill=m["FILL_MASK"]
+                    m["CLOUDLESS_MASK"], scale, max_cloud_dist,
+                    fill=m["FILL_MASK"],
                 ))
         stack = np.stack(stacks)
         valid = np.stack(valids)
@@ -234,6 +236,60 @@ def composite_collection(
 
 
 _TILED_SCHEMA = "tr int, tc int, bytes binary, n_inputs int"
+
+
+def _pixel_tiles(
+    images: DataFrame, tile_h: int, tile_w: int, mask_opts: dict
+) -> DataFrame:
+    """Stage 1 of the tile-keyed composites: decode each image once, emit
+    pixel tiles plus a 3-state validity plane per tile (0 = invalid /
+    1 = filled-cloudy / 2 = cloudless — one uint8 plane carries both masks
+    so q-mosaic reducers can compute CLOUD_DIST with cloud-only sources,
+    mask.py:102-104).  A caller-attached ``sort_key`` is honoured;
+    otherwise capture time is the order."""
+    cols = ["image_id", "bytes", "collection", "time_start"]
+    if "sort_key" in images.columns:
+        src = images.select(*cols, "sort_key")
+    else:
+        src = images.select(*cols).withColumn(
+            "sort_key", F.col("time_start").cast("double")
+        )
+
+    def _tiles(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf, coll, sk, ts in zip(
+                pdf["image_id"], pdf["bytes"], pdf["collection"],
+                pdf["sort_key"], pdf["time_start"],
+            ):
+                px = codecs.decode(bytes(buf))
+                names = masks.band_names_for(coll)
+                bands = {n: px[i] for i, n in enumerate(names[: px.shape[0]])}
+                m = masks.masks_for(coll, bands, time_start=ts, **mask_opts)
+                valid = (
+                    m["FILL_MASK"].astype(np.uint8)
+                    + m["CLOUDLESS_MASK"].astype(np.uint8)
+                )
+                _, h, w = px.shape
+                for tr in range(0, h, tile_h):
+                    for tc in range(0, w, tile_w):
+                        blk = px[:, tr:tr + tile_h, tc:tc + tile_w]
+                        vblk = valid[tr:tr + tile_h, tc:tc + tile_w]
+                        rows.append({
+                            "image_id": image_id, "sort_key": sk,
+                            "tr": tr // tile_h, "tc": tc // tile_w,
+                            "tile_bytes": codecs.encode_raw(blk),
+                            "valid_bytes": codecs.encode_raw(vblk[None, :, :]),
+                        })
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "sort_key", "tr", "tc", "tile_bytes", "valid_bytes",
+            ])
+
+    return src.mapInPandas(
+        _tiles,
+        schema="image_id string, sort_key double, tr int, tc int, "
+               "tile_bytes binary, valid_bytes binary",
+    )
 
 
 def composite_tiled(
@@ -267,53 +323,7 @@ def composite_tiled(
     matching composite_collection; otherwise capture time is the order.
     """
     mask_opts = mask_opts or {}
-    cols = ["image_id", "bytes", "collection", "time_start"]
-    if "sort_key" in images.columns:
-        src = images.select(*cols, "sort_key")
-    else:
-        src = images.select(*cols).withColumn(
-            "sort_key", F.col("time_start").cast("double")
-        )
-
-    def _tiles(it):
-        for pdf in it:
-            rows = []
-            for image_id, buf, coll, sk, ts in zip(
-                pdf["image_id"], pdf["bytes"], pdf["collection"],
-                pdf["sort_key"], pdf["time_start"],
-            ):
-                px = codecs.decode(bytes(buf))
-                names = masks.band_names_for(coll)
-                bands = {n: px[i] for i, n in enumerate(names[: px.shape[0]])}
-                m = masks.masks_for(coll, bands, time_start=ts, **mask_opts)
-                # 3-state validity code per pixel: 0 = invalid (no fill),
-                # 1 = filled but cloudy, 2 = cloudless — one uint8 plane
-                # carries both masks so the q-mosaic reducer can compute
-                # CLOUD_DIST with cloud-only sources (mask.py:102-104)
-                valid = (
-                    m["FILL_MASK"].astype(np.uint8)
-                    + m["CLOUDLESS_MASK"].astype(np.uint8)
-                )
-                _, h, w = px.shape
-                for tr in range(0, h, tile_h):
-                    for tc in range(0, w, tile_w):
-                        blk = px[:, tr:tr + tile_h, tc:tc + tile_w]
-                        vblk = valid[tr:tr + tile_h, tc:tc + tile_w]
-                        rows.append({
-                            "image_id": image_id, "sort_key": sk,
-                            "tr": tr // tile_h, "tc": tc // tile_w,
-                            "tile_bytes": codecs.encode_raw(blk),
-                            "valid_bytes": codecs.encode_raw(vblk[None, :, :]),
-                        })
-            yield pd.DataFrame(rows, columns=[
-                "image_id", "sort_key", "tr", "tc", "tile_bytes", "valid_bytes",
-            ])
-
-    tiles = src.mapInPandas(
-        _tiles,
-        schema="image_id string, sort_key double, tr int, tc int, "
-               "tile_bytes binary, valid_bytes binary",
-    )
+    tiles = _pixel_tiles(images, tile_h, tile_w, mask_opts)
 
     def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
@@ -338,6 +348,64 @@ def composite_tiled(
         }])
 
     return tiles.groupBy("tr", "tc").applyInPandas(_reduce, schema=_TILED_SCHEMA)
+
+
+def composite_tiled_qmosaic_halo(
+    images: DataFrame,
+    tile_h: int = 16,
+    tile_w: int = 16,
+    mask_opts: dict | None = None,
+    scale: float = 10.0,
+    max_cloud_dist: float = 5000.0,
+) -> DataFrame:
+    """Tile-keyed q-mosaic with WHOLE-IMAGE CLOUD_DIST semantics at
+    tile-bounded memory — removes composite_tiled's one documented
+    q-mosaic caveat (per-tile EDT saturates tiles far from any cloud).
+
+    Plan: (1) 3-state code tiles (stencil.mask_tiles) -> halo-join EDT
+    (stencil.halo_apply + cloud_dist_code_kernel, halo = the clamp reach,
+    so each tile's distances equal the whole-image transform exactly);
+    (2) pixel tiles; (3) equi-join dist tiles onto pixel tiles on the
+    compact (image_id, tr, tc) key; (4) groupBy (tr, tc) argmax reduce.
+    Two shuffles on integer grid keys, task memory bounded by
+    n_images x tile_size — the same scale contract as composite_tiled.
+    """
+    import math as _math
+
+    from geedim_spark.operators import stencil
+
+    mask_opts = mask_opts or {}
+    halo = int(_math.ceil(max_cloud_dist / scale))
+    codes = stencil.mask_tiles(images, tile_h, tile_w, plane="code", **mask_opts)
+    dists = stencil.halo_apply(
+        codes, stencil.cloud_dist_code_kernel(scale, max_cloud_dist),
+        halo_px=halo, tile_h=tile_h, tile_w=tile_w, out_dtype="float64",
+    ).select(
+        "image_id", "tr", "tc", F.col("tile_bytes").alias("dist_bytes")
+    )
+    tiles = _pixel_tiles(images, tile_h, tile_w, mask_opts)
+    joined = tiles.join(dists, ["image_id", "tr", "tc"])
+
+    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["sort_key", "image_id"], ascending=[False, True], ignore_index=True
+        )
+        stack = np.stack([codecs.decode(bytes(b)) for b in pdf["tile_bytes"]])
+        codes = np.stack(
+            [codecs.decode(bytes(b))[0] for b in pdf["valid_bytes"]]
+        )
+        cd = np.stack(
+            [codecs.decode(bytes(b))[0] for b in pdf["dist_bytes"]]
+        )
+        comp, out_valid = composite_stack(stack, codes >= 2, "q-mosaic", cd)
+        comp = np.where(out_valid[None, :, :], comp, np.nan)
+        return pd.DataFrame([{
+            "tr": int(pdf["tr"].iloc[0]), "tc": int(pdf["tc"].iloc[0]),
+            "bytes": codecs.encode_raw(comp.astype(np.float64)),
+            "n_inputs": len(pdf),
+        }])
+
+    return joined.groupBy("tr", "tc").applyInPandas(_reduce, schema=_TILED_SCHEMA)
 
 
 def composite_metadata(images: DataFrame, method: str) -> DataFrame:

@@ -245,3 +245,41 @@ def test_composite_tiled_honours_sort_key(spark):
     tiles = comp.composite_tiled(dated, "mosaic", tile_h=8, tile_w=8).collect()
     px = codecs.decode(bytes(tiles[0]["bytes"]))
     assert (px == 11).all()  # i=1 is closest to the target date, not i=3
+
+
+def test_tiled_halo_qmosaic_equals_whole_image(spark):
+    """composite_tiled_qmosaic_halo == composite_collection('q-mosaic')
+    bit-for-bit: the halo-join CLOUD_DIST gives whole-image EDT semantics
+    at tile-bounded memory (strip distances are exact scale multiples, so
+    the uint16 band and the float kernel agree)."""
+    from geedim_spark import synth
+    from geedim_spark.operators import stencil
+
+    imgs = synth.images_df(
+        spark, 40, scalar_filter="fmt = 'raw' AND i % 3 = 1 AND i % 7 <> 0"
+    )
+    whole_rows = comp.composite_collection(
+        imgs, "q-mosaic", scale=10.0, max_cloud_dist=120.0
+    ).collect()
+    assert len(whole_rows) == 1
+    whole = codecs.decode(bytes(whole_rows[0]["bytes"]))
+
+    tiles = comp.composite_tiled_qmosaic_halo(
+        imgs, tile_h=16, tile_w=16, scale=10.0, max_cloud_dist=120.0
+    ).collect()
+    got = np.stack([
+        stencil.assemble_tiles(
+            [{"tr": r["tr"], "tc": r["tc"],
+              "tile_bytes": _band(r["bytes"], b)} for r in tiles], 16, 16
+        )
+        for b in range(whole.shape[0])
+    ])
+    assert got.shape == whole.shape
+    assert np.array_equal(np.isnan(got), np.isnan(whole))
+    assert np.array_equal(got[~np.isnan(got)], whole[~np.isnan(whole)])
+
+
+def _band(buf, b):
+    """Re-encode band b of a composite tile for assemble_tiles."""
+    px = codecs.decode(bytes(buf))
+    return codecs.encode_raw(px[b:b + 1])
