@@ -122,6 +122,55 @@ def q_mask_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.mask_stats(imgs)
 
 
+def q_landsat_param_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag Landsat mask portions over the strip-mock world (reference
+    test_mask.py:482-564): ref / mask_shadows=False / mask_cirrus=False /
+    +saturation / +nonphysical / +aerosols, exact pixel counts per image.
+    Image 0 reproduces the reference fixture's published fractions (FILL
+    0.9, CLOUDLESS 0.4/0.6/0.3/0.2/0.1 per flag); the oracle is the strip
+    closed form over image_id."""
+    n, _ = _sizes(sf_dir)
+    ids = spark.range(min(n, 240)).select(F.col("id").alias("image_id"))
+    return masks.landsat_param_stats(ids)
+
+
+def _skew_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Planted-Zipfian join input: cell 0 holds 30% of the big side's rows
+    (ids with id%10 < 3); the remaining 70% spread over 97 tail cells.  The
+    small side is a per-cell attribute table (4 rows/cell) — too tail-heavy
+    to broadcast at real scale, so the join must shuffle on `cell` and eat
+    the hot key."""
+    n, _ = _sizes(sf_dir)
+    r = n * 10
+    big = spark.range(r).select(
+        F.col("id").alias("obs_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+         .otherwise(F.lit(1) + F.col("id") % 97).cast("long").alias("cell"),
+        (F.col("id") % 1000).cast("long").alias("v"),
+    )
+    dim = spark.range(98).select(F.col("id").alias("cell")).crossJoin(
+        spark.range(4).select(F.col("id").alias("attr"))
+    ).select(
+        "cell", (F.col("cell") * 4 + F.col("attr")).cast("long").alias("weight")
+    )
+    return big, dim
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-adaptive equi-join under a planted hot cell (north-rule skew
+    case): cell 0 carries 30% of the rows, so a plain hash join puts 30% of
+    the work in one task.  adaptive_salted_join pre-splits the hot key into
+    count-derived salt buckets (tail keys pay zero replication); the result
+    must equal the plain join — per-cell match counts and weighted sums
+    against a closed-form oracle."""
+    big, dim = _skew_tables(spark, sf_dir)
+    joined = sj.adaptive_salted_join(big, dim, "cell", rows_per_task=1000)
+    return joined.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("v") * F.col("weight")).cast("long").alias("wsum"),
+    )
+
+
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest (file source -> foreachBatch mask kernel
     -> snapshot commits) drained with availableNow; returns the committed
@@ -1295,72 +1344,142 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
+    ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
+    one oracle per operator family (see COVERAGE.md); redundant in-family
+    variants sit below the line and stay covered by pytest +
+    scripts/check_oracles.py.  tests/test_properties.py guards the
+    prefix-covers-every-family invariant against future growth.
+    """
     return {
+        # --- priority prefix: one oracle per operator family -------------
         "spatial_join": q_spatial_join,
         "geo_spatial_join": q_geo_spatial_join,
+        "skew_join": q_skew_join,
         "mask_portions": q_mask_portions,
-        "streaming_ingest": q_streaming_ingest,
+        "landsat_param_portions": q_landsat_param_portions,
+        "mask_clouds": q_mask_clouds,
+        "mask_polygons": q_mask_polygons,
+        "s2_qa_portions": q_s2_qa_portions,
+        "s2_score_join": q_s2_score_join,
+        "s2_prob_join": q_s2_prob_join,
+        "cdi_join": q_cdi_join,
+        "morphology": q_morphology,
         "cloud_dist": q_cloud_dist,
+        "halo_edt": q_halo_edt,
         "tile_grid": q_tile_grid,
         "export_tiles": q_export_tiles,
-        "tiled_portions": q_tiled_portions,
-        "dct8_psnr": q_dct8_psnr,
-        "doc_quality": q_doc_quality,
-        "mask_polygons": q_mask_polygons,
-        "s2_score_join": q_s2_score_join,
-        "s2_qa_portions": q_s2_qa_portions,
-        "halo_edt": q_halo_edt,
+        "prepare_export": q_prepare_export,
         "resample": q_resample,
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "band_props": q_band_props,
-        "mask_clouds": q_mask_clouds,
-        "prepare_export": q_prepare_export,
-        "sort_portion": q_sort_portion,
-        "streaming_windows": q_streaming_windows,
-        "s2_score_thresh": q_s2_score_thresh,
-        "s2_prob_join": q_s2_prob_join,
-        "morphology": q_morphology,
-        "cdi_join": q_cdi_join,
         "band_select": q_band_select,
         "search": q_search,
         "date_filter_1ms": q_date_filter_1ms,
-        "composite_profile": q_composite_profile,
-        "medoid_profile": q_medoid_profile,
-        "composite_tiled_profile": q_composite_tiled_profile,
-        "composite_tiled_qmosaic": q_composite_tiled_qmosaic,
-        "qmosaic_halo": q_qmosaic_halo,
-        "image_features": q_image_features,
+        "union_compat": q_union_compat,
+        "sort_portion": q_sort_portion,
         "sort_date_dist": q_sort_date_dist,
         "collection_minmax": q_collection_minmax,
-        "union_compat": q_union_compat,
-        "string_fns": q_string_fns,
-        "limit_sorted": q_limit_sorted,
-        "events_sessions": q_events_sessions,
-        "session_windows": q_session_windows,
-        "streaming_sessions": q_streaming_sessions,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "events_recent": q_events_recent,
-        "events_type_stats": q_events_type_stats,
-        "doc_dup_counts": q_doc_dup_counts,
+        "composite_profile": q_composite_profile,
+        "medoid_profile": q_medoid_profile,
+        "qmosaic_halo": q_qmosaic_halo,
+        "image_features": q_image_features,
+        "streaming_ingest": q_streaming_ingest,
+        "streaming_windows": q_streaming_windows,
         "streaming_dedup": q_streaming_dedup,
+        "events_sessions": q_events_sessions,
+        "events_type_stats": q_events_type_stats,
+        "pricing_summary": q_pricing_summary,
+        "doc_quality": q_doc_quality,
         "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_id": q_lang_id,
+        "doc_dup_counts": q_doc_dup_counts,
+        "simhash": q_simhash,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,  # recall-vs-exact quality gate (hashable)
-        "ann_ivf_flat": q_ann_ivf_flat,
         "embed_near_dup": q_embed_near_dup,
+        # --- below the driver's 50-query window: in-family variants ------
         "embed_dup_counts": q_embed_dup_counts,
+        "ann_ivf_flat": q_ann_ivf_flat,
+        "tiled_portions": q_tiled_portions,
+        "composite_tiled_profile": q_composite_tiled_profile,
+        "composite_tiled_qmosaic": q_composite_tiled_qmosaic,
+        "s2_score_thresh": q_s2_score_thresh,
+        "dct8_psnr": q_dct8_psnr,
+        "ngram_jaccard": q_ngram_jaccard,
+        "session_windows": q_session_windows,
+        "streaming_sessions": q_streaming_sessions,
+        "events_recent": q_events_recent,
+        "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "string_fns": q_string_fns,
+        "limit_sorted": q_limit_sorted,
     }
+
+
+# The driver's CORRECTNESS gate checks the first PRIORITY_WINDOW queries()
+# entries; the prefix must hold >= 1 oracle per operator family.  The family
+# map is the machine-checkable form of COVERAGE.md and is guarded by
+# tests/test_properties.py::test_priority_prefix_covers_every_family.
+PRIORITY_WINDOW = 50
+
+QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
+    "spatial-join": ("spatial_join", "geo_spatial_join"),
+    "skew-join": ("skew_join",),
+    "mask-stats": ("mask_portions", "tiled_portions", "landsat_param_portions"),
+    "mask-apply": ("mask_clouds",),
+    "geometry": ("mask_polygons",),
+    "s2-qa": ("s2_qa_portions",),
+    "s2-score": ("s2_score_join", "s2_score_thresh"),
+    "s2-prob": ("s2_prob_join",),
+    "cdi": ("cdi_join",),
+    "morphology": ("morphology",),
+    "cloud-dist": ("cloud_dist",),
+    "stencil": ("halo_edt",),
+    "tiler": ("tile_grid",),
+    "export": ("export_tiles", "prepare_export"),
+    "resample": ("resample",),
+    "geotiff": ("geotiff_roundtrip",),
+    "band-props": ("band_props",),
+    "band-select": ("band_select",),
+    # search exercises the schema registry incl. abbreviation expansion and
+    # safe-name mapping; string_fns is the same schema-string family
+    "search": ("search", "string_fns", "limit_sorted"),
+    "date-filter": ("date_filter_1ms",),
+    "union": ("union_compat",),
+    "sort": ("sort_portion", "sort_date_dist"),
+    "collection-agg": ("collection_minmax",),
+    "composite": ("composite_profile", "composite_tiled_profile"),
+    "medoid": ("medoid_profile",),
+    "qmosaic": ("qmosaic_halo", "composite_tiled_qmosaic"),
+    "multimodal": ("image_features", "dct8_psnr"),
+    "streaming-ingest": ("streaming_ingest",),
+    "streaming-windows": ("streaming_windows",),
+    "streaming-dedup": ("streaming_dedup",),
+    "sessionisation": ("events_sessions", "session_windows",
+                       "streaming_sessions"),
+    "events-agg": ("events_type_stats", "events_recent"),
+    "relational": ("pricing_summary", "top_customers", "shipping_priority",
+                   "local_supplier_volume"),
+    "text-quality": ("doc_quality",),
+    "text-tokens": ("doc_token_stats",),
+    "text-langid": ("lang_id",),
+    "text-fingerprint": ("doc_fingerprint",),
+    "dedup-exact": ("doc_dup_counts",),
+    "dedup-simhash": ("simhash",),
+    "dedup-minhash": ("minhash_sig", "minhash_lsh_pairs", "ngram_jaccard"),
+    "dedup-components": ("dedup_components",),
+    "ann-exact": ("ann_topk",),
+    "ann-lsh": ("ann_lsh",),
+    "ann-ivf": ("ann_ivf", "ann_ivf_flat"),
+    "embed-dedup": ("embed_near_dup", "embed_dup_counts"),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -1572,6 +1691,43 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(0 AS BIGINT) AS shadow_px,
                    CAST(({clw})*h AS BIGINT) AS cloudless_px
             FROM images WHERE fmt = 'raw'
+        """,
+        "landsat_param_portions": f"""
+            -- strip closed form of masks.landsat_strip_widths: 40 columns
+            -- x 20 rows, widths varied by (a, b, c) = (id%2, id//2%2,
+            -- id//4%2); image 0 == the reference fixture's exact fractions
+            -- (test_mask.py:482-564)
+            SELECT CAST(id AS BIGINT) AS image_id,
+                   CAST(720 AS BIGINT) AS fill_px,
+                   CAST((12 + a) * 20 AS BIGINT) AS cloud_px,
+                   CAST((8 + b) * 20 AS BIGINT) AS shadow_px,
+                   CAST((16 - a - b) * 20 AS BIGINT) AS cloudless_px,
+                   CAST((24 - a) * 20 AS BIGINT) AS cloudless_nsh_px,
+                   CAST((8 + a) * 20 AS BIGINT) AS cloud_ncir_px,
+                   CAST((4 + c) * 20 AS BIGINT) AS sat_px,
+                   CAST((12 - a - b - c) * 20 AS BIGINT) AS cloudless_sat_px,
+                   CAST(80 AS BIGINT) AS nonphys_px,
+                   CAST((8 - a - b - c) * 20 AS BIGINT) AS cloudless_np_px,
+                   CAST((4 + b) * 20 AS BIGINT) AS aerosol_px,
+                   CAST((4 - a - 2*b - c) * 20 AS BIGINT) AS cloudless_aero_px
+            FROM (SELECT id, id % 2 AS a, (id // 2) % 2 AS b,
+                         (id // 4) % 2 AS c
+                  FROM range({min(n, 240)}) t(id))
+        """,
+        "skew_join": f"""
+            WITH big AS (
+              SELECT id AS obs_id,
+                     CASE WHEN id % 10 < 3 THEN 0
+                          ELSE 1 + id % 97 END AS cell,
+                     id % 1000 AS v
+              FROM range({n * 10}) t(id)),
+            dim AS (
+              SELECT c.id AS cell, c.id * 4 + a.id AS weight
+              FROM range(98) c(id) CROSS JOIN range(4) a(id))
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(v * weight) AS BIGINT) AS wsum
+            FROM big JOIN dim USING (cell)
+            GROUP BY cell
         """,
         "streaming_ingest": f"""
             WITH images AS ({synth.sql_images(min(n, 600))})

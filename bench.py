@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "top_customers", "events_recent", "events_sessions", "doc_dup_counts",
     "doc_token_stats", "simhash", "lang_id", "minhash_sig",
     "minhash_lsh_pairs", "ann_topk", "ann_lsh", "embed_near_dup",
-    "s2_qa_portions",
+    "s2_qa_portions", "skew_join", "landsat_param_portions",
     # halo_edt is value-checked by the driver but excluded here: at the
     # bench's 40 px synthetic images its cost is pure tiny-group overhead
     # (2,700 applyInPandas groups of 16 px tiles), not kernel throughput
@@ -118,6 +118,60 @@ def headline_job(
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+SKEW_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "8000000"))
+
+
+def skew_bench(spark: SparkSession) -> dict:
+    """Salted vs unsalted shuffle join under the planted 30 %-hot-cell
+    input (the north rule's skew case), at a row count where the hot task
+    dominates.  Broadcast is disabled for BOTH plans: this models the
+    100 TB regime where the per-cell dim side outgrows the driver —
+    with broadcast allowed neither plan shuffles and there is no skew to
+    mitigate.  AQE stays ON, so the unsalted side already gets Spark's own
+    skew-split best effort; the salted win reported here is on TOP of AQE.
+    """
+    from geedim_spark.operators import spatial_join as sj
+
+    r = SKEW_BENCH_ROWS
+    big = spark.range(r).select(
+        F.col("id").alias("obs_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+         .otherwise(F.lit(1) + F.col("id") % 97).cast("long").alias("cell"),
+        (F.col("id") % 1000).cast("long").alias("v"),
+    )
+    dim = spark.range(98).select(F.col("id").alias("cell")).crossJoin(
+        spark.range(4).select(F.col("id").alias("attr"))
+    ).select(
+        "cell", (F.col("cell") * 4 + F.col("attr")).cast("long").alias("weight")
+    )
+
+    def agg(j):
+        return j.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("v") * F.col("weight")).cast("long").alias("wsum"),
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        agg(big.join(dim, "cell")).write.format("noop").mode("overwrite").save()
+        t_plain = time.time() - t0
+        t0 = time.time()
+        agg(sj.adaptive_salted_join(big, dim, "cell", rows_per_task=100_000)) \
+            .write.format("noop").mode("overwrite").save()
+        t_salted = time.time() - t0
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return {
+        "skew_rows": r,
+        "skew_unsalted_sec": round(t_plain, 3),
+        "skew_salted_sec": round(t_salted, 3),
+        "skew_salted_speedup": round(t_plain / t_salted, 2),
+    }
+
+
 def _bench_conf(master: str | None) -> dict:
     """Blob-kernel tasks are memory-bandwidth-bound: on wide sessions give
     each task 2 cpus so in-flight Arrow batches match the box's bandwidth.
@@ -148,6 +202,7 @@ def run_once(master: str | None, with_queries: bool = True, repeats: int = 1,
         best = secs if best is None else min(best, secs)
     spark.stop()
     qtimes = {}
+    skew = {}
     if with_queries:
         # fresh session at task.cpus=1: the per-query section runs many
         # small kernels where full task concurrency wins (the opposite
@@ -159,12 +214,14 @@ def run_once(master: str | None, with_queries: bool = True, repeats: int = 1,
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.time() - t0, 3)
+        skew = skew_bench(spark)
         spark.stop()
     return {
         "headline_sec": round(best, 3),
         "n_tiles": n_tiles,
         "tiles_per_sec": round(n_tiles / best, 1),
         "queries": qtimes,
+        **skew,
     }
 
 
@@ -221,6 +278,7 @@ def main() -> None:
         "sf": sf,
         "n_tiles": res["n_tiles"],
         "tiles_per_sec": res["tiles_per_sec"],
+        **{k: v for k, v in res.items() if k.startswith("skew_")},
     }))
 
 

@@ -131,11 +131,61 @@ def minhash_sig_df(
     )
 
 
+class BucketCapReport:
+    """Deferred drop report for an LSH bucket cap (the no-silent-caps rule,
+    restated lazily).
+
+    The capped plan carries a ``df.observe`` node counting the rows removed
+    by the size filter; those metrics only exist once an ACTION runs the
+    plan, so this object (attached to the returned frame as
+    ``_bucket_cap_report``) watches the observation from a daemon thread
+    and emits the loud ``RuntimeWarning`` the moment the first action
+    completes — no eager job at plan-construction time.  Callers needing
+    the numbers programmatically use :meth:`wait`.
+    """
+
+    def __init__(self, observation, op: str, max_bucket_size: int):
+        import threading
+
+        self.observation = observation
+        self.op = op
+        self.max_bucket_size = max_bucket_size
+        self._thread = threading.Thread(target=self._emit, daemon=True)
+        self._thread.start()
+
+    def _emit(self) -> None:
+        import warnings
+
+        got = self.observation.get  # blocks until the first action completes
+        if got.get("rows_dropped"):
+            warnings.warn(
+                f"{self.op}: dropped {got['rows_dropped']} row(s) in "
+                f"oversized LSH bucket(s) (> {self.max_bucket_size} members; "
+                f"largest {got['largest_bucket']}) to bound the candidate "
+                "self-join.  Recover these as exact/near-duplicate GROUPS "
+                "via exact_dup_counts / exact_embed_dup_counts (all-pairs "
+                "output inside such clusters is quadratic by nature).",
+                RuntimeWarning,
+            )
+
+    def wait(self, timeout: float = 120.0) -> dict:
+        """Block until the capped plan has executed once; return the drop
+        metrics ({rows_dropped, largest_bucket}) with the warning (if any)
+        already emitted."""
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError(
+                f"{self.op}: no action has executed the capped plan yet"
+            )
+        return self.observation.get
+
+
 def _drop_oversized_buckets(
     keyed: DataFrame, key_cols: list[str], max_bucket_size: int, op: str
-) -> DataFrame:
-    """Remove rows in LSH buckets larger than ``max_bucket_size`` and WARN
-    with exact drop counts (the no-silent-caps rule).
+) -> tuple[DataFrame, BucketCapReport]:
+    """Filter out rows in LSH buckets larger than ``max_bucket_size``,
+    entirely inside the lazy plan, and WARN with exact drop counts once the
+    plan first executes (see :class:`BucketCapReport`).
 
     A b-member bucket contributes b(b-1)/2 candidate pairs inside ONE join
     key: a 10M-copy boilerplate document is 5*10^13 pairs on a single task
@@ -143,33 +193,26 @@ def _drop_oversized_buckets(
     are overwhelmingly exact-duplicate clusters; their membership is
     recoverable at hash-groupBy cost via :func:`exact_dup_counts` (pairs
     inside an exact cluster are trivially all-vs-all and should be treated
-    as a group, never materialised as pairs).  The oversized-key set is
-    tiny (<= N/max_bucket_size keys) so the removal is a broadcast
-    anti-join — no extra shuffle beyond the count aggregate, which reuses
-    the join's own key.
-    """
-    import warnings
+    as a group, never materialised as pairs).  The cap is a join to the
+    bucket-size aggregate (same key -> the shuffle is shared with the
+    candidate join's own partitioning; the aggregate side is tiny and
+    AQE-broadcastable) + a size filter — one pass, no eager count."""
+    from pyspark.sql import Observation
 
-    sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bn"))
-    over = sizes.filter(F.col("bn") > max_bucket_size)
-    stats = over.agg(
-        F.count(F.lit(1)).alias("k"),
-        F.sum("bn").alias("rows"),
-        F.max("bn").alias("mx"),
-    ).first()
-    if not stats["k"]:
-        return keyed
-    warnings.warn(
-        f"{op}: dropped {stats['k']} oversized LSH bucket(s) "
-        f"(> {max_bucket_size} members; largest {stats['mx']}, "
-        f"{stats['rows']} rows total) to bound the candidate self-join. "
-        "Recover these as exact/near-duplicate GROUPS via exact_dup_counts "
-        "(all-pairs output inside such clusters is quadratic by nature).",
-        RuntimeWarning, stacklevel=3,
+    sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    obs = Observation(f"{op}_bucket_cap")
+    flagged = keyed.join(sizes, key_cols).observe(
+        obs,
+        F.sum(
+            F.when(F.col("_bn") > max_bucket_size, 1).otherwise(0)
+        ).alias("rows_dropped"),
+        F.max(
+            F.when(F.col("_bn") > max_bucket_size, F.col("_bn"))
+        ).alias("largest_bucket"),
     )
-    return keyed.join(
-        F.broadcast(over.select(*key_cols)), key_cols, "left_anti"
-    )
+    report = BucketCapReport(obs, op, max_bucket_size)
+    capped = flagged.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    return capped, report
 
 
 def minhash_lsh_pairs(
@@ -187,9 +230,19 @@ def minhash_lsh_pairs(
     cross join anywhere.  Output: (doc_id_a, doc_id_b, n_shared_bands).
 
     ``max_bucket_size`` bounds the quadratic blowup of giant buckets
-    (boilerplate mega-clusters): larger buckets are dropped with a loud
-    warning — see :func:`_drop_oversized_buckets`; ``None`` disables.
+    (boilerplate mega-clusters): larger buckets are filtered inside the
+    lazy plan and reported with a loud RuntimeWarning when the plan first
+    executes (returned frame carries ``_bucket_cap_report`` — see
+    :class:`BucketCapReport`); ``None`` disables.
+
+    NOTE the banded-signature frame is ``persist``-ed (MEMORY_AND_DISK,
+    populated lazily on first action) so the expensive signature kernel
+    runs once across the self-join's two sides; long-lived sessions doing
+    many parameter sweeps should ``spark.catalog.clearCache()`` between
+    runs to release it.
     """
+    from pyspark import StorageLevel
+
     _check_n_hashes(n_hashes, bands)
     rows_per_band = n_hashes // bands
     sigs = minhash_sig_df(documents, n_hashes, n)
@@ -209,18 +262,18 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bhash")
-    # the self-join consumes `banded` twice — persist so signatures are
-    # computed once (the kernel pass is the expensive stage).  The cache
-    # lives until session end / eviction: long-lived sessions doing many
-    # parameter sweeps should spark.catalog.clearCache() between runs.
-    banded = banded.persist()
+    report = None
     if max_bucket_size is not None:
-        banded = _drop_oversized_buckets(
+        banded, report = _drop_oversized_buckets(
             banded, ["band", "bhash"], max_bucket_size, "minhash_lsh_pairs"
         )
+    # persist the (capped) banded frame: the self-join consumes it twice
+    # and the signature kernel is the expensive stage.  Lazy — the cache
+    # fills on the first action, so plan construction stays job-free.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(b, ["band", "bhash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
@@ -228,6 +281,8 @@ def minhash_lsh_pairs(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
+    out._bucket_cap_report = report
+    return out
 
 
 def dup_components(
@@ -255,6 +310,8 @@ def dup_components(
     localCheckpoint so the plan stays O(1) per round.  Deterministic:
     labels are pure min() folds, independent of partitioning.
     """
+    from pyspark.sql.types import NumericType
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -264,16 +321,21 @@ def dup_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).persist()
+    # Fixpoint test is type-dispatched: for NUMERIC ids labels only ever
+    # DECREASE, so an unchanged exact decimal(38,0) sum means a fixpoint —
+    # one scalar aggregate per round.  For non-numeric (e.g. string) ids
+    # the decimal cast would yield NULL == NULL and stop after one round
+    # (silently wrong for clusters of diameter > 1), so those use an exact
+    # changed-row anti-join instead (min() is still well-defined:
+    # lexicographic for strings).
+    numeric = isinstance(labels.schema["comp"].dataType, NumericType)
 
     def _label_sum(df: DataFrame):
-        # labels only ever DECREASE, so an unchanged exact sum means a
-        # fixpoint — one scalar aggregate per round instead of a
-        # join+count; decimal(38,0) keeps the sum exact at any node count
         return df.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_sum(labels) if numeric else None
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.src == labels.id)
@@ -284,12 +346,16 @@ def dup_components(
             .groupBy("id").agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
+        if numeric:
+            new_sum = _label_sum(new)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = new.join(labels, ["id", "comp"], "left_anti").isEmpty()
         labels.unpersist()
         labels = new
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     else:
         import warnings
 

@@ -117,9 +117,14 @@ def landsat_masks(
         sr = [bands[n] for n in refl_names if n.startswith("SR_B")]
         if sr:
             sr = np.stack(sr).astype(np.float64)
-            nonphys = (sr.min(axis=0) < SR_NONPHYSICAL_LIMS[0]) | (
-                sr.max(axis=0) > SR_NONPHYSICAL_LIMS[1]
-            )
+            # fill-gated: the reference derives this from the EE-masked SR
+            # bands (mask.py:228-244), so mask holes propagate as MASKED,
+            # never as nonphysical — in this nodata-encoded world the hole
+            # value 0 would otherwise trip the < lims[0] test
+            nonphys = (
+                (sr.min(axis=0) < SR_NONPHYSICAL_LIMS[0])
+                | (sr.max(axis=0) > SR_NONPHYSICAL_LIMS[1])
+            ) & out["FILL_MASK"]
             out["NONPHYSICAL_MASK"] = nonphys
             cloudless &= ~nonphys
 
@@ -774,3 +779,125 @@ def mask_clouds(images: DataFrame, **mask_opts) -> DataFrame:
         "image_id", "bytes", "collection", "time_start"
     )
     return src.mapInPandas(lambda it: (_batch(p) for p in it), schema=_MASKED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# parameterised Landsat strip-mock stats (reference test_mask.py:60-155 mock
+# and :482-564 per-flag assertions)
+# ---------------------------------------------------------------------------
+
+def landsat_strip_widths(image_id: int) -> dict[str, int]:
+    """Per-image strip widths (px, columns sum to 40) of the Landsat
+    strip-mock world.  image 0 reproduces the reference fixture's exact
+    fractions (test_mask.py:60-117): FILL 0.9, CLOUD 0.3, SHADOW 0.2,
+    CLOUDLESS 0.4, saturation/nonphysical/aerosol 0.1 each; higher ids vary
+    strip widths by (a, b, c) = (id%2, id//2%2, id//4%2) so the oracle is a
+    closed form over image_id, not a single constant row."""
+    a, b, c = image_id % 2, (image_id // 2) % 2, (image_id // 4) % 2
+    return {
+        "fill_b1": 2, "fill_b3": 2, "sat": 4 + c, "np_lo": 2, "np_hi": 2,
+        "aero": 4 + b, "clear": 4 - a - 2 * b - c, "mid": 2, "high": 2 + a,
+        "dilated": 4, "shadow": 8 + b, "cirrus": 4,
+    }
+
+
+def landsat_strip_bands(image_id: int, h: int = 20) -> dict[str, np.ndarray]:
+    """Build the strip-mock band set (test_mask.py:60-155): vertical strips
+    carrying EE-mask holes, QA_PIXEL cloud/shadow/cirrus bits, QA_RADSAT
+    saturation, SR nonphysical values and SR_QA_AEROSOL high-aerosol bits.
+    Bit constants match the kernel's (mask.py:181-207, 228-262)."""
+    wd = landsat_strip_widths(image_id)
+    order = ["fill_b1", "fill_b3", "sat", "np_lo", "np_hi", "aero", "clear",
+             "mid", "high", "dilated", "shadow", "cirrus"]
+    w = sum(wd.values())
+    b1 = np.full((h, w), 10000, np.uint16)
+    b2 = np.full((h, w), 20000, np.uint16)
+    b3 = np.full((h, w), 30000, np.uint16)
+    qa_pixel = np.zeros((h, w), np.uint16)
+    qa_radsat = np.zeros((h, w), np.uint16)
+    qa_aerosol = np.zeros((h, w), np.uint16)
+    x = 0
+    for name in order:
+        s = slice(x, x + wd[name])
+        x += wd[name]
+        if name == "fill_b1":
+            b1[:, s] = 0                       # EE-mask hole in SR_B1
+        elif name == "fill_b3":
+            b3[:, s] = 0                       # EE-mask hole in SR_B3
+        elif name == "sat":
+            qa_radsat[:, s] = 1
+        elif name == "np_lo":
+            b1[:, s] = 1000                    # reflectance < 0
+        elif name == "np_hi":
+            b3[:, s] = 50000                   # reflectance > 1
+        elif name == "aero":
+            qa_aerosol[:, s] = (3 << 6) | (1 << 1)
+        elif name == "mid":
+            qa_pixel[:, s] = (1 << 9) | (1 << 3)
+        elif name == "high":
+            qa_pixel[:, s] = (3 << 8) | (1 << 3)
+        elif name == "dilated":
+            qa_pixel[:, s] = 1 << 1
+        elif name == "shadow":
+            qa_pixel[:, s] = (3 << 10) | (1 << 4)
+        elif name == "cirrus":
+            qa_pixel[:, s] = (3 << 14) | (1 << 2)
+    return {
+        "SR_B1": b1, "SR_B2": b2, "SR_B3": b3, "QA_PIXEL": qa_pixel,
+        "QA_RADSAT": qa_radsat, "SR_QA_AEROSOL": qa_aerosol,
+    }
+
+
+_PARAM_STATS_SCHEMA = (
+    "image_id long, fill_px long, cloud_px long, shadow_px long, "
+    "cloudless_px long, cloudless_nsh_px long, cloud_ncir_px long, "
+    "sat_px long, cloudless_sat_px long, nonphys_px long, "
+    "cloudless_np_px long, aerosol_px long, cloudless_aero_px long"
+)
+
+
+def landsat_param_stats(
+    ids: DataFrame, collection: str = "LANDSAT/LC08/C02/T1_L2"
+) -> DataFrame:
+    """Per-flag Landsat mask portions over the strip-mock world — the six
+    parameter configurations the reference asserts (test_mask.py:482-564:
+    ref / mask_shadows=False / mask_cirrus=False / +saturation /
+    +nonphysical / +aerosols), one mapInPandas pass, counts as exact ints.
+
+    Every config routes through :func:`masks_for` so the per-collection
+    dispatch (landsat-sr-aerosol family) is exercised end to end, not just
+    the raw kernel."""
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for image_id in pdf["image_id"]:
+            bands = landsat_strip_bands(int(image_id))
+            ref = masks_for(collection, bands)
+            nsh = masks_for(collection, bands, mask_shadows=False)
+            ncir = masks_for(collection, bands, mask_cirrus=False)
+            sat = masks_for(collection, bands, mask_saturation=True)
+            np_ = masks_for(collection, bands, mask_saturation=True,
+                            mask_nonphysical=True)
+            aero = masks_for(collection, bands, mask_saturation=True,
+                             mask_nonphysical=True, mask_aerosols=True)
+            rows.append({
+                "image_id": int(image_id),
+                "fill_px": int(ref["FILL_MASK"].sum()),
+                "cloud_px": int(ref["CLOUD_MASK"].sum()),
+                "shadow_px": int(ref["SHADOW_MASK"].sum()),
+                "cloudless_px": int(ref["CLOUDLESS_MASK"].sum()),
+                "cloudless_nsh_px": int(nsh["CLOUDLESS_MASK"].sum()),
+                "cloud_ncir_px": int(ncir["CLOUD_MASK"].sum()),
+                "sat_px": int(sat["SATURATION_MASK"].sum()),
+                "cloudless_sat_px": int(sat["CLOUDLESS_MASK"].sum()),
+                "nonphys_px": int(np_["NONPHYSICAL_MASK"].sum()),
+                "cloudless_np_px": int(np_["CLOUDLESS_MASK"].sum()),
+                "aerosol_px": int(aero["AEROSOL_MASK"].sum()),
+                "cloudless_aero_px": int(aero["CLOUDLESS_MASK"].sum()),
+            })
+        return pd.DataFrame(rows, columns=[
+            f.split(" ")[0] for f in _PARAM_STATS_SCHEMA.split(", ")
+        ])
+
+    return ids.select("image_id").mapInPandas(
+        lambda it: (_batch(p) for p in it), schema=_PARAM_STATS_SCHEMA
+    )

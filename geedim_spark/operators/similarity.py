@@ -230,38 +230,45 @@ def near_dup_pairs(
     Output: (id_a, id_b) with id_a < id_b.
 
     ``max_bucket_size`` bounds the quadratic blowup of a giant duplicate
-    cluster (e.g. millions of copies of one embedding all sharing a bucket):
-    larger buckets are dropped with a loud warning — recover those as
-    GROUPS via an exact hash on the quantised vector; ``None`` disables.
+    cluster (e.g. millions of copies of one embedding all sharing a
+    bucket): larger buckets are filtered inside the lazy plan and reported
+    with a loud RuntimeWarning when the plan first executes (returned frame
+    carries ``_bucket_cap_report`` — see
+    :class:`geedim_spark.operators.dedup.BucketCapReport`); recover the
+    dropped clusters as GROUPS via :func:`exact_embed_dup_counts`;
+    ``None`` disables.
+
+    NOTE with the cap enabled the bucketed frame is ``persist``-ed
+    (MEMORY_AND_DISK, populated lazily on first action) so the n_planes
+    sign-fold expressions run once across the self-join's two sides;
+    long-lived sessions doing many parameter sweeps should
+    ``spark.catalog.clearCache()`` between runs to release it.
     """
+    from pyspark import StorageLevel
+
     from geedim_spark.operators.dedup import _drop_oversized_buckets
 
     planes = lsh_signature(embedding_dim(embeddings), n_planes)
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    report = None
     if max_bucket_size is not None:
-        # the cap needs a size-count pass over the buckets, so persist to
-        # run the n_planes fold expressions once (count + both join sides).
-        # NOTE: the cache lives until session end / eviction — parameter
-        # sweeps in long sessions should spark.catalog.clearCache(), same
-        # contract as dedup.minhash_lsh_pairs.  The count also makes this
-        # call eager (one bucketing job at plan time): the price of the
-        # loud drop report.  max_bucket_size=None restores the fully lazy,
-        # persist-free plan.
-        emb = emb.persist()
-        emb = _drop_oversized_buckets(
+        emb, report = _drop_oversized_buckets(
             emb, ["bucket"], max_bucket_size, "near_dup_pairs"
         )
+        emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
                    F.col("bucket").alias("ba"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
                    F.col("bucket").alias("bb"))
     cand = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-    return (
+    out = (
         cand.where(cosine(F.col("ea"), F.col("eb")) >= threshold)
         .select("id_a", "id_b")
     )
+    out._bucket_cap_report = report
+    return out
 
 
 def exact_embed_dup_counts(embeddings: DataFrame) -> DataFrame:

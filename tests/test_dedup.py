@@ -86,9 +86,15 @@ def test_lsh_bucket_cap_bounds_giant_cluster(spark):
 
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        pairs = dedup.minhash_lsh_pairs(
+        out = dedup.minhash_lsh_pairs(
             docs, n_hashes=16, bands=4, max_bucket_size=1000
-        ).collect()
+        )
+        pairs = out.collect()
+        # the drop report is observation-backed (lazy plan, no eager job);
+        # wait() joins the reporter thread so the warning is deterministic
+        got = out._bucket_cap_report.wait()
+    assert got["largest_bucket"] == 10_000      # the planted cluster
+    assert got["rows_dropped"] == 40_000        # 10k docs x 4 bands
     msgs = [str(w.message) for w in caught if "minhash_lsh_pairs" in str(w.message)]
     assert msgs and "10000" in msgs[0]  # drop count reported, not silent
 
@@ -138,3 +144,40 @@ def test_dup_components_from_lsh_pairs(spark):
     got = {r["doc_id"]: r["component"]
            for r in dedup.dup_components(docs, pairs).collect()}
     assert got == {5: 5, 17: 5, 23: 5, 99: 99}
+
+
+def test_lsh_bucket_cap_plan_construction_is_lazy(spark, docs):
+    """Building the capped plan must launch NO Spark job (the round-2 cap
+    ran an eager bucket count at plan time; the observation-backed report
+    restored laziness)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("cap_lazy_probe", "plan construction only")
+    try:
+        out = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4,
+                                      max_bucket_size=1000)
+        assert list(sc.statusTracker().getJobIdsForGroup("cap_lazy_probe")) == []
+        assert out._bucket_cap_report is not None
+    finally:
+        sc.setJobGroup("", "")
+
+
+def test_dup_components_string_ids_chain(spark):
+    """String ids, cluster diameter > 1: the fixpoint check must NOT rely
+    on a numeric cast (decimal(38,0) of a string is NULL; NULL == NULL
+    stopped the loop after one round — components would be wrong for any
+    chain).  Labels propagate lexicographic minima to the whole chain."""
+    import pandas as pd
+
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list("abcdez")})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id_a": ["b", "c", "d"], "doc_id_b": ["c", "d", "e"]}
+        )
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dup_components(nodes, pairs).collect()
+    }
+    assert got == {"a": "a", "b": "b", "c": "b", "d": "b", "e": "b", "z": "z"}

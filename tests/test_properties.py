@@ -157,3 +157,91 @@ def test_geo_kring_members_within_wrapped_chebyshev(lon, lat, k, res):
         mx, my = divmod(int(m), n)
         dx = min((mx - cx) % n, (cx - mx) % n)       # wrapped lon distance
         assert dx <= k and abs(my - cy) <= k
+
+
+# ---------------------------------------------------------------------------
+# driver-contract registry guards (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+def test_priority_prefix_covers_every_family():
+    """The driver's CORRECTNESS gate checks only the first PRIORITY_WINDOW
+    queries() entries.  Guard: every operator family keeps at least one
+    oracle inside that window, every query is classified in exactly one
+    family, and every entry has an oracle_sql twin.  A new query that
+    pushes a family out of the window turns this red."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    prefix = set(names[: entrymod.PRIORITY_WINDOW])
+    classified = [q for fam in entrymod.QUERY_FAMILIES.values() for q in fam]
+    assert len(classified) == len(set(classified)), "query in two families"
+    assert set(classified) == set(names), (
+        "family map out of sync with queries(): "
+        f"unclassified={set(names) - set(classified)} "
+        f"stale={set(classified) - set(names)}"
+    )
+    missing = {
+        fam: qs for fam, qs in entrymod.QUERY_FAMILIES.items()
+        if not prefix.intersection(qs)
+    }
+    assert not missing, (
+        f"families with no oracle in the first {entrymod.PRIORITY_WINDOW} "
+        f"queries: {missing}"
+    )
+    oracles = entrymod.oracle_sql()
+    no_oracle = set(names) - set(oracles)
+    assert not no_oracle, f"queries without an oracle_sql twin: {no_oracle}"
+
+
+def test_landsat_strip_mock_reference_fractions():
+    """Image 0 of the strip-mock world reproduces the reference fixture's
+    exact per-flag portions (test_mask.py:482-564)."""
+    bands = masks.landsat_strip_bands(0)
+    total = bands["QA_PIXEL"].size
+    coll = "LANDSAT/LC08/C02/T1_L2"
+
+    ref = masks.masks_for(coll, bands)
+    assert ref["FILL_MASK"].sum() / total == 0.9
+    assert ref["CLOUD_MASK"].sum() / total == 0.3
+    assert ref["SHADOW_MASK"].sum() / total == 0.2
+    assert ref["CLOUDLESS_MASK"].sum() / total == 0.4
+
+    nsh = masks.masks_for(coll, bands, mask_shadows=False)
+    assert "SHADOW_MASK" not in nsh
+    assert nsh["CLOUDLESS_MASK"].sum() / total == 0.6
+
+    ncir = masks.masks_for(coll, bands, mask_cirrus=False)
+    assert ncir["CLOUD_MASK"].sum() / total == 0.2
+
+    sat = masks.masks_for(coll, bands, mask_saturation=True)
+    assert sat["SATURATION_MASK"].sum() / total == 0.1
+    assert sat["CLOUDLESS_MASK"].sum() / total == 0.3
+
+    nphys = masks.masks_for(
+        coll, bands, mask_saturation=True, mask_nonphysical=True
+    )
+    assert nphys["NONPHYSICAL_MASK"].sum() / total == 0.1
+    assert nphys["CLOUDLESS_MASK"].sum() / total == 0.2
+
+    aero = masks.masks_for(
+        coll, bands, mask_saturation=True, mask_nonphysical=True,
+        mask_aerosols=True,
+    )
+    assert aero["AEROSOL_MASK"].sum() / total == 0.1
+    assert aero["CLOUDLESS_MASK"].sum() / total == 0.1
+
+
+def test_landsat_toa_family_drops_sr_only_flags():
+    """TOA/raw collections have no SR bands: nonphysical/aerosol flags are
+    silently inapplicable (mask.py:228-263 subclass split)."""
+    bands = masks.landsat_strip_bands(0)
+    toa_bands = {
+        ("B" + n[4:] if n.startswith("SR_B") else n): v
+        for n, v in bands.items() if n != "SR_QA_AEROSOL"
+    }
+    m = masks.masks_for(
+        "LANDSAT/LC08/C02/T1_TOA", toa_bands,
+        mask_nonphysical=True, mask_aerosols=True,
+    )
+    assert "NONPHYSICAL_MASK" not in m
+    assert "AEROSOL_MASK" not in m

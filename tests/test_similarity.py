@@ -122,9 +122,10 @@ def test_near_dup_bucket_cap_bounds_giant_cluster(spark):
     emb = spark.createDataFrame(pd.DataFrame(rows))
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        pairs = sim.near_dup_pairs(
-            emb, threshold=0.99, max_bucket_size=500
-        ).collect()
+        out = sim.near_dup_pairs(emb, threshold=0.99, max_bucket_size=500)
+        pairs = out.collect()
+        got = out._bucket_cap_report.wait()
+    assert got["largest_bucket"] == 2000
     msgs = [str(w.message) for w in caught if "near_dup_pairs" in str(w.message)]
     assert msgs and "2000" in msgs[0]
     ids = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -72,3 +72,24 @@ def test_salting_splits_hot_key_across_partitions(spark, skewed):
         .select("_salt").distinct().count()
     )
     assert salted_keys == 16  # hot cell now hashes to 16 distinct join keys
+
+def test_q_skew_join_equals_plain_join(spark):
+    """The driver query's salted plan returns exactly the plain join's
+    aggregate (the oracle independently recomputes it in DuckDB; this is
+    the in-repo twin at test scale)."""
+    import __spark_entry__ as entrymod
+
+    big, dim = entrymod._skew_tables(spark, "/root/testdata/sf0.01")
+    plain = (
+        big.join(dim, "cell").groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum(F.col("v") * F.col("weight")).cast("long").alias("wsum"))
+    )
+    salted = entrymod.q_skew_join(spark, "/root/testdata/sf0.01")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot cell (30 % of rows) must actually split: its count-derived
+    # salt factor is > 1 at rows_per_task=1000
+    n_hot = big.filter("cell = 0").count()
+    assert n_hot / 1000 > 1
