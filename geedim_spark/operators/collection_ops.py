@@ -75,9 +75,26 @@ def expand_schema_filter(expr: str, collection_id: str | None) -> str:
     parts = re.split(r"('(?:[^']|'')*')", expr)
     amap = gd_schema.abbrev_map(collection_id)
     for i in range(0, len(parts), 2):  # even indices = outside literals
+        seg = parts[i]
+        # DATE is also a SQL keyword: protect its *type* positions — the
+        # ANSI literal prefix (DATE '2024-01-01', i.e. DATE immediately
+        # before a string literal, which after the split sits at this
+        # segment's end) and CAST(x AS DATE) — before abbreviation rewrite
+        protected: list[str] = []
+
+        def _protect(m: "re.Match[str]") -> str:
+            protected.append(m.group(0))
+            return f"\x00{len(protected) - 1}\x00"
+
+        seg = re.sub(r"\b[Aa][Ss]\s+DATE\b", _protect, seg)
+        if i + 1 < len(parts):  # a string literal follows this segment
+            seg = re.sub(r"\bDATE\s*$", _protect, seg)
         for abbrev, prop in amap.items():
             repl = direct.get(abbrev, f"cast(props['{prop}'] as double)")
-            parts[i] = re.sub(rf"\b{re.escape(abbrev)}\b", repl, parts[i])
+            seg = re.sub(rf"\b{re.escape(abbrev)}\b", repl, seg)
+        parts[i] = re.sub(
+            r"\x00(\d+)\x00", lambda m: protected[int(m.group(1))], seg
+        )
     return "".join(parts)
 
 

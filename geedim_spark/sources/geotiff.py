@@ -238,6 +238,22 @@ def write_geotiff(
         )
     if compress not in (None, "none", "deflate"):
         raise ValueError(f"unsupported compression {compress!r}")
+    if transform is not None:
+        sx, b, x0, c, nsy, y1 = [float(t) for t in transform]
+        # ModelPixelScale/ModelTiepoint can only express axis-aligned,
+        # north-up transforms; shear terms or a positive y-scale would be
+        # silently dropped / sign-flipped on round-trip.  (The general case
+        # needs ModelTransformationTag, which this writer does not emit.)
+        if b != 0.0 or c != 0.0:
+            raise ValueError(
+                f"non-axis-aligned transform (shear terms {b}, {c}): "
+                "ModelPixelScale/ModelTiepoint cannot represent rotation or "
+                "shear — resample to a north-up grid first"
+            )
+        if nsy >= 0.0:
+            raise ValueError(
+                f"y pixel scale must be negative (north-up rows), got {nsy}"
+            )
     do_compress = compress == "deflate"
 
     # page list: main image + optional overview levels (2x decimation per

@@ -74,6 +74,7 @@ def write_image_files(
     fmt: str = "gtiff",
     nodata=None,
     overviews: bool = False,
+    geographic: bool | None = None,
 ):
     """Distributed per-image file sink (K1 completion): assemble each
     image's tiles INSIDE its executor group and write one file per image —
@@ -88,7 +89,11 @@ def write_image_files(
     affine) and ``crs`` ('EPSG:<code>') columns they land in the GeoTIFF
     tags (ModelPixelScale/ModelTiepoint + GeoKeyDirectory); ``nodata``
     writes the GDAL nodata tag (pass ``codecs.NODATA_VALS[dtype]`` for the
-    reference's default behavior, image.py:1030-1034).
+    reference's default behavior, image.py:1030-1034).  ``geographic``
+    forces the geographic (lat/lon) vs projected GeoKey choice; ``None``
+    auto-detects from a list of common geographic EPSG codes (explicitly
+    NOT exhaustive — pass ``geographic=True`` for geographic CRSs outside
+    it).
 
     ``out_dir`` must be a path every executor can reach (local[*]: any
     local dir; a real cluster: a shared filesystem / object-store mount).
@@ -120,19 +125,24 @@ def write_image_files(
             path = os.path.join(out_dir, f"{safe}.tif")
             transform = list(pdf["transform"].iloc[0]) if has_geo else None
             epsg = None
-            geographic = False
+            geo = bool(geographic)
             if has_crs:
                 crs = str(pdf["crs"].iloc[0])
                 if crs.upper().startswith("EPSG:"):
                     epsg = int(crs.split(":", 1)[1])
-                    # common geographic (lat/lon) EPSG codes; everything
-                    # else is written as a projected CRS key
-                    geographic = epsg in (
+                    # geographic (lat/lon) vs projected GeoKey choice:
+                    # explicit `geographic` argument wins; otherwise a
+                    # known-codes list (NOT exhaustive — geographic CRSs
+                    # outside it, e.g. EPSG:4171/4617, need the explicit
+                    # argument or they are written under
+                    # ProjectedCSTypeGeoKey)
+                    geo = geographic if geographic is not None else epsg in (
                         4326, 4269, 4267, 4258, 4283, 4148, 4490,
+                        4171, 4617, 4619, 4759,
                     )
             write_geotiff(
                 path, arr, transform=transform, crs_epsg=epsg,
-                geographic=geographic, nodata=nodata,
+                geographic=geo, nodata=nodata,
                 compress="deflate", overviews=overviews,
             )
         return pd.DataFrame([

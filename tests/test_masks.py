@@ -62,9 +62,11 @@ def test_landsat_mask_param_deltas():
     m = masks.landsat_masks(bands, mask_saturation=True)
     assert _frac(m["SATURATION_MASK"]) == 0.1
     assert _frac(m["CLOUDLESS_MASK"]) == 0.3
-    # + nonphysical (SR) -> CLOUDLESS 0.3 (fill strip already excluded)
+    # + nonphysical (SR) -> CLOUDLESS 0.3.  NONPHYSICAL is fill-gated:
+    # the zeroed fill strip is MASKED, not nonphysical (the reference
+    # derives the band from EE-masked SR reflectance, mask.py:228-244)
     m = masks.landsat_masks(bands, mask_nonphysical=True)
-    assert _frac(m["NONPHYSICAL_MASK"]) == 0.2  # nonphys strip + zeroed fill strip
+    assert _frac(m["NONPHYSICAL_MASK"]) == 0.1
     assert _frac(m["CLOUDLESS_MASK"]) == 0.3
     # + aerosol -> CLOUDLESS 0.3
     m = masks.landsat_masks(bands, mask_aerosols=True)

@@ -162,3 +162,28 @@ def test_api_search_accepts_abbreviations(spark):
     assert all(
         int(r["props"]["MEAN_SOLAR_AZIMUTH_ANGLE"]) <= 180 for r in rows
     ) and rows
+
+
+def test_expand_schema_filter_preserves_sql_date_keyword():
+    """DATE in SQL *type* position must survive: the ANSI literal prefix
+    (DATE '2024-01-01') and CAST(x AS DATE).  Abbreviation positions are
+    still rewritten in the same expression."""
+    from geedim_spark.operators import collection_ops as co
+
+    out = co.expand_schema_filter(
+        "DATE >= DATE '2024-01-01' AND CAST(x AS DATE) = DATE '2024-02-03'",
+        "COPERNICUS/S2_SR_HARMONIZED",
+    )
+    assert out == (
+        "time_start >= DATE '2024-01-01' "
+        "AND CAST(x AS DATE) = DATE '2024-02-03'"
+    )
+
+    # lowercase 'as' variant; abbreviation still expands elsewhere
+    out = co.expand_schema_filter(
+        "cast(t as DATE) < DATE '2025-01-01' or DATE > timestamp'2024-06-01'",
+        "COPERNICUS/S2_SR_HARMONIZED",
+    )
+    assert "cast(t as DATE)" in out
+    assert "DATE '2025-01-01'" in out
+    assert "time_start > timestamp'2024-06-01'" in out
