@@ -82,9 +82,62 @@ class Collection:
         )
         return Collection(found, self.cloud_kwargs)
 
+    def composite_tiled(
+        self,
+        method: str = "q-mosaic",
+        tile_h: int = 16,
+        tile_w: int = 16,
+        date: str | None = None,
+        by_portion: bool = False,
+        scale: float = 10.0,
+        max_cloud_dist: float = 5000.0,
+    ) -> DataFrame:
+        """Tile-keyed composite — **the form to use at scale** (the shuffle
+        key is the tile grid, task memory is bounded by
+        n_images x tile_size; :meth:`composite` stacks whole images per
+        group and is the test-scale twin).
+
+        Composite decision matrix:
+
+        ======================  =============================================
+        shape                   use
+        ======================  =============================================
+        test scale / small      :meth:`composite` (whole-image stack)
+        scale, pixelwise        this method — mosaic/mean/median/mode/medoid
+        methods                 tile bit-exactly
+        scale, ``q-mosaic``     this method — routes to the HALO-join EDT
+                                (whole-image CLOUD_DIST semantics at
+                                tile-bounded memory)
+        scale, ``q-mosaic``     ``operators.composite.composite_tiled`` —
+        with per-TILE EDT       cheaper (no halo join) but a cloudless tile
+        semantics               saturates at the clamp; opt in explicitly
+        ======================  =============================================
+
+        Returns the raw tiled frame (tr, tc, bytes, n_inputs) — assemble
+        with ``export_ops.assemble_image`` / the sinks, which is how the
+        driver queries consume it.
+        """
+        src = comp_ops.sort_for_composite(self.df, method, date=date,
+                                          by_portion=by_portion)
+        if method == "q-mosaic":
+            return comp_ops.composite_tiled_qmosaic_halo(
+                src, tile_h=tile_h, tile_w=tile_w,
+                mask_opts=self.cloud_kwargs, scale=scale,
+                max_cloud_dist=max_cloud_dist,
+            )
+        return comp_ops.composite_tiled(
+            src, method, tile_h=tile_h, tile_w=tile_w,
+            mask_opts=self.cloud_kwargs, scale=scale,
+        )
+
     def composite(self, method: str = "q-mosaic", date: str | None = None,
                   by_portion: bool = False) -> "Collection":
         """Composite the collection into a downloadable one-image frame.
+
+        NOTE this stacks every co-located image on one task — right for
+        the reference-parity surface and test scale; at scale use
+        :meth:`composite_tiled`, whose ``q-mosaic`` routes to the
+        halo-join EDT (whole-image semantics, tile-bounded memory).
 
         The raw composite kernel emits (group_id, bytes, n_inputs); this
         re-attaches the image-table columns (grid, id, caption, a

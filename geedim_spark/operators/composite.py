@@ -316,8 +316,10 @@ def composite_tiled(
     equals the whole-image EDT only when every tile dimension is >=
     ceil(max_cloud_dist/scale); smaller tiles give *per-tile* q-mosaic
     semantics (what the driver query documents and oracles).  For
-    whole-image EDT semantics at scale, feed CLOUD_DIST from
-    stencil.halo_apply(cloud_dist_kernel) instead.
+    whole-image EDT semantics at scale use
+    :func:`composite_tiled_qmosaic_halo` — the DEFAULT q-mosaic route of
+    ``api.Collection.composite_tiled``; this per-tile form is the
+    explicit opt-in for when the saturation caveat is acceptable.
 
     A caller-attached ``sort_key`` column (sort_for_composite) is honoured,
     matching composite_collection; otherwise capture time is the order.

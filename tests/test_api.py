@@ -120,3 +120,38 @@ def test_image_facade_mask_export_roundtrip(spark, tmp_path):
     assert out.dtype == np.uint32
     assert (out[0, :, 16:] == 5 * 2 + 1).all()
     assert (out[0, :, :16] == 1).all()  # nodata 0 scaled: 0*2+1
+
+
+def test_composite_tiled_qmosaic_routes_to_halo(spark):
+    """api.Collection.composite_tiled('q-mosaic') — the default scale path
+    — must produce the HALO-join EDT result (whole-image CLOUD_DIST
+    semantics), not the per-tile-EDT variant, and pixelwise methods must
+    match operators.composite.composite_tiled bit-for-bit."""
+    from geedim_spark.operators import composite as comp_ops
+
+    coll = Collection.from_synthetic(
+        spark, 40, scalar_filter="fmt = 'raw' AND i % 3 = 1"
+    )
+
+    def canon(df):
+        return sorted(
+            (r["tr"], r["tc"], bytes(r["bytes"]), r["n_inputs"])
+            for r in df.collect()
+        )
+
+    got = coll.composite_tiled(
+        "q-mosaic", tile_h=16, tile_w=16, scale=synth.SCALE,
+        max_cloud_dist=200.0,
+    )
+    src = comp_ops.sort_for_composite(coll.df, "q-mosaic")
+    want = comp_ops.composite_tiled_qmosaic_halo(
+        src, tile_h=16, tile_w=16, scale=synth.SCALE, max_cloud_dist=200.0
+    )
+    assert canon(got) == canon(want)
+
+    got_mean = coll.composite_tiled("mean", tile_h=16, tile_w=16)
+    want_mean = comp_ops.composite_tiled(
+        comp_ops.sort_for_composite(coll.df, "mean"), "mean",
+        tile_h=16, tile_w=16,
+    )
+    assert canon(got_mean) == canon(want_mean)
