@@ -50,10 +50,17 @@ import json
 import os
 import tempfile
 
+from itertools import count as _count
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 NULL_KEY = "__HIVE_DEFAULT_PARTITION__"
+
+# process-local attempt sequence for commit-directory uniqueness (combined
+# with the pid, so concurrent committers in one OR many processes never
+# collide on a data directory)
+_ATTEMPT_SEQ = _count(1)
 
 
 def _snap_dir(table_dir: str) -> str:
@@ -70,12 +77,27 @@ def _canon_key(v) -> str:
     return str(v)
 
 
-def current_snapshot(table_dir: str) -> dict | None:
-    cur = os.path.join(_snap_dir(table_dir), "CURRENT")
-    if not os.path.exists(cur):
+def _latest_snap_id(table_dir: str) -> str | None:
+    """Newest committed snapshot id — the MANIFEST FILES are authoritative
+    (each is claimed with an atomic exclusive link, so ids are a total
+    order); the CURRENT pointer is a convenience hint that can lag under
+    concurrent committers.  Zero-padded ids make lexicographic max
+    correct."""
+    sdir = _snap_dir(table_dir)
+    if not os.path.isdir(sdir):
         return None
-    with open(cur) as f:
-        snap_id = f.read().strip()
+    snaps = [
+        f[len("snap-"):-len(".json")]
+        for f in os.listdir(sdir)
+        if f.startswith("snap-") and f.endswith(".json")
+    ]
+    return max(snaps) if snaps else None
+
+
+def current_snapshot(table_dir: str) -> dict | None:
+    snap_id = _latest_snap_id(table_dir)
+    if snap_id is None:
+        return None
     with open(os.path.join(_snap_dir(table_dir), f"snap-{snap_id}.json")) as f:
         return json.load(f)
 
@@ -93,14 +115,30 @@ def write_snapshot(
     stats_cols: tuple[str, ...] = (),
     mode: str = "overwrite",
     commit_token: str | None = None,
+    max_commit_retries: int = 10,
 ) -> str:
-    """Write ``df`` into a fresh commit directory and flip CURRENT.
+    """Write ``df`` into a fresh commit directory and publish a snapshot
+    via a CAS manifest swap (safe under CONCURRENT committers).
 
-    Data lands under ``data/commit-<id>/`` (append-only — earlier
-    snapshots' files are never touched), stats are aggregated from the
-    written files in one columnar pass, the manifest JSON is written, and
-    CURRENT flips last via atomic rename.  Partitions committed by the
-    parent snapshot and not re-written here are carried forward.
+    Data lands under a per-attempt ``data/commit-<...>/`` directory
+    (append-only — earlier snapshots' files are never touched, and the
+    attempt-unique name means two concurrent writers can never write into
+    each other's data), stats are aggregated from the written files in one
+    columnar pass, then the publish loop runs: read the latest manifest,
+    merge its partitions with this commit's, and CLAIM the next snapshot
+    id by atomically linking the fully-written manifest JSON into place
+    (``os.link`` fails with EEXIST when another writer claimed the id
+    first — the loser re-reads the new parent and retries the MERGE only;
+    its data directory is untouched and written exactly once).  The
+    CURRENT pointer file is refreshed last as a human-readable hint; the
+    manifest files themselves are authoritative (:func:`_latest_snap_id`).
+    Partitions committed by the parent snapshot and not re-written here
+    are carried forward.
+
+    NOTE :func:`expire_snapshots` deletes commit directories referenced by
+    no retained manifest — run GC only while no commit is in flight (an
+    in-flight attempt's data is by definition unreferenced until its
+    manifest lands).
 
     ``commit_token``: an idempotency key (e.g. the streaming batch id) —
     if the CURRENT manifest already carries it, the call is a replay and
@@ -122,10 +160,13 @@ def write_snapshot(
     # rows a second time
     if commit_token is not None and parent is not None             and parent.get("commit_token") == commit_token:
         return parent["snapshot_id"]
-    parent_parts = {p["key"]: p for p in parent["partitions"]} if parent else {}
-    snap_id = f"{(int(parent['snapshot_id']) + 1) if parent else 1:08d}"
 
-    commit_rel = f"data/commit-{snap_id}"
+    # attempt-unique commit dir: embeds the id guess (debuggability) plus
+    # pid + a process-local counter, so concurrent committers never write
+    # into each other's data; the manifest records the real relative path,
+    # making the name bookkeeping, not semantics
+    guess = f"{(int(parent['snapshot_id']) + 1) if parent else 1:08d}"
+    commit_rel = f"data/commit-{guess}-p{os.getpid()}-a{next(_ATTEMPT_SEQ)}"
     commit_dir = os.path.join(table_dir, commit_rel)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(commit_dir)
 
@@ -153,50 +194,82 @@ def write_snapshot(
     else:
         stats = []
 
-    parts = dict(parent_parts)
-    for r in stats:
-        key = _canon_key(r[partition_col])
-        entry = {
-            "key": key,
-            "paths": [f"{commit_rel}/{key_to_dir[key]}"],
-            "row_count": r["row_count"],
-        }
-        for c in stats_cols:
-            entry[f"min_{c}"] = _plain(r[f"min_{c}"])
-            entry[f"max_{c}"] = _plain(r[f"max_{c}"])
-            entry[f"sum_{c}"] = _plain(r[f"sum_{c}"])
-        if mode == "append" and key in parts:
-            prev = parts[key]
-            entry["paths"] = prev["paths"] + entry["paths"]
-            entry["row_count"] += prev["row_count"]
+    def _merged_parts(parent_parts: dict) -> list[dict]:
+        parts = dict(parent_parts)
+        for r in stats:
+            key = _canon_key(r[partition_col])
+            entry = {
+                "key": key,
+                "paths": [f"{commit_rel}/{key_to_dir[key]}"],
+                "row_count": r["row_count"],
+            }
             for c in stats_cols:
-                for agg, fold in (("min", min), ("max", max)):
-                    a, b = prev.get(f"{agg}_{c}"), entry.get(f"{agg}_{c}")
-                    if a is not None and b is not None:
-                        entry[f"{agg}_{c}"] = fold(a, b)
-                    elif b is None:
-                        entry[f"{agg}_{c}"] = a
-                a, b = prev.get(f"sum_{c}"), entry.get(f"sum_{c}")
-                if a is not None or b is not None:
-                    entry[f"sum_{c}"] = (a or 0) + (b or 0)
-        parts[key] = entry
+                entry[f"min_{c}"] = _plain(r[f"min_{c}"])
+                entry[f"max_{c}"] = _plain(r[f"max_{c}"])
+                entry[f"sum_{c}"] = _plain(r[f"sum_{c}"])
+            if mode == "append" and key in parts:
+                prev = parts[key]
+                entry["paths"] = prev["paths"] + entry["paths"]
+                entry["row_count"] += prev["row_count"]
+                for c in stats_cols:
+                    for agg, fold in (("min", min), ("max", max)):
+                        a, b = prev.get(f"{agg}_{c}"), entry.get(f"{agg}_{c}")
+                        if a is not None and b is not None:
+                            entry[f"{agg}_{c}"] = fold(a, b)
+                        elif b is None:
+                            entry[f"{agg}_{c}"] = a
+                    a, b = prev.get(f"sum_{c}"), entry.get(f"sum_{c}")
+                    if a is not None or b is not None:
+                        entry[f"sum_{c}"] = (a or 0) + (b or 0)
+            parts[key] = entry
+        return sorted(parts.values(), key=lambda p: str(p["key"]))
 
-    manifest = {
-        "snapshot_id": snap_id,
-        "parent_id": parent["snapshot_id"] if parent else None,
-        "partition_col": partition_col,
-        "commit_token": commit_token,
-        "partitions": sorted(parts.values(), key=lambda p: str(p["key"])),
-    }
+    # CAS publish loop: the manifest file itself is the claim.  The
+    # fully-written JSON is linked into place atomically (os.link fails
+    # with EEXIST if another committer claimed the id first); on conflict
+    # only the parent merge is redone — this attempt's data directory is
+    # final and written exactly once.
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
-    with open(os.path.join(_snap_dir(table_dir), f"snap-{snap_id}.json"), "w") as f:
-        json.dump(manifest, f, indent=1, default=str)
-    # CURRENT flips last: write to temp + rename (atomic on POSIX)
-    fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir))
-    with os.fdopen(fd, "w") as f:
-        f.write(snap_id)
-    os.replace(tmp, os.path.join(_snap_dir(table_dir), "CURRENT"))
-    return snap_id
+    for _ in range(max_commit_retries):
+        parent = current_snapshot(table_dir)
+        if commit_token is not None and parent is not None \
+                and parent.get("commit_token") == commit_token:
+            # a concurrent replay of the SAME batch won the race; this
+            # attempt's data dir is an unreferenced orphan (GC-able)
+            return parent["snapshot_id"]
+        parent_parts = (
+            {p["key"]: p for p in parent["partitions"]} if parent else {}
+        )
+        snap_id = f"{(int(parent['snapshot_id']) + 1) if parent else 1:08d}"
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "partition_col": partition_col,
+            "commit_token": commit_token,
+            "partitions": _merged_parts(parent_parts),
+        }
+        fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir))
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        snap_path = os.path.join(_snap_dir(table_dir), f"snap-{snap_id}.json")
+        try:
+            os.link(tmp, snap_path)  # atomic claim, full content
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race: re-read parent, re-merge, retry
+        os.unlink(tmp)
+        # CURRENT is a convenience hint (manifest files are authoritative);
+        # refresh it via atomic rename
+        fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir))
+        with os.fdopen(fd, "w") as f:
+            f.write(snap_id)
+        os.replace(tmp, os.path.join(_snap_dir(table_dir), "CURRENT"))
+        return snap_id
+    raise RuntimeError(
+        f"write_snapshot: lost the manifest CAS {max_commit_retries} times "
+        f"in a row in {table_dir} — commit contention too high; the data "
+        f"directory {commit_rel} is written and can be re-published"
+    )
 
 
 def _plain(v):
