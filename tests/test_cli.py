@@ -79,3 +79,84 @@ def test_cli_search_show_table(spark, capsys):
     out = capsys.readouterr().out
     assert "images match" in out
     assert "ABBREV" in out and "INDEX" in out and "DATE" in out
+
+
+def test_cli_config_flows_into_search_filter_kwargs(spark, monkeypatch):
+    """Reference test_cli.py:329-336 (test_config_search_pipe) +
+    test_search option passing: the config stage's cloud kwargs AND every
+    search option must reach the search operator exactly once, unchanged."""
+    from geedim_spark.operators import collection_ops as co
+
+    captured = []
+    real = co.search
+
+    def spy(images, **kwargs):
+        captured.append(kwargs)
+        return real(images, **kwargs)
+
+    monkeypatch.setattr(co, "search", spy)
+    rc = cli.main([
+        "--synthetic", "40",
+        "config", "--no-mask-shadows",
+        "search", "--start", "2024-01-01", "--end", "2025-06-01",
+        "--synthetic-rois", "4", "--fill-portion", "90",
+        "--cloudless-portion", "50",
+        "--custom-filter", "cast(props['CLOUD_COVER'] as int) < 50",
+    ], spark=spark)
+    assert rc == 0
+    kw = captured.pop()
+    assert kw["mask_opts"] == {"mask_shadows": False}   # config -> search pipe
+    assert kw["start"] == "2024-01-01" and kw["end"] == "2025-06-01"
+    assert kw["fill_portion"] == 90.0
+    assert kw["cloudless_portion"] == 50.0
+    assert kw["custom_filter"] == "cast(props['CLOUD_COVER'] as int) < 50"
+
+
+def test_cli_repeated_config_precedence_last_wins(spark, capsys):
+    """Chained config stages MERGE with later stages winning (the
+    reference's obj.update(...) context semantics, cli.py:143-152): a
+    second config can flip an earlier flag while unrelated keys persist."""
+    rc = cli.main([
+        "--synthetic", "10",
+        "config", "--no-mask-shadows", "--no-mask-cirrus",
+        "config", "--mask-shadows",
+        "search", "--start", "2024-01-01",
+    ], spark=spark)
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "config: {'mask_shadows': False, 'mask_cirrus': False}" in printed
+    assert "config: {'mask_shadows': True, 'mask_cirrus': False}" in printed
+
+
+def test_cli_context_threads_search_into_composite(spark, tmp_path, monkeypatch):
+    """The composite stage must consume exactly the searched subset (the
+    chained context, cli.py:386-396), and config cloud kwargs must still
+    be attached to the composite's collection."""
+    from geedim_spark import api as api_mod
+
+    seen = {}
+    real = api_mod.Collection.composite
+
+    def spy(self, method, **kwargs):
+        seen["n_in"] = self.count()
+        seen["cloud_kwargs"] = dict(self.cloud_kwargs)
+        out = real(self, method, **kwargs)
+        seen["n_inputs_col"] = out.df.first()["n_inputs"]
+        return out
+
+    monkeypatch.setattr(api_mod.Collection, "composite", spy)
+    out = str(tmp_path / "cli_ctx_table")
+    rc = cli.main([
+        "--synthetic", "30",
+        "config", "--no-mask-cirrus",
+        "search", "--start", "2024-01-01", "--synthetic-rois", "3",
+        "composite", "--method", "mosaic",
+        "download", "--out", out, "--max-tile-dim", "21",
+    ], spark=spark)
+    assert rc == 0
+    assert seen["cloud_kwargs"] == {"mask_cirrus": False}
+    assert seen["n_in"] > 0
+    # n_inputs recorded on the composite row == the searched image count
+    # (the download stage then exports that composite's tiles)
+    assert seen["n_inputs_col"] == seen["n_in"]
+    assert snapshots.read_snapshot(spark, out).count() > 0
