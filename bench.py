@@ -79,7 +79,8 @@ def stage_images(spark: SparkSession, sf_dir: str) -> str:
 
 
 def headline_job(
-    spark: SparkSession, sf_dir: str, images_path: str, sink: str = "parquet"
+    spark: SparkSession, sf_dir: str, images_path: str, sink: str = "parquet",
+    sink_dir: str | None = None,
 ) -> tuple[float, int]:
     """Spatial join + mask + coarse cloud distance + tile export.
 
@@ -94,7 +95,7 @@ def headline_job(
     """
     sf = synth.sf_from_dir(sf_dir)
     m = synth.n_rois_for_sf(sf)
-    out_dir = tempfile.mkdtemp(prefix="geedim_spark_bench_")
+    out_dir = tempfile.mkdtemp(prefix="geedim_spark_bench_", dir=sink_dir)
     try:
         t0 = time.time()
         images = spark.read.parquet(images_path).filter("fmt = 'raw'")
@@ -192,13 +193,14 @@ def _bench_conf(master: str | None) -> dict:
 
 
 def run_once(master: str | None, with_queries: bool = True, repeats: int = 1,
-             sink: str = "parquet") -> dict:
+             sink: str = "parquet", sink_dir: str | None = None) -> dict:
     spark = get_session("geedim_spark_bench", master=master,
                         extra_conf=_bench_conf(master))
     images_path = stage_images(spark, SF_DIR)
     best, n_tiles = None, 0
     for _ in range(repeats):
-        secs, n_tiles = headline_job(spark, SF_DIR, images_path, sink=sink)
+        secs, n_tiles = headline_job(spark, SF_DIR, images_path, sink=sink,
+                                     sink_dir=sink_dir)
         best = secs if best is None else min(best, secs)
     spark.stop()
     qtimes = {}
@@ -227,6 +229,47 @@ def run_once(master: str | None, with_queries: bool = True, repeats: int = 1,
 
 def main() -> None:
     sf = synth.sf_from_dir(SF_DIR)
+    if "--scaling-wide" in sys.argv:
+        # the WIDE pair (local[8] vs local[32]) with the REAL parquet sink,
+        # run twice: onto the single VM disk (round-2's 0.38 pair) and onto
+        # tmpfs (/dev/shm).  The tmpfs pair removes the one serial device a
+        # real cluster provides per-node; the gap between the two pairs IS
+        # the disk's share of the ceiling — evidence the engine, not the
+        # plan, owns the residual.
+        pairs = {}
+        for label, sdir in (("disk", None), ("tmpfs", "/dev/shm")):
+            if sdir is not None and not os.path.isdir(sdir):
+                continue
+            r8 = run_once("local[8]", with_queries=False, repeats=3,
+                          sink="parquet", sink_dir=sdir)
+            r32 = run_once("local[32]", with_queries=False, repeats=3,
+                           sink="parquet", sink_dir=sdir)
+            pairs[label] = {
+                "tiles_per_sec_local8": r8["tiles_per_sec"],
+                "tiles_per_sec_local32": r32["tiles_per_sec"],
+                "efficiency_8_to_32": round(
+                    (r32["tiles_per_sec"] / r8["tiles_per_sec"]) / 4.0, 3),
+                "headline_sec_local8": r8["headline_sec"],
+                "headline_sec_local32": r32["headline_sec"],
+            }
+        report = {"metric": "wide scaling 8->32 (parquet sink)",
+                  "unit": "tiles/sec", "sf": sf, **pairs}
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## wide scaling run sf={sf} "
+                f"({time.strftime('%Y-%m-%d %H:%M')})\n\n"
+                f"| sink | local[8] tiles/s | local[32] tiles/s | eff 8->32 |\n"
+                f"|---|---|---|---|\n"
+            )
+            for label, p in pairs.items():
+                f.write(
+                    f"| {label} | {p['tiles_per_sec_local8']} | "
+                    f"{p['tiles_per_sec_local32']} | "
+                    f"{p['efficiency_8_to_32']} |\n"
+                )
+        print(json.dumps(report))
+        return
     if "--scaling" in sys.argv:
         # N vs 4N cores on identical input (the north rule allows any N, 4N
         # pair).  N=1 vs 4N=4 sits in this machine's linear-scaling region:

@@ -193,25 +193,33 @@ def _drop_oversized_buckets(
     are overwhelmingly exact-duplicate clusters; their membership is
     recoverable at hash-groupBy cost via :func:`exact_dup_counts` (pairs
     inside an exact cluster are trivially all-vs-all and should be treated
-    as a group, never materialised as pairs).  The cap is a join to the
-    bucket-size aggregate (same key -> the shuffle is shared with the
-    candidate join's own partitioning; the aggregate side is tiny and
-    AQE-broadcastable) + a size filter — one pass, no eager count."""
+    as a group, never materialised as pairs).
+
+    Plan shape (scale-critical): the OVERSIZED key set is tiny by
+    construction (<= N/max_bucket_size keys), so the removal is a
+    broadcast LEFT ANTI join against it — the only shuffle is the size
+    aggregate itself (which reuses the join key).  Joining the full sizes
+    aggregate back instead would re-shuffle the whole keyed frame: sizes
+    has ~one row per bucket, the same order of magnitude as the input.
+    The drop metrics are observed on the broadcast-side aggregate, so the
+    report costs nothing extra and the plan stays fully lazy."""
     from pyspark.sql import Observation
 
-    sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
     obs = Observation(f"{op}_bucket_cap")
-    flagged = keyed.join(sizes, key_cols).observe(
-        obs,
-        F.sum(
-            F.when(F.col("_bn") > max_bucket_size, 1).otherwise(0)
-        ).alias("rows_dropped"),
-        F.max(
-            F.when(F.col("_bn") > max_bucket_size, F.col("_bn"))
-        ).alias("largest_bucket"),
+    over = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .observe(
+            obs,
+            F.coalesce(F.sum("_bn"), F.lit(0)).alias("rows_dropped"),
+            F.max("_bn").alias("largest_bucket"),
+        )
     )
     report = BucketCapReport(obs, op, max_bucket_size)
-    capped = flagged.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    capped = keyed.join(
+        F.broadcast(over.select(*key_cols)), key_cols, "left_anti"
+    )
     return capped, report
 
 
@@ -262,15 +270,16 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bhash")
+    # persist BEFORE the cap: the signature kernel is the expensive stage
+    # and is consumed by the cap's size aggregate plus both self-join
+    # sides — one kernel pass total.  Lazy — the cache fills on the first
+    # action, so plan construction stays job-free.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     report = None
     if max_bucket_size is not None:
         banded, report = _drop_oversized_buckets(
             banded, ["band", "bhash"], max_bucket_size, "minhash_lsh_pairs"
         )
-    # persist the (capped) banded frame: the self-join consumes it twice
-    # and the signature kernel is the expensive stage.  Lazy — the cache
-    # fills on the first action, so plan construction stays job-free.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     out = (

@@ -254,10 +254,12 @@ def near_dup_pairs(
     ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
     report = None
     if max_bucket_size is not None:
+        # persist BEFORE the cap: the n_planes sign-fold expressions are
+        # consumed by the cap's size aggregate plus both self-join sides
+        emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
         emb, report = _drop_oversized_buckets(
             emb, ["bucket"], max_bucket_size, "near_dup_pairs"
         )
-        emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
                    F.col("bucket").alias("ba"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
