@@ -47,6 +47,7 @@ def composite_stack(
     valid: np.ndarray,
     method: str,
     clouddist: np.ndarray | None = None,
+    medoid_metric: str = "sed",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Reduce the image axis.  ``stack`` is ordered worst-to-best (reference
     sorts ascending so the *last* unmasked wins the EE mosaic; we pre-sort
@@ -81,7 +82,7 @@ def composite_stack(
     elif method == "mode":
         comp = _masked_mode(stack, valid)
     elif method == "medoid":
-        comp = _medoid(stack, valid)
+        comp = _medoid(stack, valid, medoid_metric)
     else:
         raise ValueError(f"unknown composite method {method!r}")
     return comp, out_valid
@@ -111,9 +112,56 @@ def _masked_mode(stack: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return np.where(np.isinf(comp), np.nan, comp)
 
 
-def _medoid(stack: np.ndarray, valid: np.ndarray) -> np.ndarray:
+_SPECTRAL_EPS = 1e-12
+
+
+def spectral_distance(
+    s: np.ndarray, sj: np.ndarray, metric: str = "sed"
+) -> np.ndarray:
+    """Pairwise per-pixel spectral distance between an image stack ``s``
+    ((N, bands, h, w)) and one image ``sj`` ((bands, h, w)) — the metrics
+    of the reference's SpectralDistanceMetric enum (enums.py:137-152),
+    matching ee.Image.spectralDistance semantics:
+
+    - ``sed``: squared euclidean distance, sqrt-scaled like the reference
+      medoid (medoid.py:59-63) so distances are summable;
+    - ``sam``: spectral angle mapper (radians);
+    - ``sid``: spectral information divergence over band distributions;
+    - ``emd``: 1-D earth mover's distance between the band distributions
+      (bands as ordered bins; the closed form is the L1 distance of the
+      normalised cumulative spectra).
+
+    sid/emd normalise each spectrum to a distribution (EPS-floored, so
+    all-zero/nodata spectra yield 0 distance instead of NaN — such pixels
+    are excluded by the validity mask anyway)."""
+    if metric == "sed":
+        return np.sqrt(((s - sj) ** 2).sum(axis=1))
+    if metric == "sam":
+        dot = (s * sj).sum(axis=1)
+        na = np.sqrt((s ** 2).sum(axis=1))
+        nb = np.sqrt((sj ** 2).sum(axis=0))[None]  # sj is (bands, h, w)
+        cos = np.clip(dot / np.maximum(na * nb, _SPECTRAL_EPS), -1.0, 1.0)
+        return np.arccos(cos)
+    if metric in ("sid", "emd"):
+        p = s / np.maximum(s.sum(axis=1, keepdims=True), _SPECTRAL_EPS)
+        q = sj / np.maximum(sj.sum(axis=0, keepdims=True), _SPECTRAL_EPS)
+        p = np.maximum(p, _SPECTRAL_EPS)
+        q = np.maximum(q, _SPECTRAL_EPS)
+        if metric == "sid":
+            return ((p - q) * (np.log(p) - np.log(q))).sum(axis=1)
+        return np.abs(
+            np.cumsum(p, axis=1) - np.cumsum(q, axis=0)[None]
+        ).sum(axis=1)
+    raise ValueError(f"unknown spectral distance metric {metric!r}")
+
+
+def _medoid(
+    stack: np.ndarray, valid: np.ndarray, metric: str = "sed"
+) -> np.ndarray:
     """Per-pixel medoid: choose the image minimising sum over others of the
-    root sum-of-squared band differences (sqrt-SED, medoid.py:59-63).
+    spectral distance (default sqrt-SED, medoid.py:59-63; ``metric`` picks
+    any of :func:`spectral_distance`'s metrics like the reference medoid
+    module's parameter).
 
     O(N^2) pairwise distances computed INCREMENTALLY (one (N, bands, h, w)
     difference per step) — the closed-form (N, N, bands, h, w) tensor is
@@ -123,9 +171,9 @@ def _medoid(stack: np.ndarray, valid: np.ndarray) -> np.ndarray:
     n = s.shape[0]
     sumdist = np.zeros((n,) + s.shape[2:], dtype=np.float64)
     for j in range(n):
-        sed_j = np.sqrt(((s - s[j]) ** 2).sum(axis=1))   # (N, h, w)
+        d_j = spectral_distance(s, s[j], metric)         # (N, h, w)
         both = valid & valid[j]
-        sumdist += np.where(both, sed_j, 0.0)
+        sumdist += np.where(both, d_j, 0.0)
     sumdist = np.where(valid, sumdist, np.inf)
     best = np.argmin(sumdist, axis=0)             # ties -> lowest index
     return np.take_along_axis(stack, best[None, None, :, :], axis=0)[0].astype(np.float64)
@@ -169,6 +217,7 @@ def composite_collection(
     scale: float = 10.0,
     medoid_max_stack: int = 64,
     max_cloud_dist: float = 5000.0,
+    medoid_metric: str = "sed",
 ) -> DataFrame:
     """Composite co-registered images (same w/h grid) per group.
 
@@ -223,7 +272,8 @@ def composite_collection(
         stack = np.stack(stacks)
         valid = np.stack(valids)
         cd = np.stack(dists) if dists else None
-        comp, out_valid = composite_stack(stack, valid, method, cd)
+        comp, out_valid = composite_stack(stack, valid, method, cd,
+                                          medoid_metric=medoid_metric)
         comp = np.where(out_valid[None, :, :], comp, np.nan)
         return pd.DataFrame([{
             "group_id": pdf["group_id"].iloc[0],
@@ -299,6 +349,7 @@ def composite_tiled(
     tile_w: int = 16,
     mask_opts: dict | None = None,
     scale: float = 10.0,
+    medoid_metric: str = "sed",
 ) -> DataFrame:
     """Composite with the **tile coordinate as the group key** — the shape
     that survives 10^12 images: a whole-image stack (composite_collection)
@@ -341,7 +392,8 @@ def composite_tiled(
             cd = np.stack([
                 masks.cloud_dist(c >= 2, scale, fill=c >= 1) for c in codes
             ])
-        comp, out_valid = composite_stack(stack, valid, method, cd)
+        comp, out_valid = composite_stack(stack, valid, method, cd,
+                                          medoid_metric=medoid_metric)
         comp = np.where(out_valid[None, :, :], comp, np.nan)
         return pd.DataFrame([{
             "tr": int(pdf["tr"].iloc[0]), "tc": int(pdf["tc"].iloc[0]),

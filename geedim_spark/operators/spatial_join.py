@@ -214,6 +214,13 @@ def adaptive_salted_join(
             F.greatest(F.lit(1), F.ceil(F.col("_cnt") / F.lit(rows_per_task))),
         ).cast("int").alias("_n_salt"),
     )
+    # persist: factors is consumed by BOTH join sides, and its lineage is a
+    # full count scan of `big` — without the (lazy, tiny: one row per
+    # distinct key) cache that scan would run twice.  Long sessions doing
+    # many joins should spark.catalog.clearCache() between runs.
+    from pyspark import StorageLevel
+
+    factors = factors.persist(StorageLevel.MEMORY_AND_DISK)
     salt_cols = [c for c, t in big.dtypes if not t.startswith("map")]
     # LEFT join + coalesce(1): an inner join here would silently DROP
     # big rows with NULL keys and small rows whose key is absent from big
