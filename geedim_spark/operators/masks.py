@@ -552,6 +552,7 @@ def s2_score_mask_stats(
     images: DataFrame,
     scores: DataFrame,
     score_thresh: float = 0.6,
+    cs_band: str = "cs",
 ) -> DataFrame:
     """Sentinel-2 cloud-score masking with the match-image join realised as
     a **broadcast left-outer equi-join** (J2): the reference's per-image
@@ -562,7 +563,9 @@ def s2_score_mask_stats(
     with a NULL score payload producing the fully-masked default
     (score-dependent bands masked, FILL unaffected — oracle
     test_mask.py:659-681).  ``scores`` needs (image_id, score_bytes) where
-    score_bytes decodes to a 1-band float raster on the image grid.
+    score_bytes decodes to a float raster on the image grid whose band 0
+    is 'cs' and band 1 (when present) 'cs_cdf'; ``cs_band`` picks which
+    one thresholds the mask (mask.py:287, CloudScoreBand enum).
 
     Output: exact counts (total/fill/cloudless px) + score_matched flag.
     """
@@ -571,12 +574,25 @@ def s2_score_mask_stats(
         "image_id", "left_outer",
     )
 
+    band_idx = {"cs": 0, "cs_cdf": 1}
+    if cs_band not in band_idx:
+        raise ValueError(f"cs_band must be cs|cs_cdf (got {cs_band!r})")
+
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for image_id, buf, sbuf in zip(pdf["image_id"], pdf["bytes"], pdf["score_bytes"]):
             px = codecs.decode(bytes(buf))
             bands = {n: px[i] for i, n in enumerate(BAND_NAMES[: px.shape[0]])}
-            score = codecs.decode(bytes(sbuf))[0] if sbuf is not None else None
+            score = None
+            if sbuf is not None:
+                sc = codecs.decode(bytes(sbuf))
+                bi = band_idx[cs_band]
+                if bi >= sc.shape[0]:
+                    raise ValueError(
+                        f"score raster has {sc.shape[0]} band(s); "
+                        f"{cs_band!r} needs band {bi}"
+                    )
+                score = sc[bi]
             m = s2_masks(bands, score=score, score_thresh=score_thresh)
             rows.append({
                 "image_id": image_id,

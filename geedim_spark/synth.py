@@ -206,9 +206,14 @@ def scores_df(spark: SparkSession, n: int, w: int = 40, h: int = 40) -> DataFram
 
     def _gen(pdf: pd.DataFrame) -> pd.DataFrame:
         blobs = []
-        for s_px, w_, h_ in zip(pdf["s_px"], pdf["w"], pdf["h"]):
-            sc = np.full((1, h_, w_), 0.5, dtype=np.float32)
+        for i, s_px, w_, h_ in zip(pdf["i"], pdf["s_px"], pdf["w"], pdf["h"]):
+            # band 0 = 'cs', band 1 = 'cs_cdf' (the Cloud Score+ band pair,
+            # mask.py:287/334): the cdf band has its own clear-strip width
+            # (i%8)*5 so band selection is value-distinguishable
+            sc = np.full((2, h_, w_), 0.5, dtype=np.float32)
             sc[0, :, :s_px] = 0.9
+            sc[1] = 0.45
+            sc[1, :, : int(i % 8) * 5] = 0.95
             blobs.append(codecs.encode_raw(sc))
         out = pdf.copy()
         out["score_bytes"] = blobs

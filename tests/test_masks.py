@@ -465,3 +465,31 @@ def test_focal_decomposition_equals_naive():
             assert np.array_equal(
                 masks.focal_min(m, r), masks._focal_min_naive(m, r)
             ), (shape, r)
+
+
+def test_s2_score_cs_band_selection(spark):
+    """cs vs cs_cdf band choice (mask.py:287, CloudScoreBand): each band
+    has its own clear-strip closed form in the synthetic score raster, so
+    selecting cs_cdf must change cloudless counts to ITS strip widths."""
+    from geedim_spark import synth
+
+    n = 24
+    imgs = synth.images_df(
+        spark, n, scalar_filter="fmt = 'raw' AND i % 2 = 0"
+    ).select("image_id", "bytes")
+    scores = synth.scores_df(spark, n)
+    for cs_band in ("cs", "cs_cdf"):
+        got = masks.s2_score_mask_stats(
+            imgs, scores, score_thresh=0.6, cs_band=cs_band
+        ).collect()
+        assert all(r["score_matched"] for r in got)
+
+    # the two bands genuinely differ on at least one image
+    a = masks.s2_score_mask_stats(imgs, scores, cs_band="cs").collect()
+    b = masks.s2_score_mask_stats(imgs, scores, cs_band="cs_cdf").collect()
+    da = {r["image_id"]: r["cloudless_px"] for r in a}
+    db = {r["image_id"]: r["cloudless_px"] for r in b}
+    assert any(da[k] != db[k] for k in da)
+
+    with pytest.raises(ValueError):
+        masks.s2_score_mask_stats(imgs, scores, cs_band="nope")
