@@ -301,6 +301,8 @@ def dup_components(
     id_a: str = "doc_id_a",
     id_b: str = "doc_id_b",
     max_iters: int = 50,
+    shortcut: bool = True,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Resolve candidate duplicate PAIRS into duplicate GROUPS: connected
     components labelled by their minimum member id.
@@ -310,14 +312,19 @@ def dup_components(
     generation, because keep/drop decisions act on clusters, not edges.
 
     Algorithm: iterative min-label propagation — each round every node
-    takes the min label among itself and its neighbours; converges in
-    O(cluster diameter) rounds.  LSH dup clusters are near-cliques (every
-    copy shares every band), so the diameter is tiny and this beats the
-    O(log n)-round large-star/small-star transforms that pay two extra
-    shuffles per round on general graphs.  Each round is one shuffle
-    (edge-label join) + one min-aggregate; lineage is cut with
-    localCheckpoint so the plan stays O(1) per round.  Deterministic:
-    labels are pure min() folds, independent of partitioning.
+    takes the min label among itself and its neighbours — plus (default)
+    a POINTER-JUMP shortcut: after the min fold, each node's label is
+    replaced by its label's own label (comp <- comp[comp], valid because a
+    label is always itself a node id and labels only decrease).  The
+    shortcut turns O(diameter)-round convergence into O(log diameter) on
+    chain-shaped clusters — the general-graph insurance the round-2 notes
+    flagged — at one extra (self-)join per round, while near-clique LSH
+    dup clusters still converge in ~2 rounds.  ``shortcut=False`` restores
+    plain propagation.  Each round is one shuffle (edge-label join) + one
+    min-aggregate (+ the jump join); lineage is cut with localCheckpoint
+    so the plan stays O(1) per round.  Deterministic: labels are pure
+    min() folds, independent of partitioning.  ``_stats`` (diagnostic):
+    a dict that receives {"rounds": n}.
     """
     from pyspark.sql.types import NumericType
 
@@ -345,7 +352,9 @@ def dup_components(
         ).first()["s"]
 
     prev_sum = _label_sum(labels) if numeric else None
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         prop = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "comp")
@@ -353,8 +362,19 @@ def dup_components(
         new = (
             labels.unionByName(prop)
             .groupBy("id").agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
         )
+        if shortcut:
+            # comp <- comp[comp]: a label is itself a node id, so join the
+            # label column back onto the label table (left: a label might
+            # not appear as an id mid-round only if nodes were incomplete;
+            # coalesce keeps those fixed)
+            lk = new.select(F.col("id").alias("_lid"),
+                           F.col("comp").alias("_lcomp"))
+            new = (
+                new.join(lk, new.comp == lk._lid, "left")
+                .select("id", F.coalesce("_lcomp", "comp").alias("comp"))
+            )
+        new = new.localCheckpoint(eager=True)
         if numeric:
             new_sum = _label_sum(new)
             converged = new_sum == prev_sum
@@ -374,6 +394,8 @@ def dup_components(
             "than max_iters; raise max_iters)", RuntimeWarning,
         )
     edges.unpersist()
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 

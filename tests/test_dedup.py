@@ -181,3 +181,31 @@ def test_dup_components_string_ids_chain(spark):
         for r in dedup.dup_components(nodes, pairs).collect()
     }
     assert got == {"a": "a", "b": "b", "c": "b", "d": "b", "e": "b", "z": "z"}
+
+
+def test_dup_components_shortcut_log_rounds_on_chain(spark):
+    """Pointer-jumping: a 64-node chain (worst-case diameter 63) must
+    converge in O(log n) rounds with the shortcut and give the identical
+    labels as plain propagation."""
+    import pandas as pd
+
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(64))}))
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "doc_id_a": list(range(63)), "doc_id_b": list(range(1, 64)),
+    }))
+    fast_stats, slow_stats = {}, {}
+    fast = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dup_components(
+            nodes, pairs, _stats=fast_stats).collect()
+    }
+    slow = {
+        r["doc_id"]: r["component"]
+        for r in dedup.dup_components(
+            nodes, pairs, shortcut=False, max_iters=100,
+            _stats=slow_stats).collect()
+    }
+    assert fast == slow == {i: 0 for i in range(64)}
+    assert fast_stats["rounds"] <= 10          # ~log2(63) + slack
+    assert slow_stats["rounds"] >= 32          # plain walks the chain
+    assert fast_stats["rounds"] < slow_stats["rounds"]
