@@ -119,24 +119,28 @@ def headline_job(
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-SKEW_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "8000000"))
+SKEW_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "24000000"))
 
 
 def skew_bench(spark: SparkSession) -> dict:
-    """Salted vs unsalted shuffle join under the planted 30 %-hot-cell
-    input (the north rule's skew case), at a row count where the hot task
-    dominates.  Broadcast is disabled for BOTH plans: this models the
-    100 TB regime where the per-cell dim side outgrows the driver —
-    with broadcast allowed neither plan shuffles and there is no skew to
-    mitigate.  AQE stays ON, so the unsalted side already gets Spark's own
-    skew-split best effort; the salted win reported here is on TOP of AQE.
+    """Salted vs unsalted shuffle join under a planted 50 %-hot-cell input
+    (the north rule's skew case), at a row count where the hot partition
+    (~12M rows, ~300 MB) genuinely serialises one task — at 8M/30 % the
+    hot partition is ~60 MB and finishes inside the fixed costs, so the
+    pair measured noise, not skew.  Broadcast is disabled for BOTH plans:
+    this models the 100 TB regime where the per-cell dim side outgrows the
+    driver — with broadcast allowed neither plan shuffles and there is no
+    skew to mitigate.  AQE stays ON for both sides (its skew-join split
+    does not trigger here: the hot partition sits under the 256 MB
+    advisory threshold at default configs, exactly the regime explicit
+    salting is for).  Best-of-2 per side damps sandbox noise.
     """
     from geedim_spark.operators import spatial_join as sj
 
     r = SKEW_BENCH_ROWS
     big = spark.range(r).select(
         F.col("id").alias("obs_id"),
-        F.when(F.col("id") % 10 < 3, F.lit(0))
+        F.when(F.col("id") % 10 < 5, F.lit(0))
          .otherwise(F.lit(1) + F.col("id") % 97).cast("long").alias("cell"),
         (F.col("id") % 1000).cast("long").alias("v"),
     )
@@ -154,14 +158,23 @@ def skew_bench(spark: SparkSession) -> dict:
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def best_of(fn, n=2):
+        best = None
+        for _ in range(n):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            secs = time.time() - t0
+            best = secs if best is None else min(best, secs)
+        return best
+
     try:
-        t0 = time.time()
-        agg(big.join(dim, "cell")).write.format("noop").mode("overwrite").save()
-        t_plain = time.time() - t0
-        t0 = time.time()
-        agg(sj.adaptive_salted_join(big, dim, "cell", rows_per_task=100_000)) \
-            .write.format("noop").mode("overwrite").save()
-        t_salted = time.time() - t0
+        t_plain = best_of(lambda: agg(big.join(dim, "cell")))
+        t_salted = best_of(
+            lambda: agg(
+                sj.adaptive_salted_join(big, dim, "cell", rows_per_task=100_000)
+            )
+        )
     finally:
         if old is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
