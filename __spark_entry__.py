@@ -134,17 +134,23 @@ def q_landsat_param_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.landsat_param_stats(ids)
 
 
-def _skew_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Planted-Zipfian join input: cell 0 holds 30% of the big side's rows
-    (ids with id%10 < 3); the remaining 70% spread over 97 tail cells.  The
-    small side is a per-cell attribute table (4 rows/cell) — too tail-heavy
-    to broadcast at real scale, so the join must shuffle on `cell` and eat
-    the hot key."""
-    n, _ = _sizes(sf_dir)
-    r = n * 10
-    big = spark.range(r).select(
+def _skew_tables(
+    spark: SparkSession, sf_dir: str, hot_tenths: int = 3,
+    rows: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Planted-Zipfian join input: cell 0 holds ``hot_tenths``/10 of the
+    big side's rows (ids with id%10 < hot_tenths); the rest spread over 97
+    tail cells.  The small side is a per-cell attribute table (4
+    rows/cell) — too tail-heavy to broadcast at real scale, so the join
+    must shuffle on `cell` and eat the hot key.  The driver oracle uses
+    the defaults; bench.skew_bench reuses this generator at 50% hot and a
+    larger row count (one source of truth for the input shape)."""
+    if rows is None:
+        n, _ = _sizes(sf_dir)
+        rows = n * 10
+    big = spark.range(rows).select(
         F.col("id").alias("obs_id"),
-        F.when(F.col("id") % 10 < 3, F.lit(0))
+        F.when(F.col("id") % 10 < hot_tenths, F.lit(0))
          .otherwise(F.lit(1) + F.col("id") % 97).cast("long").alias("cell"),
         (F.col("id") % 1000).cast("long").alias("v"),
     )

@@ -138,16 +138,10 @@ def skew_bench(spark: SparkSession) -> dict:
     from geedim_spark.operators import spatial_join as sj
 
     r = SKEW_BENCH_ROWS
-    big = spark.range(r).select(
-        F.col("id").alias("obs_id"),
-        F.when(F.col("id") % 10 < 5, F.lit(0))
-         .otherwise(F.lit(1) + F.col("id") % 97).cast("long").alias("cell"),
-        (F.col("id") % 1000).cast("long").alias("v"),
-    )
-    dim = spark.range(98).select(F.col("id").alias("cell")).crossJoin(
-        spark.range(4).select(F.col("id").alias("attr"))
-    ).select(
-        "cell", (F.col("cell") * 4 + F.col("attr")).cast("long").alias("weight")
+    # one source of truth for the planted-skew input shape: the driver
+    # oracle's generator, parameterised here to 50% hot / bench row count
+    big, dim = entrymod._skew_tables(
+        spark, SF_DIR, hot_tenths=5, rows=r
     )
 
     def agg(j):
@@ -178,6 +172,11 @@ def skew_bench(spark: SparkSession) -> dict:
     finally:
         if old is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        else:
+            # conf.get(key, None) returns None for an unset key — leaving
+            # -1 in place would disable broadcast for the session's
+            # remaining queries
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     return {
         "skew_rows": r,
         "skew_unsalted_sec": round(t_plain, 3),

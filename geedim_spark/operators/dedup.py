@@ -150,13 +150,23 @@ class BucketCapReport:
         self.observation = observation
         self.op = op
         self.max_bucket_size = max_bucket_size
+        self._result: dict | None = None
         self._thread = threading.Thread(target=self._emit, daemon=True)
         self._thread.start()
 
     def _emit(self) -> None:
         import warnings
 
-        got = self.observation.get  # blocks until the first action completes
+        try:
+            # blocks until the first action completes.  Defensive: if the
+            # observed node was optimized out of a degenerate plan (e.g.
+            # an entirely empty input), report nothing rather than dumping
+            # a daemon-thread traceback.
+            got = self.observation.get
+        except Exception:
+            self._result = {"rows_dropped": 0, "largest_bucket": None}
+            return
+        self._result = dict(got)
         if got.get("rows_dropped"):
             warnings.warn(
                 f"{self.op}: dropped {got['rows_dropped']} row(s) in "
@@ -177,7 +187,7 @@ class BucketCapReport:
             raise TimeoutError(
                 f"{self.op}: no action has executed the capped plan yet"
             )
-        return self.observation.get
+        return dict(self._result or {})
 
 
 def _drop_oversized_buckets(
@@ -202,20 +212,38 @@ def _drop_oversized_buckets(
     aggregate back instead would re-shuffle the whole keyed frame: sizes
     has ~one row per bucket, the same order of magnitude as the input.
     The drop metrics are observed on the broadcast-side aggregate, so the
-    report costs nothing extra and the plan stays fully lazy."""
+    report costs nothing extra and the plan stays fully lazy.
+
+    The report is BEST-EFFORT by construction (a daemon thread fires the
+    warning when the first action completes): a process exiting
+    immediately after the action can lose the warning, and a capped plan
+    that is never executed parks one daemon thread until process exit.
+    Batch pipelines that must record the drops call
+    ``frame._bucket_cap_report.wait()`` after their action — that is the
+    durable interface; the warning is the interactive courtesy."""
     from pyspark.sql import Observation
 
     obs = Observation(f"{op}_bucket_cap")
-    over = (
+    # observe the UNFILTERED size aggregate: observing the filtered
+    # oversized set instead lets AQE's empty-relation propagation delete
+    # the CollectMetrics node whenever nothing is oversized (the common
+    # case), and Observation.get then fails JVM-side instead of reporting
+    # zero drops
+    sizes = (
         keyed.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") > max_bucket_size)
         .observe(
             obs,
-            F.coalesce(F.sum("_bn"), F.lit(0)).alias("rows_dropped"),
-            F.max("_bn").alias("largest_bucket"),
+            F.coalesce(
+                F.sum(F.when(F.col("_bn") > max_bucket_size, F.col("_bn"))),
+                F.lit(0),
+            ).alias("rows_dropped"),
+            F.max(
+                F.when(F.col("_bn") > max_bucket_size, F.col("_bn"))
+            ).alias("largest_bucket"),
         )
     )
+    over = sizes.filter(F.col("_bn") > max_bucket_size)
     report = BucketCapReport(obs, op, max_bucket_size)
     capped = keyed.join(
         F.broadcast(over.select(*key_cols)), key_cols, "left_anti"
@@ -362,19 +390,23 @@ def dup_components(
         new = (
             labels.unionByName(prop)
             .groupBy("id").agg(F.min("comp").alias("comp"))
+            # checkpoint the fold BEFORE the jump join: lk below consumes
+            # the fold twice, and without materialisation the aggregate
+            # stage would execute on both sides of the self-join
+            .localCheckpoint(eager=True)
         )
         if shortcut:
             # comp <- comp[comp]: a label is itself a node id, so join the
             # label column back onto the label table (left: a label might
             # not appear as an id mid-round only if nodes were incomplete;
-            # coalesce keeps those fixed)
+            # coalesce keeps those fixed).  Lineage stays O(1): one join
+            # over the checkpointed fold.
             lk = new.select(F.col("id").alias("_lid"),
                            F.col("comp").alias("_lcomp"))
             new = (
                 new.join(lk, new.comp == lk._lid, "left")
                 .select("id", F.coalesce("_lcomp", "comp").alias("comp"))
             )
-        new = new.localCheckpoint(eager=True)
         if numeric:
             new_sum = _label_sum(new)
             converged = new_sum == prev_sum

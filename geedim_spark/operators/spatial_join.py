@@ -216,8 +216,8 @@ def adaptive_salted_join(
     )
     # persist: factors is consumed by BOTH join sides, and its lineage is a
     # full count scan of `big` — without the (lazy, tiny: one row per
-    # distinct key) cache that scan would run twice.  Long sessions doing
-    # many joins should spark.catalog.clearCache() between runs.
+    # distinct key) cache that scan would run twice.  The returned frame
+    # carries the cache handle as `_salt_factors` for targeted unpersist.
     from pyspark import StorageLevel
 
     factors = factors.persist(StorageLevel.MEMORY_AND_DISK)
@@ -235,7 +235,12 @@ def adaptive_salted_join(
         .withColumn("_n_salt", F.coalesce(F.col("_n_salt"), F.lit(1)))
         .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_n_salt") - 1)))
     )
-    return (
+    out = (
         big_s.join(small_s.drop("_n_salt"), [key, "_salt"], how)
         .drop("_salt", "_n_salt")
     )
+    # handle for targeted cache release (clearCache() would nuke unrelated
+    # caches): call out._salt_factors.unpersist() once the join result is
+    # materialised / no longer needed
+    out._salt_factors = factors
+    return out

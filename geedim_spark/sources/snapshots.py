@@ -108,6 +108,28 @@ def committed_keys(table_dir: str) -> list[str]:
     return [p["key"] for p in snap["partitions"]] if snap else []
 
 
+def _find_token(table_dir: str, token: str | None) -> str | None:
+    """Snapshot id of any RETAINED manifest carrying ``token``, else None.
+
+    Replay detection must scan the whole retained chain, not just the
+    immediate parent: under concurrent committers another writer's commit
+    can land between a batch's snapshot and its checkpoint, and the
+    replayed batch would otherwise re-append its rows.  The detection
+    window is therefore exactly the retained manifests —
+    :func:`expire_snapshots` shrinks it, so keep at least as many
+    snapshots as the longest plausible replay lag."""
+    sdir = _snap_dir(table_dir)
+    if token is None or not os.path.isdir(sdir):
+        return None
+    for f in sorted(os.listdir(sdir), reverse=True):
+        if f.startswith("snap-") and f.endswith(".json"):
+            with open(os.path.join(sdir, f)) as fh:
+                man = json.load(fh)
+            if man.get("commit_token") == token:
+                return man["snapshot_id"]
+    return None
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -158,8 +180,12 @@ def write_snapshot(
     # re-executed after a crash (its write_snapshot landed but the stream
     # checkpoint did not) passes the same token and must NOT append its
     # rows a second time
-    if commit_token is not None and parent is not None             and parent.get("commit_token") == commit_token:
-        return parent["snapshot_id"]
+    # (searched across ALL retained manifests, not just the parent: a
+    # concurrent commit interleaving between the original and the replay
+    # must not hide it)
+    replay = _find_token(table_dir, commit_token)
+    if replay is not None:
+        return replay
 
     # attempt-unique commit dir: embeds the id guess (debuggability) plus
     # pid + a process-local counter, so concurrent committers never write
@@ -232,11 +258,11 @@ def write_snapshot(
     os.makedirs(_snap_dir(table_dir), exist_ok=True)
     for _ in range(max_commit_retries):
         parent = current_snapshot(table_dir)
-        if commit_token is not None and parent is not None \
-                and parent.get("commit_token") == commit_token:
+        replay = _find_token(table_dir, commit_token)
+        if replay is not None:
             # a concurrent replay of the SAME batch won the race; this
             # attempt's data dir is an unreferenced orphan (GC-able)
-            return parent["snapshot_id"]
+            return replay
         parent_parts = (
             {p["key"]: p for p in parent["partitions"]} if parent else {}
         )

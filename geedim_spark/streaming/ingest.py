@@ -14,6 +14,8 @@ query and could be lifted onto this stream with ``withWatermark`` untouched.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,9 +67,15 @@ def stream_mask_stats(
             # append: collections interleave across micro-batches — an
             # overwrite commit would repoint each collection partition at
             # ONLY this batch's rows, discarding earlier batches
-            snapshots.write_snapshot(enriched, table_dir, "collection",
-                                     stats_cols=("fill_px",), mode="append",
-                                     commit_token=f"batch-{batch_id}")
+            # token = (stream identity, batch id): the checkpoint dir is
+            # stable across restarts of THIS stream but distinct between
+            # streams, so two streams ingesting one table can never
+            # mistake each other's batch N for a replay
+            snapshots.write_snapshot(
+                enriched, table_dir, "collection",
+                stats_cols=("fill_px",), mode="append",
+                commit_token=f"{os.path.abspath(checkpoint_dir)}:batch-{batch_id}",
+            )
         finally:
             batch_df.unpersist()
 

@@ -209,3 +209,15 @@ def test_dup_components_shortcut_log_rounds_on_chain(spark):
     assert fast_stats["rounds"] <= 10          # ~log2(63) + slack
     assert slow_stats["rounds"] >= 32          # plain walks the chain
     assert fast_stats["rounds"] < slow_stats["rounds"]
+
+
+def test_lsh_bucket_cap_no_drop_report_is_clean(spark, docs):
+    """Regression: with NO oversized bucket (the common case) the
+    observation must resolve to zero drops — the observe node used to sit
+    on the filtered oversized set, which AQE's empty-relation propagation
+    deleted, crashing the watcher thread with a JVM assertion."""
+    out = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4,
+                                  max_bucket_size=1000)
+    out.collect()
+    got = out._bucket_cap_report.wait()
+    assert got == {"rows_dropped": 0, "largest_bucket": None}

@@ -314,3 +314,34 @@ def test_concurrent_committers_threads_all_land(spark, table_dir):
     assert chain == {"00000001": None, "00000002": "00000001",
                      "00000003": "00000002", "00000004": "00000003"}
     assert snap.read_snapshot(spark, table_dir).count() == 8
+
+
+def test_commit_token_replay_detected_across_interleaved_commit(spark, table_dir):
+    """Regression: replay detection must scan the whole retained chain.
+    A replayed batch whose original commit is no longer the CURRENT parent
+    (another writer committed in between) must still be recognised as a
+    replay — not appended a second time."""
+    from pyspark.sql import functions as F
+
+    df1 = spark.range(3).select(F.col("id").alias("x"),
+                                F.lit("A").alias("part"))
+    sid1 = snap.write_snapshot(df1, table_dir, "part", mode="append",
+                               commit_token="ckpt1:batch-7")
+    # an unrelated commit interleaves (different writer / token)
+    df2 = spark.range(2).select((F.col("id") + 10).alias("x"),
+                                F.lit("B").alias("part"))
+    snap.write_snapshot(df2, table_dir, "part", mode="append",
+                        commit_token="ckpt2:batch-1")
+    # the crashed stream replays its batch-7: must resolve to sid1, no data
+    replay = snap.write_snapshot(df1, table_dir, "part", mode="append",
+                                 commit_token="ckpt1:batch-7")
+    assert replay == sid1
+    got = snap.read_snapshot(spark, table_dir)
+    assert sorted(r["x"] for r in got.collect()) == [0, 1, 2, 10, 11]
+    # distinct tokens are NOT replays: same batch number from another
+    # stream appends its rows
+    df3 = spark.range(1).select((F.col("id") + 50).alias("x"),
+                                F.lit("C").alias("part"))
+    sid3 = snap.write_snapshot(df3, table_dir, "part", mode="append",
+                               commit_token="ckpt3:batch-7")
+    assert sid3 == "00000003"
