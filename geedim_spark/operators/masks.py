@@ -211,9 +211,12 @@ def s2_masks(
 
         combined = (cloud | shadow) if mask_shadows else cloud
 
-        # open(20 m) + dilate(buffer m) (mask.py:466-472)
-        combined = focal_min(combined, round(20.0 / scale))
-        combined = focal_max(combined, round(buffer / scale))
+        # open(20 m) + dilate(buffer m) (mask.py:466-472); morphology of an
+        # EMPTY mask is empty — skip the shifted-OR passes on cloud-free
+        # images (most of a real archive)
+        if combined.any():
+            combined = focal_min(combined, round(20.0 / scale))
+            combined = focal_max(combined, round(buffer / scale))
 
     if mask_nonphysical:
         nonphys = refl.max(axis=0) > 10000  # mask.py:477-481

@@ -71,9 +71,15 @@ def mask_and_tile(
                 # nodata region, whose boundary would dilate into valid
                 # cloud-free pixels and under-count cloudless_px
                 cloudy = ~cl & m["FILL_MASK"]
-                cloudy = masks.focal_min(cloudy, focal_open_px)
-                cloudy = masks.focal_max(cloudy, max(focal_open_px, focal_dilate_px))
-                cl = ~cloudy & m["FILL_MASK"]
+                # the morphology is ~half the kernel cost and a no-op on an
+                # empty mask (open/dilate of the empty set is empty):
+                # cloud-free images — most of a real archive — skip it
+                if cloudy.any():
+                    cloudy = masks.focal_min(cloudy, focal_open_px)
+                    cloudy = masks.focal_max(
+                        cloudy, max(focal_open_px, focal_dilate_px)
+                    )
+                    cl = ~cloudy & m["FILL_MASK"]
             # coarse-projection cloud distance (mask.py:510-516 analog);
             # sources = cloud & fill, sum over fill only (mask.py:102-117)
             dk = cl[::dist_decimate, ::dist_decimate]
@@ -89,9 +95,22 @@ def mask_and_tile(
             tb, th, tw = tile_shape(
                 nbands, h, w, px.dtype.name, max_tile_size, max_tile_dim, max_tile_bands
             )
+            # per-tile mask sums for the WHOLE grid in two reduceat passes
+            # (row then column blocks) instead of 2 slice-sums per tile —
+            # ~5x cheaper on the per-image stats share of the kernel
+            r_idx = np.arange(0, h, th)
+            c_idx = np.arange(0, w, tw)
+            fsum = np.add.reduceat(
+                np.add.reduceat(m["FILL_MASK"].astype(np.int64), r_idx, axis=0),
+                c_idx, axis=1,
+            )
+            clsum = np.add.reduceat(
+                np.add.reduceat(cl.astype(np.int64), r_idx, axis=0),
+                c_idx, axis=1,
+            )
             for b0 in range(0, nbands, tb):
-                for r0 in range(0, h, th):
-                    for c0 in range(0, w, tw):
+                for ri, r0 in enumerate(range(0, h, th)):
+                    for ci, c0 in enumerate(range(0, w, tw)):
                         b1 = min(b0 + tb, nbands)
                         r1, c1 = min(r0 + th, h), min(c0 + tw, w)
                         all_rows.append({
@@ -99,8 +118,8 @@ def mask_and_tile(
                             "band_start": b0, "band_stop": b1,
                             "row_start": r0, "row_stop": r1,
                             "col_start": c0, "col_stop": c1,
-                            "fill_px": int(m["FILL_MASK"][r0:r1, c0:c1].sum()),
-                            "cloudless_px": int(cl[r0:r1, c0:c1].sum()),
+                            "fill_px": int(fsum[ri, ci]),
+                            "cloudless_px": int(clsum[ri, ci]),
                             "dist_sum": dist_sum,
                             "tile_bytes": codecs.encode_raw(px[b0:b1, r0:r1, c0:c1]),
                         })
