@@ -223,17 +223,17 @@ class Collection:
         294-312)."""
         return gd_schema.schema_table(self.schema(prop_names))
 
-    def properties_table(self, n: int = 20, prop_names=None) -> str:
-        """Schema-defined per-image property table with abbreviated headers
-        (propertiesTable analog, collection.py:330-360); portion columns
-        and time_start are folded into the props view when present."""
-        sch = self.schema(prop_names)
+    def properties(self, n: int = 20) -> dict[str, dict]:
+        """Per-image property dicts keyed by system:index (the reference's
+        ``coll.gd.properties``, collection.py:314-328) — the search-results
+        payload the CLI prints and JSON-dumps.  Portion columns and
+        time_start are folded into the props view when present."""
         # prune to the meta columns the table needs — a bare collect would
         # pull every image's ~150 kB bytes blob to the driver
         want = [c for c in ("props", "time_start", "FILL_PORTION",
                             "CLOUDLESS_PORTION") if c in self.df.columns]
         rows = self.df.select(*want).limit(n).collect() if want else []
-        props = {}
+        props: dict[str, dict] = {}
         for i, r in enumerate(rows):
             d = dict(r["props"]) if "props" in self.df.columns and r["props"] else {}
             if "time_start" in self.df.columns:
@@ -242,7 +242,13 @@ class Collection:
                 if c in self.df.columns:
                     d[c] = r[c]
             props[d.get("system:index", str(i))] = d
-        return gd_schema.properties_table(props, sch)
+        return props
+
+    def properties_table(self, n: int = 20, prop_names=None) -> str:
+        """Schema-defined per-image property table with abbreviated headers
+        (propertiesTable analog, collection.py:330-360)."""
+        return gd_schema.properties_table(self.properties(n),
+                                          self.schema(prop_names))
 
     def show_schema_table(self, n: int = 20) -> None:
         """Print the declared schema + per-image property tables."""

@@ -31,6 +31,7 @@ _VALUE_OPTS = {
     "--input", "--synthetic", "--master",
     "--start", "--end", "--custom-filter", "--fill-portion",
     "--cloudless-portion", "--rois", "--synthetic-rois",
+    "--buffer", "--add-props", "--results-file",
     "--method", "--date",
     "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
 }
@@ -85,6 +86,15 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     search.add_argument("--fill-portion", type=float)
     search.add_argument("--cloudless-portion", type=float)
     search.add_argument("--rois", help="parquet path of the ROI table")
+    search.add_argument("--buffer", type=float, default=None,
+                        help="distance (world units) to buffer the ROI "
+                             "bboxes with (cli.py:269-275, 644-645)")
+    search.add_argument("--add-props", default=None,
+                        help="comma-separated extra property names for the "
+                             "results table / file (cli.py:598-606)")
+    search.add_argument("--results-file", default=None,
+                        help="path to write JSON search results to "
+                             "(cli.py:608-613, 673-676)")
     search.add_argument("--synthetic-rois", type=int, default=None,
                         help="generate M synthetic ROIs instead of --rois")
     search.add_argument("--show-table", action="store_true",
@@ -149,6 +159,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 rois = synth.rois_df(spark, args.synthetic_rois)
             elif args.rois:
                 rois = spark.read.parquet(args.rois)
+            if args.buffer is not None:
+                if rois is None:
+                    # cli.py:224-230: --buffer needs a region to buffer
+                    parsers[cmd].error(
+                        "--rois / --synthetic-rois is required with --buffer"
+                    )
+                from pyspark.sql import functions as F
+                b = float(args.buffer)
+                rois = rois.withColumn("rx0", F.col("rx0") - b)                            .withColumn("ry0", F.col("ry0") - b)                            .withColumn("rx1", F.col("rx1") + b)                            .withColumn("ry1", F.col("ry1") + b)
             coll = coll.search(
                 start=args.start, end=args.end, rois=rois,
                 custom_filter=args.custom_filter,
@@ -156,8 +175,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 cloudless_portion=args.cloudless_portion,
             )
             print(f"search: {coll.count()} images match")
-            if args.show_table:
-                coll.show_schema_table()
+            add_props = (
+                [p.strip() for p in args.add_props.split(",") if p.strip()]
+                if args.add_props else None
+            )
+            if args.show_table or add_props:
+                # schemaPropertyNames += add_props (cli.py:656): EXTEND the
+                # declared set, don't replace it
+                names = (
+                    list(coll.schema().keys()) + add_props if add_props
+                    else None
+                )
+                print(coll.schema_table(prop_names=names))
+                print(coll.properties_table(prop_names=names))
+            if args.results_file:
+                import json as _json
+                with open(args.results_file, "w") as f:
+                    _json.dump(coll.properties(), f, default=str)
+                print(f"search: results written to {args.results_file}")
         elif cmd == "composite":
             coll = coll.composite(args.method, date=args.date,
                                   by_portion=args.by_portion)

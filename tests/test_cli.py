@@ -160,3 +160,47 @@ def test_cli_context_threads_search_into_composite(spark, tmp_path, monkeypatch)
     # (the download stage then exports that composite's tiles)
     assert seen["n_inputs_col"] == seen["n_in"]
     assert snapshots.read_snapshot(spark, out).count() > 0
+
+
+def test_cli_search_buffer_add_props_results_file(spark, tmp_path, capsys):
+    """Reference search options (test_cli.py:285-326): --buffer expands
+    the ROI region (more images match), --add-props extends the printed
+    schema set, --results-file writes the JSON properties payload."""
+    import json
+
+    res_file = str(tmp_path / "results.json")
+    rc = cli.main([
+        "--synthetic", "40",
+        "search", "--start", "2024-01-01", "--synthetic-rois", "2",
+        "--add-props", "CLOUD_COVER",
+        "--results-file", res_file,
+    ], spark=spark)
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "CLOUD_COVER" in printed          # add-props lands in the table
+    with open(res_file) as f:
+        results = json.load(f)
+    assert results and all("system:index" in v or isinstance(v, dict)
+                           for v in results.values())
+
+    def n_matches(extra):
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cli.main(["--synthetic", "40", "search",
+                      "--start", "2024-01-01", "--synthetic-rois", "1",
+                      *extra], spark=spark)
+        line = [l for l in buf.getvalue().splitlines()
+                if l.startswith("search:")][0]
+        return int(line.split()[1])
+
+    base = n_matches([])
+    buffered = n_matches(["--buffer", "30000"])
+    assert buffered >= base
+    assert buffered > 0
+
+    # --buffer without a region errors like the reference (cli.py:224-230)
+    with pytest.raises(SystemExit):
+        cli.main(["--synthetic", "10", "search", "--buffer", "10"],
+                 spark=spark)
