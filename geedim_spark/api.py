@@ -176,6 +176,23 @@ class Collection:
         return comp_ops.composite_metadata(self.df, method)
 
     # -- sinks ------------------------------------------------------------
+    def prepare_for_export(
+        self,
+        scale_offset: dict[int, tuple[float, float]] | None = None,
+        dtype: str | None = None,
+    ) -> "Collection":
+        """prepareForExport analog over the whole collection (image.py:
+        741-862 via export_ops.prepare_for_export): per-band STAC
+        scale/offset then saturating dtype cast, with the metadata columns
+        re-attached and ``fmt`` rewritten to 'raw' (the prepared bytes are
+        a fresh raw encoding)."""
+        if not scale_offset and not dtype:
+            return self
+        prepared = export_ops.prepare_for_export(self.df, scale_offset, dtype)
+        meta = self.df.drop("bytes", "fmt", "caption")
+        df = meta.join(prepared, "image_id").withColumn("fmt", F.lit("raw"))
+        return Collection(df, self.cloud_kwargs)
+
     def download(
         self,
         table_dir: str,

@@ -34,6 +34,7 @@ _VALUE_OPTS = {
     "--buffer", "--add-props", "--results-file",
     "--method", "--date",
     "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
+    "--dtype",
 }
 
 
@@ -109,6 +110,13 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
 
     download = argparse.ArgumentParser(prog="download", add_help=False)
     download.add_argument("--out", required=True)
+    download.add_argument("--dtype", default=None,
+                          help="saturating export dtype cast "
+                               "(image.py:571-596)")
+    download.add_argument("--no-mask", dest="apply_mask",
+                          action="store_false", default=True,
+                          help="export unmasked pixels (the reference's "
+                               "mask=False, cli.py download)")
     download.add_argument("--partition-col", default="collection")
     download.add_argument("--no-resume", action="store_true")
     download.add_argument("--max-tile-dim", type=int, default=10000)
@@ -198,11 +206,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                                   by_portion=args.by_portion)
             print(f"composite: {args.method}")
         elif cmd == "download":
+            if args.dtype:
+                coll = coll.prepare_for_export(dtype=args.dtype)
             snap = coll.download(
                 args.out, partition_col=args.partition_col,
                 resume=not args.no_resume,
                 max_tile_dim=args.max_tile_dim,
                 max_tile_bands=args.max_tile_bands,
+                apply_cloud_mask=args.apply_mask,
             )
             print(f"download: snapshot {snap} -> {args.out}")
     return 0

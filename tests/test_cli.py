@@ -204,3 +204,26 @@ def test_cli_search_buffer_add_props_results_file(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["--synthetic", "10", "search", "--buffer", "10"],
                  spark=spark)
+
+
+def test_cli_download_dtype_and_no_mask(spark, tmp_path):
+    """download --dtype casts the exported pixels (saturating,
+    image.py:571-596) and --no-mask skips the cloud-mask application —
+    unmasked exports keep every filled pixel value."""
+    import numpy as np
+
+    from geedim_spark import codecs
+    from geedim_spark.operators import export_ops
+
+    out = str(tmp_path / "cli_dtype_table")
+    rc = cli.main([
+        "--synthetic", "20",
+        "search", "--start", "2024-01-01",
+        "download", "--out", out, "--max-tile-dim", "21",
+        "--dtype", "uint8", "--no-mask",
+    ], spark=spark)
+    assert rc == 0
+    back = snapshots.read_snapshot(spark, out)
+    row = back.first()
+    px = codecs.decode(bytes(row["tile_bytes"]))
+    assert px.dtype == np.uint8
