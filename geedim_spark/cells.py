@@ -269,7 +269,10 @@ def col_geo_kring(cell: Column, k: int, res: int = DEFAULT_RES) -> Column:
 def col_geo_ix_hi(lon: Column, res: int) -> Column:
     """Catalyst twin of np_geo_ix_hi (right-edge index; seam -> last col)."""
     n = 1 << res
-    x = F.lit(180.0) - (F.lit(180.0) - lon) % 360.0
+    # pmod form: Catalyst % keeps the dividend's sign (np.mod does not), so
+    # a bare % leaves lon > 180 unwrapped (clamping it to the last column
+    # instead of wrapping like the numpy twin)
+    x = F.lit(180.0) - ((F.lit(180.0) - lon) % 360.0 + 360.0) % 360.0
     raw = F.floor((x - F.lit(GEO_LON0)) / F.lit(GEO_LON_SPAN) * F.lit(n))
     return F.least(raw, F.lit(n - 1)).cast("long")
 
@@ -282,8 +285,10 @@ def col_geo_cover_bbox(lon0: Column, lat0: Column, lon1: Column, lat1: Column,
     nmax = F.lit((1 << res) - 1)
     ix0, ix1 = col_geo_ix(lon0, res), col_geo_ix_hi(lon1, res)
     iy0, iy1 = col_geo_iy(lat0, res), col_geo_iy(lat1, res)
-    lo = (lon0 + 180.0) % 360.0 - 180.0
-    hi = F.lit(180.0) - (F.lit(180.0) - lon1) % 360.0
+    # pmod wraps (see col_geo_ix_hi): out-of-contract lon0 < -180 /
+    # lon1 > 180 must normalise exactly like the numpy twins
+    lo = ((lon0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    hi = F.lit(180.0) - ((F.lit(180.0) - lon1) % 360.0 + 360.0) % 360.0
     xs = F.when(lo <= hi, F.sequence(ix0, ix1)).otherwise(
         F.concat(F.sequence(ix0, nmax), F.sequence(F.lit(0).cast("long"), ix1))
     )

@@ -57,6 +57,10 @@ from pyspark.sql import functions as F
 
 NULL_KEY = "__HIVE_DEFAULT_PARTITION__"
 
+# how many of the newest manifests _find_token inspects for replay
+# detection (see its docstring)
+_TOKEN_SCAN_WINDOW = 64
+
 # process-local attempt sequence for commit-directory uniqueness (combined
 # with the pid, so concurrent committers in one OR many processes never
 # collide on a data directory)
@@ -68,8 +72,11 @@ def _snap_dir(table_dir: str) -> str:
 
 
 def _canon_key(v) -> str:
-    """Canonical string form matching Spark's partition-directory naming
-    (booleans lowercase, NULL -> the Hive default dir)."""
+    """Best-effort Python-side canonical key (booleans lowercase, NULL ->
+    the Hive default dir).  The WRITE path does not use this: manifest
+    keys come from Spark's own cast-to-string (see write_snapshot), which
+    matches the JVM's partition-dir naming where Python str() does not
+    (double 1e-7 -> '1.0E-7' vs '1e-07')."""
     if v is None:
         return NULL_KEY
     if isinstance(v, bool):
@@ -121,12 +128,20 @@ def _find_token(table_dir: str, token: str | None) -> str | None:
     sdir = _snap_dir(table_dir)
     if token is None or not os.path.isdir(sdir):
         return None
-    for f in sorted(os.listdir(sdir), reverse=True):
-        if f.startswith("snap-") and f.endswith(".json"):
-            with open(os.path.join(sdir, f)) as fh:
-                man = json.load(fh)
-            if man.get("commit_token") == token:
-                return man["snapshot_id"]
+    # bounded: scan only the newest _TOKEN_SCAN_WINDOW manifests — replays
+    # trail their original by at most a few commits (a restarted stream
+    # replays its LAST batch), and an unbounded scan would json-parse every
+    # retained manifest on every commit of a long-running ingest
+    snaps = sorted(
+        (f for f in os.listdir(sdir)
+         if f.startswith("snap-") and f.endswith(".json")),
+        reverse=True,
+    )
+    for f in snaps[:_TOKEN_SCAN_WINDOW]:
+        with open(os.path.join(sdir, f)) as fh:
+            man = json.load(fh)
+        if man.get("commit_token") == token:
+            return man["snapshot_id"]
     return None
 
 
@@ -216,14 +231,23 @@ def write_snapshot(
         for c in stats_cols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"),
                      F.sum(c).alias(f"sum_{c}")]
-        stats = written.groupBy(partition_col).agg(*aggs).collect()
+        # canonical key = Spark's OWN string cast: partition directory
+        # names come from the JVM's value.toString (e.g. double 1e-7 ->
+        # '1.0E-7'), which Python str() does not reproduce ('1e-07' ->
+        # KeyError after the data landed).  The same cast backs
+        # pending_keys' resume comparison, so the three spellings (dir,
+        # manifest, resume) can never diverge.
+        skey = F.coalesce(
+            F.col(partition_col).cast("string"), F.lit(NULL_KEY)
+        ).alias("_skey")
+        stats = written.groupBy(skey).agg(*aggs).collect()
     else:
         stats = []
 
     def _merged_parts(parent_parts: dict) -> list[dict]:
         parts = dict(parent_parts)
         for r in stats:
-            key = _canon_key(r[partition_col])
+            key = r["_skey"]
             entry = {
                 "key": key,
                 "paths": [f"{commit_rel}/{key_to_dir[key]}"],
@@ -272,6 +296,10 @@ def write_snapshot(
             "parent_id": parent["snapshot_id"] if parent else None,
             "partition_col": partition_col,
             "commit_token": commit_token,
+            # writer schema (JSON StructType): read_snapshot passes it to
+            # the reader so partition-type inference can never retype a
+            # string key like '007' into int 7
+            "schema": json.loads(df.schema.json()),
             "partitions": _merged_parts(parent_parts),
         }
         fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir))
@@ -329,11 +357,20 @@ def read_snapshot(
             by_commit.setdefault(commit_rel, []).append(
                 os.path.join(table_dir, path)
             )
+    reader_schema = None
+    if snap.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        reader_schema = StructType.fromJson(snap["schema"])
     out = None
     for commit_rel, paths in sorted(by_commit.items()):
-        part = spark.read.option(
-            "basePath", os.path.join(table_dir, commit_rel)
-        ).parquet(*paths)
+        rd = spark.read.option("basePath", os.path.join(table_dir, commit_rel))
+        if reader_schema is not None:
+            # explicit schema (recorded at write): without it, partition
+            # directory TYPE INFERENCE retypes keys — 'part=007' comes
+            # back as int 7, silently corrupting string keys
+            rd = rd.schema(reader_schema)
+        part = rd.parquet(*paths)
         out = part if out is None else out.unionByName(part)
     return out
 

@@ -167,3 +167,30 @@ def test_geo_kring_full_wrap_dedup(spark):
         cells.col_geo_kring(F.col("cell"), 5, res).alias("r")).first()["r"]
     assert got == want.tolist()
     assert len(got) == len(set(got))
+
+
+def test_geo_ix_hi_wraps_out_of_contract_lons(spark):
+    """Regression: Catalyst % keeps the dividend's sign, so lon > 180
+    (0..360-convention data) used to CLAMP to the last column while the
+    numpy twin wraps to column 0 — the pmod form must agree with numpy for
+    any longitude."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geedim_spark import cells
+
+    lons = [-541.0, -190.0, -180.0, -170.0, 0.0, 170.0, 180.0, 190.0,
+            350.0, 541.0]
+    pdf = pd.DataFrame({"lon": lons})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(
+            cells.col_geo_ix_hi(F.col("lon"), 3).alias("hi"),
+            cells.col_geo_ix(F.col("lon"), 3).alias("ix"),
+        )
+        .toPandas()
+    )
+    import numpy as np
+    assert got["hi"].tolist() == cells.np_geo_ix_hi(
+        np.array(lons), 3).tolist()
+    assert got["ix"].tolist() == cells.np_geo_ix(np.array(lons), 3).tolist()

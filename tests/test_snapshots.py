@@ -345,3 +345,33 @@ def test_commit_token_replay_detected_across_interleaved_commit(spark, table_dir
     sid3 = snap.write_snapshot(df3, table_dir, "part", mode="append",
                                commit_token="ckpt3:batch-7")
     assert sid3 == "00000003"
+
+
+def test_snapshot_keys_survive_type_inference_and_jvm_naming(spark, table_dir):
+    """Regression pair: (a) a string key like '007' must round-trip as the
+    STRING '007' (reads used to let partition-type inference retype it to
+    int 7); (b) a double key like 1e-7 must commit at all (the manifest key
+    used to come from Python str() = '1e-07' while Spark names the
+    directory '1.0E-7' -> KeyError after the data landed) and resume must
+    see it as committed."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.col("id").alias("x"), F.lit("007").alias("part")
+    )
+    snap.write_snapshot(df, table_dir, "part")
+    back = snap.read_snapshot(spark, table_dir)
+    assert dict(back.dtypes)["part"] == "string"
+    assert {r["part"] for r in back.collect()} == {"007"}
+
+    d2 = f"{table_dir}_dbl"
+    dfd = spark.range(3).select(
+        F.col("id").alias("x"), F.lit(1e-7).alias("part")
+    )
+    sid = snap.write_snapshot(dfd, d2, "part")
+    assert sid == "00000001"
+    backd = snap.read_snapshot(spark, d2)
+    assert backd.count() == 3
+    assert backd.first()["part"] == 1e-7
+    # resume: the committed double key must match (no perpetual re-export)
+    assert snap.pending_keys(dfd, d2, "part").count() == 0
