@@ -30,6 +30,7 @@ Supported dtypes: uint8/int8/uint16/int16/uint32/int32/float32/float64
 from __future__ import annotations
 
 import math
+import os
 import struct
 import zlib
 
@@ -122,15 +123,24 @@ class _IFD:
         return body + out_of_line
 
 
-def _plane_strips(
-    plane: np.ndarray, rows_per_strip: int, compress: bool
-) -> list[bytes]:
-    h = plane.shape[0]
-    out = []
-    for r0 in range(0, h, rows_per_strip):
-        raw = np.ascontiguousarray(plane[r0:r0 + rows_per_strip]).tobytes()
-        out.append(zlib.compress(raw, 6) if compress else raw)
-    return out
+def _rows_per_strip(pixels: np.ndarray, rows_per_strip: int | None) -> int:
+    if rows_per_strip is None:
+        # classic TIFF guidance: ~64 KiB uncompressed strips
+        w, itemsize = pixels.shape[2], pixels.dtype.itemsize
+        rows_per_strip = max(1, 65536 // max(1, w * itemsize))
+    return min(rows_per_strip, pixels.shape[1])
+
+
+def _iter_page_strips(pixels: np.ndarray, rows_per_strip: int, compress: bool):
+    """Yield the page's strips one at a time (planar config 2: all strips
+    of band 0 first) — streaming form, peak memory = one strip."""
+    bands, h, _ = pixels.shape
+    for b in range(bands):
+        for r0 in range(0, h, rows_per_strip):
+            raw = np.ascontiguousarray(
+                pixels[b, r0:r0 + rows_per_strip]
+            ).tobytes()
+            yield zlib.compress(raw, 6) if compress else raw
 
 
 def _geokeys(crs_epsg: int | None, geographic: bool) -> list[int]:
@@ -156,17 +166,13 @@ def _build_page(
     rows_per_strip: int | None,
     description: str | None,
     subfile_type: int,
-) -> tuple[_IFD, list[bytes]]:
+    strip_byte_counts: list[int],
+) -> _IFD:
+    """Build the page's IFD from its (already written) strip byte counts —
+    the strip DATA itself streams to the file via _iter_page_strips."""
     bands, h, w = pixels.shape
     itemsize = pixels.dtype.itemsize
-    if rows_per_strip is None:
-        # classic TIFF guidance: ~64 KiB uncompressed strips
-        rows_per_strip = max(1, 65536 // max(1, w * itemsize))
-    rows_per_strip = min(rows_per_strip, h)
-
-    strips: list[bytes] = []
-    for b in range(bands):  # planar config 2: all strips of band 0 first
-        strips += _plane_strips(pixels[b], rows_per_strip, compress)
+    rows_per_strip = _rows_per_strip(pixels, rows_per_strip)
 
     ifd = _IFD()
     ifd.add(_NEW_SUBFILE_TYPE, _T_LONG, subfile_type)
@@ -179,7 +185,7 @@ def _build_page(
         ifd.add(_IMAGE_DESCRIPTION, _T_ASCII, description)
     ifd.add(_SAMPLES_PER_PIXEL, _T_SHORT, bands)
     ifd.add(_ROWS_PER_STRIP, _T_LONG, rows_per_strip)
-    ifd.add(_STRIP_BYTE_COUNTS, _T_LONG, [len(s) for s in strips])
+    ifd.add(_STRIP_BYTE_COUNTS, _T_LONG, strip_byte_counts)
     ifd.add(_PLANAR_CONFIG, _T_SHORT, 2)
     ifd.add(
         _SAMPLE_FORMAT, _T_SHORT,
@@ -201,7 +207,7 @@ def _build_page(
         else:
             txt = repr(nd)
         ifd.add(_GDAL_NODATA, _T_ASCII, txt)
-    return ifd, strips
+    return ifd
 
 
 def write_geotiff(
@@ -275,43 +281,59 @@ def write_geotiff(
         sx, b, x0, c, nsy, y1 = [float(t) for t in transform]
         return [sx * f, b, x0, c, nsy * f, y1]
 
-    built = [
-        _build_page(
-            px, _scaled_tf(f), crs_epsg, geographic, nodata, do_compress,
-            rows_per_strip, description if lvl == 0 else None, lvl,
-        )
-        for px, lvl, f in pages
-    ]
+    # layout: header | all strip data | IFD chain.  Strips STREAM to the
+    # file as they compress (peak memory = one strip, not ~2x the file)
+    # and the header's first-IFD pointer is patched once the strip
+    # section's total length is known.
+    limit_msg = (
+        "bytes - past the 4 GiB baseline-TIFF limit; export smaller "
+        "regions (the tiles table is the scale sink)"
+    )
+    try:
+        with open(path, "wb") as f:
+            f.write(b"II*\x00" + struct.pack("<I", 0))  # pointer patched below
+            offset = 8
+            strip_offsets: list[list[int]] = []
+            strip_lens: list[list[int]] = []
+            for px, lvl, fct in pages:
+                rps = _rows_per_strip(px, rows_per_strip)
+                offs: list[int] = []
+                lens: list[int] = []
+                for strip in _iter_page_strips(px, rps, do_compress):
+                    offs.append(offset)
+                    lens.append(len(strip))
+                    f.write(strip)
+                    offset += len(strip)
+                    if offset > 0xFFFFFFFF:
+                        raise ValueError(f"output past {offset} {limit_msg}")
+                strip_offsets.append(offs)
+                strip_lens.append(lens)
 
-    # layout: header | all strip data | IFD chain
-    offset = 8
-    strip_offsets: list[list[int]] = []
-    for _, strips in built:
-        offs = []
-        for s in strips:
-            offs.append(offset)
-            offset += len(s)
-        strip_offsets.append(offs)
-
-    ifd_offsets = []
-    for (ifd, _), offs in zip(built, strip_offsets):
-        ifd.add(_STRIP_OFFSETS, _T_LONG, offs)
-        ifd_offsets.append(offset)
-        offset += ifd.nbytes()
-    if offset > 0xFFFFFFFF:
-        raise ValueError(
-            f"output would be {offset} bytes — past the 4 GiB baseline-TIFF "
-            "limit; export smaller regions (the tiles table is the scale sink)"
-        )
-
-    with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", ifd_offsets[0]))
-        for _, strips in built:
-            for s in strips:
-                f.write(s)
-        for k, (ifd, _) in enumerate(built):
-            nxt = ifd_offsets[k + 1] if k + 1 < len(built) else 0
-            f.write(ifd.serialize(ifd_offsets[k], nxt))
+            built = [
+                _build_page(
+                    px, _scaled_tf(fct), crs_epsg, geographic, nodata,
+                    do_compress, rows_per_strip,
+                    description if lvl == 0 else None, lvl, lens,
+                )
+                for (px, lvl, fct), lens in zip(pages, strip_lens)
+            ]
+            ifd_offsets = []
+            for ifd, offs in zip(built, strip_offsets):
+                ifd.add(_STRIP_OFFSETS, _T_LONG, offs)
+                ifd_offsets.append(offset)
+                offset += ifd.nbytes()
+            if offset > 0xFFFFFFFF:
+                raise ValueError(f"output would be {offset} {limit_msg}")
+            for k, ifd in enumerate(built):
+                nxt = ifd_offsets[k + 1] if k + 1 < len(built) else 0
+                f.write(ifd.serialize(ifd_offsets[k], nxt))
+            f.seek(4)
+            f.write(struct.pack("<I", ifd_offsets[0]))
+    except ValueError:
+        # don't leave a truncated, unreadable file behind
+        if os.path.exists(path):
+            os.remove(path)
+        raise
     return offset
 
 
