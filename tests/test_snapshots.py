@@ -375,3 +375,32 @@ def test_snapshot_keys_survive_type_inference_and_jvm_naming(spark, table_dir):
     assert backd.first()["part"] == 1e-7
     # resume: the committed double key must match (no perpetual re-export)
     assert snap.pending_keys(dfd, d2, "part").count() == 0
+
+
+def test_snapshot_tricky_string_keys_roundtrip_and_resume(spark, table_dir):
+    """Adversarial string keys (path separators, spaces, URL-escapables,
+    numeric-looking, boolean-looking, unicode, NULL) must round-trip
+    bit-exactly through commit -> read -> resume."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    keys = ["007", "a/b", "a b", "True", "1e-7", "2024-01-01",
+            "naïve", "x%3Ay", None]
+    pdf = pd.DataFrame({
+        "x": range(len(keys)),
+        "part": pd.array(keys, dtype="string"),
+    })
+    df = spark.createDataFrame(pdf)
+    snap.write_snapshot(df, table_dir, "part")
+
+    back = snap.read_snapshot(spark, table_dir)
+    assert dict(back.dtypes)["part"] == "string"
+    got = {r["part"] for r in back.collect()}
+    assert got == set(keys)  # incl. None and the %-escaped literal
+
+    # resume sees every committed key (no perpetual re-export)
+    assert snap.pending_keys(df, table_dir, "part").count() == 0
+    # a genuinely new key is still pending
+    extra = spark.createDataFrame(
+        pd.DataFrame({"x": [99], "part": ["NEW"]}))
+    assert snap.pending_keys(extra, table_dir, "part").count() == 1
