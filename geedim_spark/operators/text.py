@@ -80,17 +80,29 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
 
 def lang_id(documents: DataFrame) -> DataFrame:
     """(doc_id, lang_pred): argmax of stopword hits across marker lists;
-    deterministic tie-break by language code."""
-    text = F.col("text")
+    deterministic tie-break by language code.
+
+    The tokenisation (split + per-token regexp normalise — the expensive
+    part) is hoisted into ONE intermediate column instead of being
+    re-evaluated inside every language's hit count: Catalyst does not CSE
+    the identical subtree across array elements, so the inline form paid
+    n_languages tokenisation passes per row."""
+    toks = F.transform(whitespace_tokens(F.lower(F.col("text"))),
+                       lambda t: F.regexp_replace(t, "[^a-z]", ""))
+    stage = documents.select("doc_id", toks.alias("_toks"))
+
+    def hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(arr, t))
+        ).cast("double")
+
     scored = F.array(*[
-        F.struct(
-            _stopword_hits(text, words).alias("hits"),
-            F.lit(code).alias("code"),
-        )
+        F.struct(hits(words).alias("hits"), F.lit(code).alias("code"))
         for code, words in sorted(_LANG_MARKERS.items())
     ])
     best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
-    return documents.select(
+    return stage.select(
         "doc_id",
         F.coalesce(best["code"], F.lit("und")).alias("lang_pred"),
     )
