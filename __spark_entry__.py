@@ -1578,9 +1578,14 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
     s2_ceff = (
         f"CASE WHEN ({qa_ok}) AND c_px > 2 THEN c_px + 3 ELSE 0 END"
     )
-    # cloudless strip width per mask family
+    # cloudless strip width per mask family.  S2 rows inside the QA60
+    # unpopulated window report ZERO cloudless pixels: the reference masks
+    # the QA band there, the mask propagates to CLOUDLESS, and
+    # regionCoverage unmask()-s to 0 (mask.py:374-391 + image.py:641) —
+    # unverifiable images must never rank as perfectly clear
     clw = (
         f"CASE WHEN {mock} THEN w - f_px "
+        f"WHEN {s2} AND NOT ({qa_ok}) THEN 0 "
         f"WHEN {s2} THEN w - f_px - ({s2_ceff}) "
         f"ELSE w - f_px - c_px END"
     )
@@ -1758,10 +1763,13 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(SUM(h * LEAST(5000, CAST({synth.SCALE} AS BIGINT) *
                      CASE WHEN {mock} THEN 9999999
                           -- S2 sources are the post-morphology combined
-                          -- strip [w - c_px - 3, w) (empty when c_px <= 2
-                          -- or QA60 unpopulated)
+                          -- strip [w - c_px - 3, w) (empty when c_px <= 2);
+                          -- QA60-unpopulated rows have a fully-masked
+                          -- CLOUDLESS (reference semantics), so every fill
+                          -- pixel is distance 0, not clamp-saturated
                           WHEN {s2} THEN
-                            CASE WHEN ({qa_ok}) AND c_px > 2
+                            CASE WHEN NOT ({qa_ok}) THEN 0
+                                 WHEN c_px > 2
                                  THEN GREATEST(0, (w - c_px - 3) - x)
                                  ELSE 9999999 END
                           WHEN c_px > 0
@@ -1820,8 +1828,11 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
               FROM images WHERE fmt = 'raw')
             SELECT image_id,
                    CAST(h * LEAST(base_c, (i % 4) * 10) AS BIGINT) AS cloud_px,
-                   CAST((w - f_px) * h - h * LEAST(base_c, (i % 4) * 10) AS BIGINT)
-                     AS cloudless_px,
+                   -- QA60-invalid S2 rows: cloudless 0 (masked, not clear)
+                   CAST(CASE WHEN {s2} AND NOT ({qa_ok}) THEN 0
+                             ELSE (w - f_px) * h
+                                  - h * LEAST(base_c, (i % 4) * 10)
+                        END AS BIGINT) AS cloudless_px,
                    TRUE AS cdi_matched
             FROM base
         """,
@@ -1955,7 +1966,9 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(CASE WHEN {qa_ok} THEN c_px*h ELSE 0 END AS BIGINT)
                      AS cloud_px,
                    CAST(0 AS BIGINT) AS shadow_px,
-                   CAST((w - f_px - ({s2_ceff}))*h AS BIGINT) AS cloudless_px
+                   CAST(CASE WHEN {qa_ok}
+                             THEN (w - f_px - ({s2_ceff}))*h
+                             ELSE 0 END AS BIGINT) AS cloudless_px
             FROM images WHERE fmt = 'raw' AND i % 3 = 2
         """,
         "s2_score_thresh": f"""

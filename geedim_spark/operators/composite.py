@@ -298,6 +298,10 @@ def _pixel_tiles(
     mask.py:102-104).  A caller-attached ``sort_key`` is honoured;
     otherwise capture time is the order."""
     cols = ["image_id", "bytes", "collection", "time_start"]
+    # _with_time_start backfills NULL when the column is absent (a frame
+    # carrying only a caller-attached sort_key is a valid input, same as
+    # composite_collection)
+    images = masks._with_time_start(images)
     if "sort_key" in images.columns:
         src = images.select(*cols, "sort_key")
     else:
@@ -350,6 +354,7 @@ def composite_tiled(
     mask_opts: dict | None = None,
     scale: float = 10.0,
     medoid_metric: str = "sed",
+    max_cloud_dist: float = 5000.0,
 ) -> DataFrame:
     """Composite with the **tile coordinate as the group key** — the shape
     that survives 10^12 images: a whole-image stack (composite_collection)
@@ -390,7 +395,8 @@ def composite_tiled(
         cd = None
         if method == "q-mosaic":
             cd = np.stack([
-                masks.cloud_dist(c >= 2, scale, fill=c >= 1) for c in codes
+                masks.cloud_dist(c >= 2, scale, max_cloud_dist, fill=c >= 1)
+                for c in codes
             ])
         comp, out_valid = composite_stack(stack, valid, method, cd,
                                           medoid_metric=medoid_metric)

@@ -126,9 +126,14 @@ def prepare_for_export(
     """Plan-rewriting half of prepareForExport (image.py:741-862):
     per-band STAC scale/offset (image.py:137-172) then dtype cast with
     saturation (image.py:571-596).  No-op bands pass through unaltered
-    (grid preservation analog: untouched pixels stay bit-identical)."""
+    (grid preservation analog: untouched pixels stay bit-identical).
+
+    Output schema is ALWAYS (image_id, caption, bytes) — including the
+    no-op path, so the result shape cannot flip with parameter values
+    (callers needing the metadata columns re-join on image_id;
+    ``api.Collection.prepare_for_export`` does exactly that)."""
     if not scale_offset and not dtype:
-        return images
+        return images.select("image_id", "caption", "bytes")
 
     def _batch(pdf: pd.DataFrame):
         out = []

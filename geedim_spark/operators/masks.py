@@ -181,9 +181,18 @@ def s2_masks(
             cloud = (qa & _QA60_CLOUD) != 0
             if mask_cirrus:
                 cloud |= (qa & _QA60_CIRRUS) != 0
-            if not qa_valid:  # QA60 unpopulated window (mask.py:379-385)
-                cloud = np.zeros(shape, bool)
+            if not qa_valid:
+                # QA60 unpopulated window (mask.py:374-391): the reference
+                # MASKS the QA band, which propagates through cloud ->
+                # combined -> CLOUDLESS, and regionCoverage unmask()-s to
+                # zero — so the image reports CLOUDLESS_PORTION 0 and
+                # mask_clouds excludes every pixel.  Treating the window
+                # as merely cloud-free (the round-2 reading) inverted
+                # that: unverifiable images ranked BEST by portion.
+                out["CLOUD_MASK"] = np.zeros(shape, bool)
+                out["CLOUDLESS_MASK"] = np.zeros(shape, bool)
                 out["VALID"] = np.False_
+                return out
         elif mask_method == "cloud-prob":
             if prob is None:
                 out["CLOUDLESS_MASK"] = np.zeros(shape, bool)
@@ -693,19 +702,34 @@ def cdi_mask_stats(
             fill = fill_mask(px[:1])
             # base cloud mask per family; CDI refines qa/prob clouds
             # (mask.py:451-454: aux['cloud'].And(cdi_cloud_mask))
+            qa_invalid = False
             if _sensor_for(coll) == "s2":
                 qa = bands["QA60"].astype(np.int64)
                 cloud = ((qa & _QA60_CLOUD) != 0) | ((qa & _QA60_CIRRUS) != 0)
-                if not qa60_valid(ts):  # QA60 unpopulated window
+                if not qa60_valid(ts):
+                    # QA60 unpopulated window: the reference's masked QA
+                    # band stays masked through the CDI And-refinement and
+                    # into CLOUDLESS (see s2_masks) — zero cloud AND zero
+                    # cloudless, not "all clear"
                     cloud = np.zeros_like(cloud)
+                    qa_invalid = True
             else:
+                # full Landsat cloud bits, identical to landsat_masks'
+                # default (mid-confidence | dilated | cirrus) — a lone
+                # bit-9 test silently under-counted vs mask_stats
                 qa = bands["QA_PIXEL"].astype(np.int64)
-                cloud = (qa & _QA_CLOUD_MID) == _QA_CLOUD_MID
+                cloud = (
+                    ((qa & _QA_CLOUD_MID) == _QA_CLOUD_MID)
+                    | ((qa & _QA_CLOUD_DILATED) == _QA_CLOUD_DILATED)
+                    | ((qa & _QA_CIRRUS) == _QA_CIRRUS)
+                )
             matched = cbuf is not None
             if matched:
                 cdi_arr = codecs.decode(bytes(cbuf))[0]
                 cloud = cloud & (cdi_arr < cdi_thresh)
-            cloudless = ~cloud & fill
+            cloudless = (
+                np.zeros_like(fill) if qa_invalid else ~cloud & fill
+            )
             rows.append({
                 "image_id": image_id,
                 "cloud_px": int(cloud.sum()),

@@ -215,7 +215,10 @@ def test_mask_stats_matches_analytic(spark):
             qa_ok = r["i"] > 744  # time_start > 2024-02-01
             ceff = (c + 3) if (qa_ok and c > 2) else 0
             assert g["cloud_px"] == (c * h if qa_ok else 0)
-            assert g["cloudless_px"] == (w - f - ceff) * h
+            # inside the unpopulated window CLOUDLESS is fully masked
+            # (reference semantics), not "all clear"
+            want_cl = (w - f - ceff) * h if qa_ok else 0
+            assert g["cloudless_px"] == want_cl
 
 
 def test_with_portions(spark):
@@ -382,13 +385,16 @@ def test_masks_for_dispatch():
     assert m["CLOUD_MASK"].sum() == 8 * h
     assert m["CLOUDLESS_MASK"].sum() == (w - (8 + 3)) * h
 
-    # S2 inside the unpopulated window: no cloud evidence
+    # S2 inside the unpopulated window: the reference MASKS the QA band,
+    # which propagates to CLOUDLESS and unmask()-s to zero — the image is
+    # unverifiable, NOT perfectly clear (mask.py:374-391 + image.py:641)
     m = masks.masks_for(
         "COPERNICUS/S2_SR_HARMONIZED", {"B1": B1, "QA60": qa60},
         time_start="2023-01-01",
     )
     assert m["CLOUD_MASK"].sum() == 0
-    assert m["CLOUDLESS_MASK"].all()
+    assert m["CLOUDLESS_MASK"].sum() == 0
+    assert not bool(m["VALID"])
 
     # Landsat: QA_PIXEL bits, no morphology
     m = masks.masks_for(
