@@ -1839,10 +1839,11 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
         "morphology": f"""
             WITH images AS ({images})
             SELECT image_id,
-                   -- cast = union of the strip shifted west by t=1..5:
-                   -- [w-c-5, w-1) -> width c+4 (never clipped: c<=12, w=40)
+                   -- cast = union of the strip shifted west by t=0..5
+                   -- (sources included, EE ddt distance 0 is unmasked):
+                   -- [w-c-5, w) -> width c+5 (never clipped: c<=12, w=40)
                    CAST(CASE WHEN c_px > 0
-                             THEN h * (c_px + 4) ELSE 0 END AS BIGINT)
+                             THEN h * (c_px + 5) ELSE 0 END AS BIGINT)
                      AS cast_px,
                    CAST(CASE WHEN c_px > 0
                              THEN h * LEAST(w, c_px + 2) ELSE 0 END AS BIGINT)

@@ -314,12 +314,17 @@ def directional_project(mask: np.ndarray, azimuth_deg: float, npix: int) -> np.n
     """Pixels within ``npix`` steps of a source pixel along ``azimuth``
     (EE directionalDistanceTransform(...).mask() analog, mask.py:355-364).
 
+    Source pixels themselves are INCLUDED (step 0): the reference's
+    'distance' band is 0 — unmasked — at sources, so the .mask() is set
+    there.  (Shadow = projection & dark then covers dark cloud pixels,
+    matching the reference's per-band stats.)
+
     Azimuth convention: degrees anticlockwise from +x (east), y up (north);
     array rows grow south so dy is negated.
     """
     rad = math.radians(azimuth_deg)
     dx, dy = math.cos(rad), -math.sin(rad)
-    out = np.zeros_like(mask)
+    out = mask.copy()
     for step in range(1, max(npix, 0) + 1):
         out |= _shift(mask, round(step * dy), round(step * dx), False)
     return out

@@ -173,6 +173,16 @@ def halo_apply(
 
 # -- ready-made halo kernels --------------------------------------------------
 
+def _floor_u16(d: np.ndarray, max_cloud_dist: float) -> np.ndarray:
+    """masks.cloud_dist's toUint16 semantics (mask.py:124): clamp then
+    floor to the uint16 metre grid.  The tiled kernels must apply the SAME
+    floor or q-mosaic tie-breaks diverge from the whole-image path
+    (diagonal EDT distances are irrational multiples of scale: 14.1 m and
+    14.9 m both floor to 14 -> tie -> sort order decides, while unfloored
+    floats would pick 14.9)."""
+    return np.floor(np.clip(d, 0, min(max_cloud_dist, 65535)))
+
+
 def cloud_dist_kernel(scale: float, max_cloud_dist: float):
     """Tiled CLOUD_DIST: sources are the non-cloudless pixels (mask==0) —
     only *real* pixels can be sources (beyond-image padding is not cloud).
@@ -180,10 +190,11 @@ def cloud_dist_kernel(scale: float, max_cloud_dist: float):
     def kernel(padded: np.ndarray, valid: np.ndarray, halo: int) -> np.ndarray:
         sources = (padded == 0) & valid
         if not sources.any():
-            return np.full(padded.shape, max_cloud_dist)
+            return _floor_u16(np.full(padded.shape, max_cloud_dist),
+                              max_cloud_dist)
         max_px = int(math.ceil(max_cloud_dist / scale))
         d = np.sqrt(masks.edt_squared(sources, max_r=max_px)) * scale
-        return np.clip(d, 0, max_cloud_dist)
+        return _floor_u16(d, max_cloud_dist)
     return kernel
 
 
@@ -200,9 +211,9 @@ def cloud_dist_code_kernel(scale: float, max_cloud_dist: float):
         if sources.any():
             max_px = int(math.ceil(max_cloud_dist / scale))
             d = np.sqrt(masks.edt_squared(sources, max_r=max_px)) * scale
-            d = np.clip(d, 0, max_cloud_dist)
         else:
             d = np.full(padded.shape, max_cloud_dist)
+        d = _floor_u16(d, max_cloud_dist)  # whole-image uint16 parity
         d[(padded == 0) | ~valid] = 0.0
         return d
     return kernel

@@ -173,12 +173,14 @@ def test_focal_and_directional():
     # open removes small blobs (the reference's focal_min(20).focal_max(buffer))
     opened = masks.focal_max(masks.focal_min(m, 1), 2)
     assert opened.sum() == 0
-    # directional projection: azimuth 0 = +x (east)
+    # directional projection: azimuth 0 = +x (east); the source pixel is
+    # included (EE ddt distance 0 is unmasked at sources)
     cast = masks.directional_project(m, 0.0, 3)
-    assert cast[10, 11] and cast[10, 13] and not cast[10, 14] and not cast[10, 9]
+    assert cast[10, 10] and cast[10, 11] and cast[10, 13]
+    assert not cast[10, 14] and not cast[10, 9]
     # azimuth 90 = north (up in array = decreasing row)
     cast = masks.directional_project(m, 90.0, 3)
-    assert cast[9, 10] and cast[7, 10] and not cast[11, 10]
+    assert cast[10, 10] and cast[9, 10] and cast[7, 10] and not cast[11, 10]
 
 
 # -- Spark operators ----------------------------------------------------------

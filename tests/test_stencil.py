@@ -51,7 +51,11 @@ def test_tiled_cloud_dist_equals_whole_image(spark, random_masks):
         by_img.setdefault(r["image_id"], []).append(r)
     for image_id, mk in random_masks.items():
         got = stencil.assemble_tiles(by_img[image_id], 16, 16)
-        want = np.clip(np.sqrt(masks.edt_squared(~mk)) * scale, 0, max_dist)
+        # the tiled kernel floors to the uint16 metre grid exactly like
+        # masks.cloud_dist (mask.py:124 toUint16)
+        want = np.floor(
+            np.clip(np.sqrt(masks.edt_squared(~mk)) * scale, 0, max_dist)
+        )
         assert np.array_equal(got, want), image_id
 
 
@@ -101,7 +105,7 @@ def test_halo_insufficient_is_detectably_different(spark, random_masks):
         halo_px=4, tile_h=16, tile_w=16, out_dtype="float64",
     )
     got = stencil.assemble_tiles(out.collect(), 16, 16)
-    want = np.clip(np.sqrt(masks.edt_squared(~mk)), 0, 50.0)
+    want = np.floor(np.clip(np.sqrt(masks.edt_squared(~mk)), 0, 50.0))
     assert got.shape == want.shape  # runs fine; equality not guaranteed
 
 
@@ -129,9 +133,10 @@ def test_tiled_code_edt_equals_whole_image_fill_semantics(spark):
         halo_px=12, tile_h=16, tile_w=16, out_dtype="float64",
     )
     got = stencil.assemble_tiles(out.collect(), 16, 16)
-    # float-form whole-image EDT (masks.cloud_dist truncates to uint16 for
-    # the export band; the kernel keeps float64) with cloud-only sources
-    want = np.clip(np.sqrt(masks.edt_squared(cloud)) * 1.0, 0, 12.0)
+    # whole-image EDT with cloud-only sources, floored to the uint16 metre
+    # grid (the kernel applies masks.cloud_dist's toUint16 semantics so
+    # q-mosaic tie-breaks match the whole-image path)
+    want = np.floor(np.clip(np.sqrt(masks.edt_squared(cloud)) * 1.0, 0, 12.0))
     want[~fill] = 0.0
     assert np.array_equal(got, want)
     # and the uint16 export band agrees after the same truncation
