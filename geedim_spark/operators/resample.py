@@ -93,21 +93,55 @@ _METHODS = {
     "average": resample_average,
 }
 
+_VALID_EPS = 1e-9
 
-def resample(px: np.ndarray, out_h: int, out_w: int, method: str) -> np.ndarray:
+
+def _validity(px: np.ndarray, nodata) -> np.ndarray:
+    valid = px != nodata
+    if np.issubdtype(px.dtype, np.floating):
+        valid &= ~np.isnan(px)
+    return valid
+
+
+def resample(
+    px: np.ndarray, out_h: int, out_w: int, method: str, nodata=None
+) -> np.ndarray:
+    """Resample ``px`` ((bands, h, w)) to (out_h, out_w), float64 output.
+
+    ``nodata`` (opt-in) makes the kernels MASK-AWARE via normalised
+    convolution: the value and the per-band validity mask are resampled
+    with the same separable kernel and the output is their ratio, so
+    nodata pixels never contribute (EE-masked pixels never blend into
+    valid neighbours — no dark halos at mask edges) and output positions
+    with no valid support become ``nodata`` again.  ``None`` (default)
+    keeps the raw kernels: all pixels are treated as data, matching the
+    value-checked oracle closed forms."""
     if method not in _METHODS:
         raise ValueError(f"unknown resampling method {method!r} "
                          f"(supported: {sorted(_METHODS)})")
-    return _METHODS[method](px, out_h, out_w)
+    fn = _METHODS[method]
+    if nodata is None:
+        return fn(px, out_h, out_w)
+    valid = _validity(px, nodata)
+    num = fn(np.where(valid, px.astype(np.float64), 0.0), out_h, out_w)
+    den = fn(valid.astype(np.float64), out_h, out_w)
+    ok = np.abs(den) > _VALID_EPS
+    out = np.full(num.shape, float(nodata), np.float64)
+    np.divide(num, den, out=out, where=ok)
+    return out
 
 
 def resample_images(
-    images: DataFrame, out_h: int, out_w: int, method: str = "bilinear"
+    images: DataFrame, out_h: int, out_w: int, method: str = "bilinear",
+    nodata=None,
 ) -> DataFrame:
     """Spark op: re-encode every image resampled to (out_h, out_w) float64.
 
     Composites (rows with ``fixed = false`` column, if present) pass through
-    unaltered per image.py:559-561.
+    unaltered per image.py:559-561.  ``nodata`` opts into mask-aware
+    resampling (see :func:`resample`) — pass
+    ``codecs.NODATA_VALS[dtype]`` when chaining after ``mask_clouds`` so
+    masked pixels neither bleed into valid neighbours nor get resurrected.
     """
     has_fixed = "fixed" in images.columns
 
@@ -122,7 +156,7 @@ def resample_images(
                 out.append({"image_id": image_id, "bytes": buf})
                 continue
             px = codecs.decode(buf)
-            res = resample(px, out_h, out_w, method)
+            res = resample(px, out_h, out_w, method, nodata=nodata)
             out.append({
                 "image_id": image_id,
                 "bytes": codecs.encode_raw(np.ascontiguousarray(res)),

@@ -124,3 +124,38 @@ def test_resample_images_composites_pass_through(spark):
     }
     assert codecs.decode(out["A"]).shape == (3, 40, 40)
     assert codecs.decode(out["B"]).shape == (3, 20, 20)  # unaltered
+
+
+def test_resample_nodata_aware_no_halos():
+    """Mask-aware resampling (normalised convolution): nodata pixels never
+    blend into valid neighbours and unsupported outputs become nodata."""
+    import numpy as np
+
+    from geedim_spark.operators import resample as rs
+
+    px = np.full((1, 8, 8), 100, np.uint16)
+    px[0, :, :4] = 0  # nodata half
+    out = rs.resample(px, 4, 4, "bilinear", nodata=0)
+    # valid half stays exactly 100 (no dark halo at the boundary)
+    assert np.all(out[0, :, 2:] == 100.0)
+    # fully-nodata outputs stay nodata
+    assert np.all(out[0, :, 0] == 0.0)
+
+    # float dtype: NaN and -inf style nodata must not propagate
+    fpx = np.full((1, 8, 8), 7.5, np.float64)
+    fpx[0, :, :4] = -np.inf
+    outf = rs.resample(fpx, 4, 4, "average", nodata=-np.inf)
+    assert np.all(outf[0, :, 2:] == 7.5)
+    assert np.all(np.isinf(outf[0, :, 0]))
+
+    # default (nodata=None) keeps the raw blending semantics: a 3-wide
+    # output samples position 3.5, straddling the nodata|valid boundary
+    raw = rs.resample(px, 3, 3, "bilinear")
+    assert 0.0 < raw[0, 0, 1] < 100.0  # blends toward 0
+    # ...while the mask-aware form keeps it exactly 100
+    aware = rs.resample(px, 3, 3, "bilinear", nodata=0)
+    assert aware[0, 0, 1] == 100.0
+
+    # bicubic variant: interior valid pixels unchanged, no halo leak
+    outc = rs.resample(px, 4, 4, "bicubic", nodata=0)
+    assert np.all(np.abs(outc[0, :, 3] - 100.0) < 1e-9)
