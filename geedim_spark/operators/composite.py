@@ -325,6 +325,8 @@ def _pixel_tiles(
                     + m["CLOUDLESS_MASK"].astype(np.uint8)
                 )
                 _, h, w = px.shape
+                n_tr = -(-h // tile_h)
+                n_tc = -(-w // tile_w)
                 for tr in range(0, h, tile_h):
                     for tc in range(0, w, tile_w):
                         blk = px[:, tr:tr + tile_h, tc:tc + tile_w]
@@ -332,17 +334,19 @@ def _pixel_tiles(
                         rows.append({
                             "image_id": image_id, "sort_key": sk,
                             "tr": tr // tile_h, "tc": tc // tile_w,
+                            "n_tr": n_tr, "n_tc": n_tc,
                             "tile_bytes": codecs.encode_raw(blk),
                             "valid_bytes": codecs.encode_raw(vblk[None, :, :]),
                         })
             yield pd.DataFrame(rows, columns=[
-                "image_id", "sort_key", "tr", "tc", "tile_bytes", "valid_bytes",
+                "image_id", "sort_key", "tr", "tc", "n_tr", "n_tc",
+                "tile_bytes", "valid_bytes",
             ])
 
     return src.mapInPandas(
         _tiles,
         schema="image_id string, sort_key double, tr int, tc int, "
-               "tile_bytes binary, valid_bytes binary",
+               "n_tr int, n_tc int, tile_bytes binary, valid_bytes binary",
     )
 
 
@@ -422,28 +426,42 @@ def composite_tiled_qmosaic_halo(
     tile-bounded memory — removes composite_tiled's one documented
     q-mosaic caveat (per-tile EDT saturates tiles far from any cloud).
 
-    Plan: (1) 3-state code tiles (stencil.mask_tiles) -> halo-join EDT
-    (stencil.halo_apply + cloud_dist_code_kernel, halo = the clamp reach,
-    so each tile's distances equal the whole-image transform exactly);
-    (2) pixel tiles; (3) equi-join dist tiles onto pixel tiles on the
-    compact (image_id, tr, tc) key; (4) groupBy (tr, tc) argmax reduce.
-    Two shuffles on integer grid keys, task memory bounded by
-    n_images x tile_size — the same scale contract as composite_tiled.
+    Plan: (1) ONE decode+mask pass (_pixel_tiles) whose uint8 valid plane
+    IS the 3-state code plane (0 invalid / 1 filled-cloudy / 2 cloudless);
+    the frame is persisted (MEMORY_AND_DISK, lazy) because both the halo
+    branch and the final join consume it — without the cache the expensive
+    kernel would run twice per image; (2) halo-join EDT over the code
+    tiles (stencil.halo_apply + cloud_dist_code_kernel, halo = the clamp
+    reach, so each tile's distances equal the whole-image transform
+    exactly incl. the uint16 floor); (3) equi-join dist tiles back onto
+    the pixel tiles on the compact (image_id, tr, tc) key; (4) groupBy
+    (tr, tc) argmax reduce.  Two shuffles on integer grid keys, task
+    memory bounded by n_images x tile_size — the same scale contract as
+    composite_tiled.  The returned frame carries the cache handle as
+    ``_tile_cache`` for targeted unpersist; long sessions can
+    ``spark.catalog.clearCache()``.
     """
     import math as _math
+
+    from pyspark import StorageLevel
 
     from geedim_spark.operators import stencil
 
     mask_opts = mask_opts or {}
     halo = int(_math.ceil(max_cloud_dist / scale))
-    codes = stencil.mask_tiles(images, tile_h, tile_w, plane="code", **mask_opts)
+    tiles = _pixel_tiles(images, tile_h, tile_w, mask_opts).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    codes = tiles.select(
+        "image_id", "tr", "tc", "n_tr", "n_tc",
+        F.col("valid_bytes").alias("tile_bytes"),
+    )
     dists = stencil.halo_apply(
         codes, stencil.cloud_dist_code_kernel(scale, max_cloud_dist),
         halo_px=halo, tile_h=tile_h, tile_w=tile_w, out_dtype="float64",
     ).select(
         "image_id", "tr", "tc", F.col("tile_bytes").alias("dist_bytes")
     )
-    tiles = _pixel_tiles(images, tile_h, tile_w, mask_opts)
     joined = tiles.join(dists, ["image_id", "tr", "tc"])
 
     def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -465,7 +483,9 @@ def composite_tiled_qmosaic_halo(
             "n_inputs": len(pdf),
         }])
 
-    return joined.groupBy("tr", "tc").applyInPandas(_reduce, schema=_TILED_SCHEMA)
+    out = joined.groupBy("tr", "tc").applyInPandas(_reduce, schema=_TILED_SCHEMA)
+    out._tile_cache = tiles
+    return out
 
 
 def composite_metadata(images: DataFrame, method: str) -> DataFrame:
