@@ -357,3 +357,51 @@ def test_medoid_metric_parameter_changes_winner():
         assert np.allclose(got, want), metric
     # and the engineered divergence actually happened
     assert brute("sed") != brute("sam")
+
+
+def test_tiled_halo_qmosaic_equals_whole_image_random_clouds(spark):
+    """The STRONG form of halo == whole-image: random scattered clouds
+    produce diagonal (irrational-multiple-of-scale) EDT distances, so this
+    only passes because the tiled kernel applies the same uint16 floor as
+    the whole-image CLOUD_DIST band — float distances would pick different
+    argmax winners on floor-ties."""
+    import pandas as pd
+
+    from geedim_spark.operators import stencil
+
+    rng = np.random.default_rng(5)
+    h = w = 40
+    rows = []
+    for i in range(6):
+        px = rng.integers(1, 60000, size=(2, h, w)).astype(np.uint16)
+        qa = np.zeros((h, w), np.uint16)
+        qa[rng.random((h, w)) < 0.04] = 1 << 9  # scattered clouds
+        px[1] = qa
+        # scattered nodata holes in the data band
+        px[0][rng.random((h, w)) < 0.05] = 0
+        rows.append({
+            "image_id": f"IMG/{i:08d}",
+            "bytes": codecs.encode_raw(px),
+            "collection": "LANDSAT/LC09/C02/T1_L2",
+            "time_start": pd.Timestamp("2024-03-01") + pd.Timedelta(days=i),
+        })
+    imgs = spark.createDataFrame(pd.DataFrame(rows))
+
+    whole_rows = comp.composite_collection(
+        imgs, "q-mosaic", scale=10.0, max_cloud_dist=170.0
+    ).collect()
+    whole = codecs.decode(bytes(whole_rows[0]["bytes"]))
+
+    tiles = comp.composite_tiled_qmosaic_halo(
+        imgs, tile_h=16, tile_w=16, scale=10.0, max_cloud_dist=170.0
+    ).collect()
+    got = np.stack([
+        stencil.assemble_tiles(
+            [{"tr": r["tr"], "tc": r["tc"],
+              "tile_bytes": _band(r["bytes"], b)} for r in tiles], 16, 16
+        )
+        for b in range(whole.shape[0])
+    ])
+    assert got.shape == whole.shape
+    assert np.array_equal(np.isnan(got), np.isnan(whole))
+    assert np.array_equal(got[~np.isnan(got)], whole[~np.isnan(whole)])
