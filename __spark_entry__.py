@@ -183,33 +183,35 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot stats.  Streaming == batch at drain, so the result value-checks
     against the same closed forms as the batch mask pipeline."""
     import shutil
+    import tempfile
 
     from geedim_spark.sources import snapshots
     from geedim_spark.streaming import ingest
 
     n, _ = _sizes(sf_dir)
     n = min(n, 600)
-    # fixed base dir, cleared up front: the snapshot table must outlive the
-    # returned (lazy) frame, so it cannot be deleted here — clearing the
-    # previous run's dir instead bounds /tmp to ONE copy
-    base = "/tmp/geedim_stream_q_cache"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
-    synth.images_df(spark, n).coalesce(4).write.parquet(f"{base}/in")
-    q = ingest.stream_mask_stats(
-        spark, f"{base}/in", f"{base}/tbl", f"{base}/ckpt", available_now=True
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming ingest did not drain within 300 s")
-    out = snapshots.read_snapshot(spark, f"{base}/tbl").select(
-        "image_id", "total_px", "fill_px", "cloudless_px"
-    )
-    # the returned frame reads only tbl/ lazily; the source and checkpoint
-    # can go now (tbl/ itself is cleared by the NEXT run's rmtree above)
-    shutil.rmtree(f"{base}/in", ignore_errors=True)
-    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
-    return out
+    # UNIQUE temp dir (two drivers on one host must not rmtree each
+    # other's table mid-run) + EAGER materialisation so the whole dir can
+    # go in finally — same contract as _drained_events_stream
+    base = tempfile.mkdtemp(prefix="geedim_stream_ingest_")
+    try:
+        synth.images_df(spark, n).coalesce(4).write.parquet(f"{base}/in")
+        q = ingest.stream_mask_stats(
+            spark, f"{base}/in", f"{base}/tbl", f"{base}/ckpt",
+            available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming ingest did not drain within 300 s")
+        out = snapshots.read_snapshot(spark, f"{base}/tbl").select(
+            "image_id", "total_px", "fill_px", "cloudless_px"
+        )
+        return spark.createDataFrame(
+            out.collect(),
+            "image_id string, total_px long, fill_px long, cloudless_px long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_cloud_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,9 +358,9 @@ def q_prepare_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geedim_spark.operators import export_ops
 
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'").withColumn(
-        "caption", F.col("caption")  # prepare op carries caption through
-    )
+    # caption pass-through is a property of export_ops.prepare_for_export
+    # itself (its fixed output schema), not of any projection here
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
     prepped = export_ops.prepare_for_export(
         imgs, scale_offset={0: (1.75, -20.0)}, dtype="uint8"
     )
@@ -532,9 +534,6 @@ def _drained_events_stream(spark, sf_dir, start_fn, finalize, out_schema):
                                      out_schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
-
-
-_STREAM_WIN_SEQ = [0]
 
 
 def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1220,27 +1219,30 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     group depends on micro-batch boundaries, so the query returns the
     hashes — the per-batch doc_id determinism is pytest-covered)."""
     import shutil
+    import tempfile
 
     from geedim_spark.streaming import stateful
 
-    base = "/tmp/geedim_stream_dedup_cache"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
-    docs.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 micro-batches
+    # UNIQUE temp dir (two drivers on one host must not rmtree each
+    # other's staged input mid-drain), removed in finally — same contract
+    # as _drained_events_stream
+    base = tempfile.mkdtemp(prefix="geedim_stream_dedup_")
+    try:
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
 
-    _STREAM_DEDUP_SEQ[0] += 1
-    sink = f"q_stream_dedup_sink_{_STREAM_DEDUP_SEQ[0]}"
-    q = stateful.stream_dedup(spark, f"{base}/in", f"{base}/ckpt",
-                              sink_table=sink)
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming dedup did not drain within 300 s")
-    out = spark.table(sink).select("text_hash").distinct()
-    # materialise off the memory sink so the frame survives later queries
-    out = spark.createDataFrame(out.collect(), "text_hash string")
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+        _STREAM_DEDUP_SEQ[0] += 1
+        sink = f"q_stream_dedup_sink_{_STREAM_DEDUP_SEQ[0]}"
+        q = stateful.stream_dedup(spark, f"{base}/in", f"{base}/ckpt",
+                                  sink_table=sink)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming dedup did not drain within 300 s")
+        out = spark.table(sink).select("text_hash").distinct()
+        # materialise off the memory sink so the frame survives cleanup
+        return spark.createDataFrame(out.collect(), "text_hash string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

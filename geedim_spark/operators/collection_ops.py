@@ -74,6 +74,7 @@ def expand_schema_filter(expr: str, collection_id: str | None) -> str:
     # them (e.g. caption LIKE '%DATE%') are never rewritten
     parts = re.split(r"('(?:[^']|'')*')", expr)
     amap = gd_schema.abbrev_map(collection_id)
+    sch = gd_schema.schema_for(collection_id)
     for i in range(0, len(parts), 2):  # even indices = outside literals
         seg = parts[i]
         # DATE is also a SQL keyword: protect its *type* positions — the
@@ -90,7 +91,14 @@ def expand_schema_filter(expr: str, collection_id: str | None) -> str:
         if i + 1 < len(parts):  # a string literal follows this segment
             seg = re.sub(r"\bDATE\s*$", _protect, seg)
         for abbrev, prop in amap.items():
-            repl = direct.get(abbrev, f"cast(props['{prop}'] as double)")
+            if abbrev in direct:
+                repl = direct[abbrev]
+            elif sch.get(prop, {}).get("dtype") == "string":
+                # declared string-typed props (QC flags): a double cast
+                # would NULL every row and silently empty the result
+                repl = f"props['{prop}']"
+            else:
+                repl = f"cast(props['{prop}'] as double)"
             seg = re.sub(rf"\b{re.escape(abbrev)}\b", repl, seg)
         parts[i] = re.sub(
             r"\x00(\d+)\x00", lambda m: protected[int(m.group(1))], seg
@@ -115,11 +123,17 @@ def search(
     ``collection_id`` is given — see :func:`expand_schema_filter`."""
     if custom_filter and collection_id is not None:
         custom_filter = expand_schema_filter(custom_filter, collection_id)
+    filter_wants_portions = bool(custom_filter) and any(
+        p.lower() in custom_filter.lower() for p in _PORTION_PROPS
+    )
     want_portions = fill_portion is not None or cloudless_portion is not None
-    if want_portions and rois is None:
-        # collection.py:590-594 guard
+    if (want_portions or filter_wants_portions) and rois is None:
+        # collection.py:590-594 guard — a custom filter NAMING the portion
+        # properties needs a region just as much as the kwargs do
+        # (whole-image portions are values the reference never produces)
         raise ValueError(
-            "One of fill_portion / cloudless_portion requires a region (rois)."
+            "fill_portion / cloudless_portion (as kwargs or referenced in "
+            "custom_filter) requires a region (rois)."
         )
 
     out = images
@@ -169,7 +183,7 @@ def check_export_guards(images: DataFrame, bands: int = 2, dtype_size: int = 2) 
     agg = images.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("w", "h").alias("n_grids"),
-        F.sum(F.col("w").cast("long") * F.col("h")).alias("px"),
+        F.max(F.col("w").cast("long") * F.col("h")).alias("max_px"),
     ).first()
     if agg["n"] > MAX_EXPORT_IMAGES:
         raise ValueError(
@@ -180,11 +194,15 @@ def check_export_guards(images: DataFrame, bands: int = 2, dtype_size: int = 2) 
             "Inconsistent pixel grids across the collection "
             f"({agg['n_grids']} distinct (w, h) shapes) — split the export."
         )
-    raw = (agg["px"] or 0) * bands * dtype_size
+    # PER-IMAGE cap (tile.py:201-208): the reference warns when a single
+    # image's export exceeds the limit, not the whole collection's sum —
+    # a bulk export of many small images is normal
+    raw = (agg["max_px"] or 0) * bands * dtype_size
     if raw > EXPORT_SIZE_WARNING:
         warnings.warn(
-            f"Export raw size ~{raw / 1e9:.1f} GB exceeds 10 GB; consider "
-            "reducing bounds/resolution/dtype.", RuntimeWarning, stacklevel=2,
+            f"Largest image raw export ~{raw / 1e9:.1f} GB exceeds 10 GB; "
+            "consider reducing bounds/resolution/dtype.",
+            RuntimeWarning, stacklevel=2,
         )
     return int(agg["n"])
 
@@ -203,14 +221,16 @@ def check_compatible_collections(images: DataFrame) -> list[str]:
     )
     if len(ids) <= 1:
         return ids
+    # fullmatch, not search: an unanchored pattern let extra prefixes /
+    # suffixes ride along ('...T1_L2_EXTRA' passed against '...T1_L2')
     landsat_re = re.compile(r"(LANDSAT/\w{2})(\d{2})(/.*)")
-    m0 = ids[0] and landsat_re.search(ids[0])
+    m0 = ids[0] and landsat_re.fullmatch(ids[0])
     for name in ids[1:]:
         if name and m0:
             variant = re.compile(
                 rf"{re.escape(m0.group(1))}\d\d{re.escape(m0.group(3))}"
             )
-            if not variant.search(name):
+            if not variant.fullmatch(name):
                 raise ValueError(f"Incompatible collections: {ids}")
         elif name != ids[0]:
             raise ValueError(f"Incompatible collections: {ids}")

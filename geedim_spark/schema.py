@@ -54,8 +54,11 @@ S2_PROP_SCHEMA = {
     "RADIOMETRIC_QUALITY": {
         "abbrev": "RADQ",
         "description": "radiometric QC flag",
+        "dtype": "string",  # QC flags hold 'PASSED'/'FAILED', not numbers
     },
-    "GEOMETRIC_QUALITY": {"abbrev": "GEOMQ", "description": "geometric QC flag"},
+    "GEOMETRIC_QUALITY": {"abbrev": "GEOMQ",
+                          "description": "geometric QC flag",
+                          "dtype": "string"},
     "MEAN_SOLAR_AZIMUTH_ANGLE": {
         "abbrev": "SAA",
         "description": "sun azimuth, degrees",
@@ -75,7 +78,7 @@ S2_PROP_SCHEMA = {
 }
 
 
-def _landsat(num: str, sensor: str, level: str, family: str, descr: str) -> dict:
+def _landsat(num: str, level: str, family: str, descr: str) -> dict:
     return {
         "gd_coll_name": f"l{num}-c2-{level}",
         "prop_schema": LANDSAT_PROP_SCHEMA,
@@ -99,52 +102,37 @@ def _s2(name: str, family: str, descr: str) -> dict:
 # 's2-sr' vs 's2-toa' the CDI twin-image behavior)
 COLLECTION_SCHEMA = {
     # Landsat surface reflectance
-    "LANDSAT/LT04/C02/T1_L2": _landsat(
-        "4", "LT", "l2", "landsat-sr",
+    "LANDSAT/LT04/C02/T1_L2": _landsat("4", "l2", "landsat-sr",
         "Landsat-4 C2 T1 L2 surface reflectance"),
-    "LANDSAT/LT05/C02/T1_L2": _landsat(
-        "5", "LT", "l2", "landsat-sr",
+    "LANDSAT/LT05/C02/T1_L2": _landsat("5", "l2", "landsat-sr",
         "Landsat-5 C2 T1 L2 surface reflectance"),
-    "LANDSAT/LE07/C02/T1_L2": _landsat(
-        "7", "LE", "l2", "landsat-sr",
+    "LANDSAT/LE07/C02/T1_L2": _landsat("7", "l2", "landsat-sr",
         "Landsat-7 C2 T1 L2 surface reflectance"),
-    "LANDSAT/LC08/C02/T1_L2": _landsat(
-        "8", "LC", "l2", "landsat-sr-aerosol",
+    "LANDSAT/LC08/C02/T1_L2": _landsat("8", "l2", "landsat-sr-aerosol",
         "Landsat-8 C2 T1 L2 surface reflectance"),
-    "LANDSAT/LC09/C02/T1_L2": _landsat(
-        "9", "LC", "l2", "landsat-sr-aerosol",
+    "LANDSAT/LC09/C02/T1_L2": _landsat("9", "l2", "landsat-sr-aerosol",
         "Landsat-9 C2 T1 L2 surface reflectance"),
     # Landsat TOA reflectance
-    "LANDSAT/LT04/C02/T1_TOA": _landsat(
-        "4", "LT", "toa", "landsat-toa-raw",
+    "LANDSAT/LT04/C02/T1_TOA": _landsat("4", "toa", "landsat-toa-raw",
         "Landsat-4 C2 T1 top-of-atmosphere reflectance"),
-    "LANDSAT/LT05/C02/T1_TOA": _landsat(
-        "5", "LT", "toa", "landsat-toa-raw",
+    "LANDSAT/LT05/C02/T1_TOA": _landsat("5", "toa", "landsat-toa-raw",
         "Landsat-5 C2 T1 top-of-atmosphere reflectance"),
-    "LANDSAT/LE07/C02/T1_TOA": _landsat(
-        "7", "LE", "toa", "landsat-toa-raw",
+    "LANDSAT/LE07/C02/T1_TOA": _landsat("7", "toa", "landsat-toa-raw",
         "Landsat-7 C2 T1 top-of-atmosphere reflectance"),
-    "LANDSAT/LC08/C02/T1_TOA": _landsat(
-        "8", "LC", "toa", "landsat-toa-raw",
+    "LANDSAT/LC08/C02/T1_TOA": _landsat("8", "toa", "landsat-toa-raw",
         "Landsat-8 C2 T1 top-of-atmosphere reflectance"),
-    "LANDSAT/LC09/C02/T1_TOA": _landsat(
-        "9", "LC", "toa", "landsat-toa-raw",
+    "LANDSAT/LC09/C02/T1_TOA": _landsat("9", "toa", "landsat-toa-raw",
         "Landsat-9 C2 T1 top-of-atmosphere reflectance"),
     # Landsat at-sensor radiance
-    "LANDSAT/LT04/C02/T1": _landsat(
-        "4", "LT", "raw", "landsat-toa-raw",
+    "LANDSAT/LT04/C02/T1": _landsat("4", "raw", "landsat-toa-raw",
         "Landsat-4 C2 T1 at-sensor radiance"),
-    "LANDSAT/LT05/C02/T1": _landsat(
-        "5", "LT", "raw", "landsat-toa-raw",
+    "LANDSAT/LT05/C02/T1": _landsat("5", "raw", "landsat-toa-raw",
         "Landsat-5 C2 T1 at-sensor radiance"),
-    "LANDSAT/LE07/C02/T1": _landsat(
-        "7", "LE", "raw", "landsat-toa-raw",
+    "LANDSAT/LE07/C02/T1": _landsat("7", "raw", "landsat-toa-raw",
         "Landsat-7 C2 T1 at-sensor radiance"),
-    "LANDSAT/LC08/C02/T1": _landsat(
-        "8", "LC", "raw", "landsat-toa-raw",
+    "LANDSAT/LC08/C02/T1": _landsat("8", "raw", "landsat-toa-raw",
         "Landsat-8 C2 T1 at-sensor radiance"),
-    "LANDSAT/LC09/C02/T1": _landsat(
-        "9", "LC", "raw", "landsat-toa-raw",
+    "LANDSAT/LC09/C02/T1": _landsat("9", "raw", "landsat-toa-raw",
         "Landsat-9 C2 T1 at-sensor radiance"),
     # Sentinel-2 surface reflectance
     "COPERNICUS/S2_SR": _s2(

@@ -50,7 +50,12 @@ def band_props_df(spark: SparkSession) -> DataFrame:
 
 def with_scale_offset(images: DataFrame, props: DataFrame) -> DataFrame:
     """Broadcast-join the per-band scale/offset arrays onto each image row
-    (sorted by band name for deterministic array order)."""
+    (sorted by band name for deterministic array order).
+
+    Collections absent from the catalog get an EMPTY band_so array, not
+    NULL (the reference's STAC default is identity scale/offset when no
+    entry exists, image.py:137-172 — kernels treat missing/short arrays as
+    scale 1 / offset 0 instead of crashing on None)."""
     # sort key (len(band), band): numeric-aware for B1..B11-style names —
     # plain lexicographic order puts B10 before B2, so a kernel applying
     # band_so[i] to pixel band i would mix up scale/offsets
@@ -65,7 +70,11 @@ def with_scale_offset(images: DataFrame, props: DataFrame) -> DataFrame:
             ),
         ).alias("band_so")
     )
-    return images.join(F.broadcast(agg), "collection", "left")
+    joined = images.join(F.broadcast(agg), "collection", "left")
+    empty = F.array().cast(
+        "array<struct<band:string,scale:double,offset:double>>"
+    )
+    return joined.withColumn("band_so", F.coalesce(F.col("band_so"), empty))
 
 
 def portion_scale(props: DataFrame, collection: str) -> float:

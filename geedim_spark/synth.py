@@ -361,4 +361,9 @@ def recipe_hash() -> str:
         inspect.getsource(f)
         for f in (_scalar_base, _decorate_meta, _gen_bytes_batch, images_df)
     ) + inspect.getsource(codecs)  # staged bytes embed the wire format
+    # module CONSTANTS the generators close over: an edit to e.g. EPOCH or
+    # a placement multiplier changes the data while leaving every function
+    # source unchanged — without this the stale staged cache would be
+    # served against freshly-recomputed oracles
+    src += repr((SCALE, EPOCH, _PX, _PY, _RX, _RY))
     return hashlib.sha1(src.encode()).hexdigest()[:8]

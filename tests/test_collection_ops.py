@@ -70,9 +70,18 @@ def test_export_guards(spark):
     )
     with pytest.raises(ValueError, match="Inconsistent pixel grids"):
         co.check_export_guards(mixed)
-    big = synth.images_meta_df(spark, 5, w=40000, h=40000)
+    # per-IMAGE size cap (tile.py:201-208): one 52k-square image is
+    # ~10.8 GB raw and warns...
+    big = synth.images_meta_df(spark, 5, w=52000, h=52000)
     with pytest.warns(RuntimeWarning, match="10 GB"):
         co.check_export_guards(big)
+    # ...but many small images summing past 10 GB do NOT (bulk exports of
+    # normal images are fine; the reference warns per image)
+    import warnings as _w
+    many_small = synth.images_meta_df(spark, 4000, w=1000, h=1000)
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        co.check_export_guards(many_small)
     too_many = synth.images_meta_df(spark, 5001)
     with pytest.raises(ValueError, match="5000-image cap"):
         co.check_export_guards(too_many)
@@ -119,3 +128,39 @@ def test_compatible_collections_landsat(spark):
     with pytest.raises(ValueError, match="Incompatible"):
         co.check_compatible_collections(
             df("LANDSAT/LC08/C02/T1_L2", "COPERNICUS/S2_SR_HARMONIZED"))
+
+def test_compatibility_check_is_anchored(spark):
+    """Regression: unanchored regex let ids with extra suffixes/prefixes
+    pass as compatible Landsat variants."""
+    import pandas as pd
+
+    def frame(ids):
+        return spark.createDataFrame(
+            pd.DataFrame({"collection": ids, "image_id": range(len(ids))}))
+
+    ok = frame(["LANDSAT/LC08/C02/T1_L2", "LANDSAT/LC09/C02/T1_L2"])
+    co.check_compatible_collections(ok)  # genuine variants still pass
+    for bad in (
+        ["LANDSAT/LC08/C02/T1_L2", "LANDSAT/LC09/C02/T1_L2_EXTRA"],
+        ["LANDSAT/LC08/C02/T1_L2", "ALANDSAT/LC09/C02/T1_L2"],
+    ):
+        with pytest.raises(ValueError, match="Incompatible"):
+            co.check_compatible_collections(frame(bad))
+
+
+def test_portion_filter_without_region_raises(spark):
+    """A custom filter NAMING the portion properties needs a region, just
+    like the kwargs (collection.py:590-594)."""
+    imgs = synth.images_df(spark, 10)
+    with pytest.raises(ValueError, match="requires a region"):
+        co.search(imgs, custom_filter="CLOUDLESS_PORTION >= 50")
+
+
+def test_schema_filter_string_props_not_cast():
+    """Declared string-typed props (QC flags) must not be cast to double —
+    the cast NULLs every row and silently empties the result."""
+    out = co.expand_schema_filter(
+        "RADQ = 'PASSED' and SAA <= 180", "COPERNICUS/S2_SR_HARMONIZED"
+    )
+    assert "props['RADIOMETRIC_QUALITY'] = 'PASSED'" in out
+    assert "cast(props['MEAN_SOLAR_AZIMUTH_ANGLE'] as double)" in out
