@@ -185,7 +185,14 @@ class Collection:
         741-862 via export_ops.prepare_for_export): per-band STAC
         scale/offset then saturating dtype cast, with the metadata columns
         re-attached and ``fmt`` rewritten to 'raw' (the prepared bytes are
-        a fresh raw encoding)."""
+        a fresh raw encoding).
+
+        ORDERING: run this AFTER any mask computation/application — the
+        cast saturates the QA bands, garbling cloud bits for any later
+        mask kernel.  For the download chain use
+        ``download(..., export_dtype=...)``, which casts inside the export
+        kernel after the masks (the reference's addMaskBands ->
+        maskClouds -> prepareForExport order)."""
         if not scale_offset and not dtype:
             return self
         prepared = export_ops.prepare_for_export(self.df, scale_offset, dtype)

@@ -182,7 +182,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 fill_portion=args.fill_portion,
                 cloudless_portion=args.cloudless_portion,
             )
-            print(f"search: {coll.count()} images match")
+            n_found = coll.count()
+            print(f"search: {n_found} images match")
             add_props = (
                 [p.strip() for p in args.add_props.split(",") if p.strip()]
                 if args.add_props else None
@@ -198,22 +199,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(coll.properties_table(prop_names=names))
             if args.results_file:
                 import json as _json
+                # ALL found images (the reference writes the full result
+                # set, cli.py:673-676) — the default n=20 is a table
+                # preview cap, not a results cap
                 with open(args.results_file, "w") as f:
-                    _json.dump(coll.properties(), f, default=str)
+                    _json.dump(coll.properties(n=n_found), f, default=str)
                 print(f"search: results written to {args.results_file}")
         elif cmd == "composite":
             coll = coll.composite(args.method, date=args.date,
                                   by_portion=args.by_portion)
             print(f"composite: {args.method}")
         elif cmd == "download":
-            if args.dtype:
-                coll = coll.prepare_for_export(dtype=args.dtype)
+            # dtype is applied INSIDE the export kernel AFTER masks are
+            # computed (the reference's addMaskBands -> maskClouds ->
+            # prepareForExport order) — casting the table first would
+            # saturate the QA bands and garble every cloud bit
             snap = coll.download(
                 args.out, partition_col=args.partition_col,
                 resume=not args.no_resume,
                 max_tile_dim=args.max_tile_dim,
                 max_tile_bands=args.max_tile_bands,
                 apply_cloud_mask=args.apply_mask,
+                export_dtype=args.dtype,
             )
             print(f"download: snapshot {snap} -> {args.out}")
     return 0

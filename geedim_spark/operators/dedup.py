@@ -406,6 +406,10 @@ def dup_components(
             new = (
                 new.join(lk, new.comp == lk._lid, "left")
                 .select("id", F.coalesce("_lcomp", "comp").alias("comp"))
+                # the jump output is consumed by the NEXT round's edge
+                # join + union + this round's convergence check —
+                # materialise it too or the jump join re-executes ~3x
+                .localCheckpoint(eager=True)
             )
         if numeric:
             new_sum = _label_sum(new)

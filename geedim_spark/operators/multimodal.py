@@ -137,12 +137,16 @@ def resize_media(images: DataFrame, out_h: int, out_w: int,
             out.append({
                 "image_id": image_id,
                 "bytes": codecs.encode_raw(np.ascontiguousarray(res)),
+                # re-encoded raw: fmt rewritten like masks.mask_clouds, so
+                # the result feeds straight back into image_features /
+                # resize_media
+                "fmt": "raw",
                 "w": out_w, "h": out_h,
             })
-        return pd.DataFrame(out, columns=["image_id", "bytes", "w", "h"])
+        return pd.DataFrame(out, columns=["image_id", "bytes", "fmt", "w", "h"])
 
     src = images.select("image_id", "bytes", "fmt", "w", "h")
     return src.mapInPandas(
         lambda it: (_batch(p) for p in it),
-        schema="image_id string, bytes binary, w int, h int",
+        schema="image_id string, bytes binary, fmt string, w int, h int",
     )

@@ -41,6 +41,7 @@ def mask_and_tile(
     apply_cloud_mask: bool = True,
     focal_open_px: int = 0,
     focal_dilate_px: int = 0,
+    export_dtype: str | None = None,
     **mask_opts,
 ) -> DataFrame:
     """images -> masked tile rows, single decode per image.
@@ -48,7 +49,23 @@ def mask_and_tile(
     ``focal_open_px``/``focal_dilate_px`` optionally run the reference's
     morphological open + dilate on the combined mask (mask.py:466-472 —
     part of the S2 qa/prob pipelines) before the cloudless mask is applied.
+
+    ``export_dtype`` saturating-casts the EXPORTED pixels AFTER the masks
+    are computed and applied, in the reference's order (addMaskBands ->
+    maskClouds -> prepareForExport, image.py:741-862): casting first would
+    saturate the QA bands and garble every cloud bit.  Masked pixels take
+    the target dtype's nodata.
+
+    ``scale`` feeds both the cloud-distance geometry and (unless the
+    caller overrides it in ``mask_opts``) the S2 shadow/morphology
+    pixel-size — one physical quantity, one route.
+
+    ``dist_sum`` in the output is PER-IMAGE (the coarse cloud-distance sum
+    over fill pixels), replicated onto every tile row of that image —
+    aggregate it with FIRST/MAX per image, never SUM over tiles (fill_px /
+    cloudless_px ARE per-tile).
     """
+    mask_opts.setdefault("scale", scale)
     def _batch(pdf: pd.DataFrame):
         all_rows = []
         for image_id, caption, buf, coll, ts in zip(
@@ -87,8 +104,13 @@ def mask_and_tile(
             d = masks.cloud_dist(dk, scale * dist_decimate, max_cloud_dist,
                                  fill=fk)
             dist_sum = int(d[fk].sum(dtype=np.int64))
+            if export_dtype:
+                # AFTER the masks were computed from the raw bands
+                from geedim_spark.functions.dtypes import cast_pixels
+                px = cast_pixels(px, export_dtype)
             if apply_cloud_mask:
-                px = px.copy()
+                if not export_dtype:
+                    px = px.copy()
                 px[0][~cl] = codecs.NODATA_VALS[px.dtype.name]
 
             nbands, h, w = px.shape

@@ -25,16 +25,22 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from geedim_spark import codecs
 from geedim_spark.operators import masks
 
 
 class PipelineMetrics:
-    """Named accumulators for the mask/tile pipeline."""
+    """Named accumulators for the mask/tile pipeline.
+
+    CAVEAT (Spark accumulator semantics): updates fire inside a
+    TRANSFORMATION (mapInPandas), so they are re-applied on EVERY action
+    over the same plan and on stage retries / speculative tasks — Spark
+    only deduplicates accumulator updates inside actions.  Run exactly one
+    action over the instrumented frame per Metrics instance (or diff
+    snapshots around a single action); for exactly-once per-query metrics
+    prefer ``df.observe`` on a Catalyst aggregate."""
 
     def __init__(self, spark: SparkSession):
         sc = spark.sparkContext
