@@ -91,6 +91,7 @@ class Collection:
         by_portion: bool = False,
         scale: float = 10.0,
         max_cloud_dist: float = 5000.0,
+        medoid_max_stack: int = 64,
     ) -> DataFrame:
         """Tile-keyed composite — **the form to use at scale** (the shuffle
         key is the tile grid, task memory is bounded by
@@ -116,6 +117,16 @@ class Collection:
         Returns the raw tiled frame (tr, tc, bytes, n_inputs) — assemble
         with ``export_ops.assemble_image`` / the sinks, which is how the
         driver queries consume it.
+
+        ``medoid_max_stack`` (medoid only) bounds the O(N^2)
+        pairwise-distance stack per tile group, mirroring the reference's
+        5000-image export cap (collection.py:102) in spirit: groups beyond
+        the cap keep the best ``medoid_max_stack`` inputs by the explicit
+        (sort_key desc, image_id asc) total order and warn loudly; the
+        output's ``n_inputs`` still reports the full group size, so
+        ``n_inputs > medoid_max_stack`` flags a truncated group.  The
+        whole-image twin :meth:`composite` applies the same guard and
+        additionally reports ``n_used``.
         """
         src = comp_ops.sort_for_composite(self.df, method, date=date,
                                           by_portion=by_portion)
@@ -128,6 +139,7 @@ class Collection:
         return comp_ops.composite_tiled(
             src, method, tile_h=tile_h, tile_w=tile_w,
             mask_opts=self.cloud_kwargs, scale=scale,
+            medoid_max_stack=medoid_max_stack,
         )
 
     def composite(self, method: str = "q-mosaic", date: str | None = None,

@@ -34,7 +34,7 @@ _VALUE_OPTS = {
     "--buffer", "--add-props", "--results-file",
     "--method", "--date",
     "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
-    "--dtype",
+    "--dtype", "--files-dir", "--overview-min-dim",
 }
 
 
@@ -121,6 +121,18 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     download.add_argument("--no-resume", action="store_true")
     download.add_argument("--max-tile-dim", type=int, default=10000)
     download.add_argument("--max-tile-bands", type=int, default=1024)
+    download.add_argument("--files-dir", default=None,
+                          help="also write one GeoTIFF per image here "
+                               "(the reference CLI's user deliverable, "
+                               "cli.py download -dd; tiles are assembled "
+                               "executor-side via write_image_files)")
+    download.add_argument("--overviews", action="store_true",
+                          help="write overview (reduced-resolution) pages "
+                               "into the GeoTIFFs (image.py:1060-1077)")
+    download.add_argument("--overview-min-dim", type=int, default=256,
+                          help="stop adding overview levels once both dims "
+                               "drop under this (rasterio build_overviews "
+                               "analog)")
 
     return {"config": config, "search": search,
             "composite": composite, "download": download}
@@ -223,6 +235,40 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 export_dtype=args.dtype,
             )
             print(f"download: snapshot {snap} -> {args.out}")
+            if args.files_dir:
+                # the reference CLI's on-disk deliverable: one GeoTIFF per
+                # image (cli.py download -dd -> image.py:954-1085), here
+                # assembled executor-side from the committed tile snapshot
+                from pyspark.sql import functions as F
+
+                from geedim_spark import codecs as _codecs
+                from geedim_spark.sources import sinks
+                from geedim_spark.sources import snapshots as _snaps
+
+                tiles = _snaps.read_snapshot(spark, args.out)
+                geo_cols = [c for c in ("transform", "crs")
+                            if c in coll.df.columns]
+                tiles = tiles.join(
+                    F.broadcast(coll.df.select("image_id", *geo_cols)),
+                    "image_id",
+                )
+                # bounded driver pulls: one (w, h) grid (export guard), the
+                # band count, and one tile header for the exported dtype
+                dims = coll.df.agg(F.max("w").alias("w"),
+                                   F.max("h").alias("h")).first()
+                nbands = int(tiles.agg(F.max("band_stop")).first()[0])
+                probe = _codecs.decode(
+                    bytes(tiles.select("tile_bytes").first()["tile_bytes"])
+                )
+                dtype = probe.dtype.name
+                n_files = sinks.write_image_files(
+                    tiles, args.files_dir, bands=nbands,
+                    h=int(dims["h"]), w=int(dims["w"]), dtype=dtype,
+                    nodata=_codecs.NODATA_VALS[dtype],
+                    overviews=args.overviews,
+                    min_overview_dim=args.overview_min_dim,
+                ).count()
+                print(f"download: {n_files} GeoTIFFs -> {args.files_dir}")
     return 0
 
 

@@ -45,12 +45,20 @@ NODATA_VALS = {
 
 _HDR = struct.Struct("<4sBBHH")  # magic, dtype code, bands, h, w
 
+# dtype-OBJECT-keyed twin of _DTYPE_CODE: ``arr.dtype.name`` goes through
+# numpy's _name_get property (~7 us) — at one encode per exported tile that
+# was a third of the encode cost; np.dtype hashing is a few ns
+_DTYPE_CODE_BY_DTYPE = {np.dtype(d): i for i, d in enumerate(_DTYPES)}
+
 
 def encode_raw(pixels: np.ndarray) -> bytes:
     """``pixels`` shaped (bands, h, w) -> raw buffer."""
     pixels = np.ascontiguousarray(pixels)
     bands, h, w = pixels.shape
-    hdr = _HDR.pack(MAGIC_RAW, _DTYPE_CODE[pixels.dtype.name], bands, h, w)
+    code = _DTYPE_CODE_BY_DTYPE.get(pixels.dtype)
+    if code is None:
+        code = _DTYPE_CODE[pixels.dtype.name]  # KeyError: unsupported dtype
+    hdr = _HDR.pack(MAGIC_RAW, code, bands, h, w)
     return hdr + pixels.tobytes()
 
 

@@ -242,20 +242,7 @@ def composite_collection(
             ["sort_key", "image_id"], ascending=[False, True], ignore_index=True
         )
         n_total = len(pdf)
-        if method == "medoid" and len(pdf) > medoid_max_stack:
-            # bound the O(N^2) pairwise-distance stack (the reference's own
-            # TODO admits the cost, medoid.py:88-90): keep the best
-            # medoid_max_stack inputs by the explicit sort order.  This is a
-            # DEPARTURE from the reference medoid (computed over all inputs);
-            # it is reported loudly — n_used < n_inputs in the output row —
-            # and warned once per task
-            warnings.warn(
-                f"medoid group of {n_total} exceeds medoid_max_stack="
-                f"{medoid_max_stack}: using the best {medoid_max_stack} "
-                "inputs by sort order (n_used column reports the truncation)",
-                RuntimeWarning, stacklevel=2,
-            )
-            pdf = pdf.iloc[:medoid_max_stack]
+        pdf = _cap_medoid_stack(pdf, method, medoid_max_stack, "group")
         stacks, valids, dists = [], [], []
         for buf, coll, ts in zip(pdf["bytes"], pdf["collection"], pdf["time_start"]):
             px = codecs.decode(bytes(buf))
@@ -283,6 +270,29 @@ def composite_collection(
         }])
 
     return src.groupBy("group_id").applyInPandas(_comp, schema=_COMP_SCHEMA)
+
+
+def _cap_medoid_stack(
+    pdf: pd.DataFrame, method: str, medoid_max_stack: int, unit: str
+) -> pd.DataFrame:
+    """Bound the medoid's O(N^2) pairwise-distance stack (the reference's
+    own medoid TODO admits the cost, medoid.py:88-90; its exports are
+    capped at 5000 images, collection.py:102): groups beyond the cap keep
+    the best ``medoid_max_stack`` inputs by the already-applied explicit
+    (sort_key desc, image_id asc) total order.  This is a DEPARTURE from
+    the reference medoid (computed over all inputs); it is reported loudly
+    — a RuntimeWarning here, plus n_used < n_inputs (whole-image) /
+    n_inputs > medoid_max_stack (tiled) in the output rows."""
+    if method != "medoid" or len(pdf) <= medoid_max_stack:
+        return pdf
+    warnings.warn(
+        f"medoid {unit} of {len(pdf)} exceeds medoid_max_stack="
+        f"{medoid_max_stack}: using the best {medoid_max_stack} inputs by "
+        "sort order (the n_inputs/n_used output columns report the "
+        "truncation)",
+        RuntimeWarning, stacklevel=2,
+    )
+    return pdf.iloc[:medoid_max_stack]
 
 
 _TILED_SCHEMA = "tr int, tc int, bytes binary, n_inputs int"
@@ -359,6 +369,7 @@ def composite_tiled(
     scale: float = 10.0,
     medoid_metric: str = "sed",
     max_cloud_dist: float = 5000.0,
+    medoid_max_stack: int = 64,
 ) -> DataFrame:
     """Composite with the **tile coordinate as the group key** — the shape
     that survives 10^12 images: a whole-image stack (composite_collection)
@@ -383,6 +394,17 @@ def composite_tiled(
 
     A caller-attached ``sort_key`` column (sort_for_composite) is honoured,
     matching composite_collection; otherwise capture time is the order.
+
+    ``medoid_max_stack`` bounds the medoid's O(N^2) pairwise-distance work
+    per tile group, exactly like composite_collection's guard (the
+    reference's own medoid TODO admits the cost, medoid.py:88-90, and its
+    exports are capped at 5000 images, collection.py:102): groups larger
+    than the cap keep the best ``medoid_max_stack`` inputs by the explicit
+    (sort_key desc, image_id asc) order — the SAME subset in every tile,
+    so the capped tiled result still equals the capped whole-image result
+    bit-for-bit — with a loud RuntimeWarning; ``n_inputs`` in the output
+    keeps reporting the ORIGINAL group size so the truncation is visible
+    downstream (n_inputs > medoid_max_stack == truncated).
     """
     mask_opts = mask_opts or {}
     tiles = _pixel_tiles(images, tile_h, tile_w, mask_opts)
@@ -391,6 +413,8 @@ def composite_tiled(
         pdf = pdf.sort_values(
             ["sort_key", "image_id"], ascending=[False, True], ignore_index=True
         )
+        n_total = len(pdf)
+        pdf = _cap_medoid_stack(pdf, method, medoid_max_stack, "tile group")
         stack = np.stack([codecs.decode(bytes(b)) for b in pdf["tile_bytes"]])
         codes = np.stack(
             [codecs.decode(bytes(b))[0] for b in pdf["valid_bytes"]]
@@ -408,7 +432,7 @@ def composite_tiled(
         return pd.DataFrame([{
             "tr": int(pdf["tr"].iloc[0]), "tc": int(pdf["tc"].iloc[0]),
             "bytes": codecs.encode_raw(comp.astype(np.float64)),
-            "n_inputs": len(pdf),
+            "n_inputs": n_total,
         }])
 
     return tiles.groupBy("tr", "tc").applyInPandas(_reduce, schema=_TILED_SCHEMA)

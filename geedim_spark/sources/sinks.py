@@ -75,6 +75,7 @@ def write_image_files(
     nodata=None,
     overviews: bool = False,
     geographic: bool | None = None,
+    min_overview_dim: int = 256,
 ):
     """Distributed per-image file sink (K1 completion): assemble each
     image's tiles INSIDE its executor group and write one file per image —
@@ -144,6 +145,7 @@ def write_image_files(
                 path, arr, transform=transform, crs_epsg=epsg,
                 geographic=geo, nodata=nodata,
                 compress="deflate", overviews=overviews,
+                min_overview_dim=min_overview_dim,
             )
         return pd.DataFrame([
             {"image_id": image_id, "path": path,

@@ -354,9 +354,31 @@ def read_snapshot(
     for p in snap["partitions"]:
         for path in p["paths"]:
             commit_rel = "/".join(path.split("/")[:2])  # data/commit-XXXX
-            by_commit.setdefault(commit_rel, []).append(
-                os.path.join(table_dir, path)
-            )
+            part_dir = os.path.join(table_dir, path)
+            # resolve to concrete parquet FILES at plan time: a snapshot
+            # being expired concurrently (expire_snapshots rmtree is not
+            # atomic) could leave this partition dir present but already
+            # emptied — a directory path would then scan as 0 rows and the
+            # read would SILENTLY return a subset of the snapshot.  With
+            # explicit files the outcome is all-or-clean-error: dir gone /
+            # empty -> the FileNotFoundError below; a listed file deleted
+            # before the scan -> Spark's FileNotFoundException (default
+            # ignoreMissingFiles=false); otherwise the full row set.
+            try:
+                files = sorted(
+                    os.path.join(part_dir, f)
+                    for f in os.listdir(part_dir)
+                    if f.endswith(".parquet")
+                )
+            except FileNotFoundError:
+                files = []
+            if not files:
+                raise FileNotFoundError(
+                    f"snapshot {snap['snapshot_id']} partition "
+                    f"{p['key']!r} has no data files at {part_dir} — "
+                    "expired/GC-ed concurrently?"
+                )
+            by_commit.setdefault(commit_rel, []).extend(files)
     reader_schema = None
     if snap.get("schema") is not None:
         from pyspark.sql.types import StructType
