@@ -1364,7 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-4 rotation (VERDICT r3 #1): redundant in-family variants are
         # swapped through the window round-over-round so every registry
         # entry eventually gets a driver-green row, not just pytest +
-        # check_oracles coverage.  This round's 10 swaps (IN <- OUT):
+        # check_oracles coverage.  This round's 11 swaps (IN <- OUT):
         #   tiled_portions <- mask_portions, s2_score_thresh <- s2_score_join,
         #   composite_tiled_qmosaic <- qmosaic_halo,
         #   composite_tiled_profile <- composite_profile,

@@ -364,8 +364,12 @@ def main() -> None:
         #     reused from the main headline run above — reported with the
         #     host-ceiling caveat (engine-independent: the same probe
         #     bounds plain multiprocessing at ~0.435 on this pair).
-        r1n = run_once("local[1]", with_queries=False, repeats=2, sink="noop")
-        r4n = run_once("local[4]", with_queries=False, repeats=2, sink="noop")
+        # repeats=3 per level like --scaling: steal only ever SLOWS a run,
+        # so per-level best-of-3 converges on the quiet-host ratio (a
+        # 2-repeat trial mid-steal read 0.765 where 3-repeat runs read
+        # 0.889-0.945)
+        r1n = run_once("local[1]", with_queries=False, repeats=3, sink="noop")
+        r4n = run_once("local[4]", with_queries=False, repeats=3, sink="noop")
         r8d = run_once("local[8]", with_queries=False, repeats=2)
         scaling = {"scaling": {
             "tiles_per_sec_n_local1_noop": r1n["tiles_per_sec"],

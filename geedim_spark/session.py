@@ -40,6 +40,12 @@ _DEFAULTS = {
     # Keep parquet splits near the reference's 4 MB tile default * 32 tasks.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # pinned explicitly: a stopped session's conf lingers in JVM system
+    # properties, so a later narrow session (e.g. the scaling block's
+    # local[1]) would otherwise inherit a wide session's task.cpus=2 and
+    # refuse to start ("cores per executor (=1) has to be >= cpus per
+    # task").  extra_conf still overrides per-session.
+    "spark.task.cpus": "1",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # quieter logs
     "spark.ui.enabled": "false",
