@@ -1351,6 +1351,33 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(emb.unionByName(planted), threshold=0.99)
 
 
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload near-dup by perceptual-hash Hamming distance
+    (dedup.phash_near_dup_pairs: banded equi-join with a pigeonhole
+    zero-false-negative guarantee + exact bit_count(XOR) filter).  The
+    input-hint phash column is kernel-derived (codecs.phash64, not
+    SQL-expressible), so the DRIVER oracle runs the operator over an
+    md5-derived 60-bit surrogate hash on the documents table — identical
+    band/XOR/bit_count semantics, and the brute-force SQL oracle doubles
+    as a completeness proof of the pigeonhole banding; the real-phash
+    path over synth images is pytest-covered (test_dedup)."""
+    docs = (
+        spark.read.parquet(_t(sf_dir, "documents"))
+        .select("doc_id", "text").filter("doc_id < 2000")
+    )
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    base = docs.select("doc_id", h.alias("phash"))
+    planted = base.filter("doc_id < 40").select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.expr(
+            "phash ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 59 AS INT))"
+        ).alias("phash"),
+    )
+    return dedup.phash_near_dup_pairs(
+        base.unionByName(planted), id_col="doc_id", max_hamming=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1449,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "string_fns": q_string_fns,
         "limit_sorted": q_limit_sorted,
+        "phash_near_dup": q_phash_near_dup,  # new r4 capability; windows r5
     }
 
 
@@ -1501,7 +1529,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "text-langid": ("lang_id",),
     "text-fingerprint": ("doc_fingerprint",),
     "dedup-exact": ("doc_dup_counts",),
-    "dedup-simhash": ("simhash",),
+    "dedup-simhash": ("simhash", "phash_near_dup"),  # bit-fingerprint
+                                                     # hamming dedup
     "dedup-minhash": ("minhash_sig", "minhash_lsh_pairs", "ngram_jaccard"),
     "dedup-components": ("dedup_components",),
     "ann-exact": ("ann_topk",),
@@ -2500,5 +2529,40 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(5 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS recall_ge_30pct
+        """,
+        # BRUTE-FORCE twin of the banded phash join: every (a < b) pair
+        # with bit_count(xor) <= 2 — equality with the banded engine
+        # output is simultaneously a completeness proof of the pigeonhole
+        # banding (no pair at distance <= max_hamming can miss every band)
+        "phash_near_dup": """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(CONCAT('0x', SUBSTR(md5(text), 1, 15)) AS BIGINT)
+                       AS phash
+              FROM documents WHERE doc_id < 2000),
+            allr AS (
+              SELECT doc_id, phash FROM base
+              UNION ALL
+              SELECT doc_id + 500000,
+                     xor(phash,
+                         (CAST(1 AS BIGINT) << CAST(doc_id % 59 AS INT)))
+              FROM base WHERE doc_id < 40),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     a.phash AS pa, b.phash AS pb,
+                     bit_count(xor(a.phash, b.phash)) AS hd
+              FROM allr a JOIN allr b ON a.doc_id < b.doc_id)
+            SELECT doc_id_a, doc_id_b,
+                   CAST((CASE WHEN ((pa >> 0) & 255) = ((pb >> 0) & 255) THEN 1 ELSE 0 END)
+                      + (CASE WHEN ((pa >> 8) & 255) = ((pb >> 8) & 255) THEN 1 ELSE 0 END)
+                      + (CASE WHEN ((pa >> 16) & 255) = ((pb >> 16) & 255) THEN 1 ELSE 0 END)
+                      + (CASE WHEN ((pa >> 24) & 255) = ((pb >> 24) & 255) THEN 1 ELSE 0 END)
+                      + (CASE WHEN ((pa >> 32) & 255) = ((pb >> 32) & 255) THEN 1 ELSE 0 END)
+                      + (CASE WHEN ((pa >> 40) & 255) = ((pb >> 40) & 255) THEN 1 ELSE 0 END)
+                      + (CASE WHEN ((pa >> 48) & 255) = ((pb >> 48) & 255) THEN 1 ELSE 0 END)
+                      + (CASE WHEN ((pa >> 56) & 255) = ((pb >> 56) & 255) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared_bands,
+                   CAST(hd AS BIGINT) AS hamming
+            FROM pairs WHERE hd <= 2
         """,
     }

@@ -144,12 +144,14 @@ class BucketCapReport:
     the numbers programmatically use :meth:`wait`.
     """
 
-    def __init__(self, observation, op: str, max_bucket_size: int):
+    def __init__(self, observation, op: str, max_bucket_size: int,
+                 recompute=None):
         import threading
 
         self.observation = observation
         self.op = op
         self.max_bucket_size = max_bucket_size
+        self._recompute = recompute
         self._result: dict | None = None
         self._thread = threading.Thread(target=self._emit, daemon=True)
         self._thread.start()
@@ -158,14 +160,22 @@ class BucketCapReport:
         import warnings
 
         try:
-            # blocks until the first action completes.  Defensive: if the
-            # observed node was optimized out of a degenerate plan (e.g.
-            # an entirely empty input), report nothing rather than dumping
-            # a daemon-thread traceback.
+            # blocks until the first action completes.
             got = self.observation.get
         except Exception:
-            self._result = {"rows_dropped": 0, "largest_bucket": None}
-            return
+            # the observed node was optimized out of the executed plan —
+            # AQE's empty-relation propagation does this when EVERY row
+            # sat in an oversized bucket (the collapsed-to-empty join
+            # swallows the broadcast subtree holding CollectMetrics).
+            # That is exactly a case with drops to report, so recompute
+            # the stats directly from the (persisted) keyed frame — one
+            # tiny aggregate job — rather than reporting zeros.
+            try:
+                got = self._recompute() if self._recompute else {}
+            except Exception:
+                got = {}
+            got = {"rows_dropped": got.get("rows_dropped", 0),
+                   "largest_bucket": got.get("largest_bucket")}
         self._result = dict(got)
         if got.get("rows_dropped"):
             warnings.warn(
@@ -244,7 +254,27 @@ def _drop_oversized_buckets(
         )
     )
     over = sizes.filter(F.col("_bn") > max_bucket_size)
-    report = BucketCapReport(obs, op, max_bucket_size)
+
+    def _recompute() -> dict:
+        # clean lineage (no observe node): used only when AQE deleted the
+        # CollectMetrics node from the executed plan (all-dropped case)
+        row = (
+            keyed.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_bn") > max_bucket_size,
+                                 F.col("_bn"))), F.lit(0),
+                ).alias("rows_dropped"),
+                F.max(
+                    F.when(F.col("_bn") > max_bucket_size, F.col("_bn"))
+                ).alias("largest_bucket"),
+            ).first()
+        )
+        return {"rows_dropped": row["rows_dropped"],
+                "largest_bucket": row["largest_bucket"]}
+
+    report = BucketCapReport(obs, op, max_bucket_size, recompute=_recompute)
     capped = keyed.join(
         F.broadcast(over.select(*key_cols)), key_cols, "left_anti"
     )
@@ -497,4 +527,89 @@ def simhash(text: Column, bits: int = 16, n: int = 5) -> Column:
     for b in range(bits):
         ones = F.aggregate(hashes, F.lit(0), _bit_count_fn(b))
         out = out + F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def phash_near_dup_pairs(
+    items: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 8,
+    max_bucket_size: int | None = 10000,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    the image-payload twin of :func:`minhash_lsh_pairs` over the input
+    table's ``phash:int64`` column (codecs.phash64; the reference carries
+    no image dedup at all — this is engine capability for the
+    training-data pipeline).
+
+    Banding with a pigeonhole GUARANTEE, not a probabilistic recall: the
+    64-bit hash splits into ``n_bands`` disjoint bit bands; two hashes
+    within Hamming distance ``max_hamming < n_bands`` differ in at most
+    ``max_hamming`` bands, so they MUST agree exactly on at least one
+    band.  Candidates are therefore an equi-join on (band, band_value)
+    with zero false negatives; the exact ``bit_count(a XOR b)`` filter
+    then makes the result EXACTLY all pairs at distance <= max_hamming.
+
+    Scale shape: shuffle key cardinality ~N * n_bands, band values spread
+    over 2^(64/n_bands) buckets; ``max_bucket_size`` applies the same
+    lazy oversized-bucket cap as the text LSH (giant buckets = exact
+    phash clusters — recover those as GROUPS via a hash-groupBy on the
+    phash itself).  Output: (id_a, id_b, n_shared_bands, hamming), one
+    row per unordered pair.
+    """
+    from pyspark import StorageLevel
+
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64 (got {n_bands})")
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"max_hamming must be in [0, n_bands) for the pigeonhole "
+            f"guarantee (got {max_hamming} with n_bands={n_bands}); use "
+            "more/narrower bands for larger distances"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    # band values via unsigned shift + mask: sign-extension bits fall
+    # above the mask, so arithmetic-vs-logical shift cannot matter (the
+    # DuckDB oracle's plain >> computes identical band values)
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("_ph"), b * width)
+            .bitwiseAND(F.lit(mask)).alias("bval"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = (
+        items.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"))
+        .select("_id", "_ph", F.explode(bands_arr).alias("bb"))
+        .select("_id", "_ph", "bb.band", "bb.bval")
+    )
+    # persist before the cap: consumed by the size aggregate + both join
+    # sides (lazy — no job at plan time)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    report = None
+    if max_bucket_size is not None:
+        banded, report = _drop_oversized_buckets(
+            banded, ["band", "bval"], max_bucket_size, "phash_near_dup_pairs"
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    out = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias(f"{id_col}_a"),
+            F.col("b._id").alias(f"{id_col}_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_bands"),
+            F.bit_count(
+                F.first(F.col("a._ph")).bitwiseXOR(F.first(F.col("b._ph")))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    out._bucket_cap_report = report
     return out

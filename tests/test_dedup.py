@@ -221,3 +221,65 @@ def test_lsh_bucket_cap_no_drop_report_is_clean(spark, docs):
     out.collect()
     got = out._bucket_cap_report.wait()
     assert got == {"rows_dropped": 0, "largest_bucket": None}
+
+
+def test_phash_near_dup_recovers_planted_image_dups(spark):
+    """Image near-dup over REAL synth phashes (codecs.phash64): byte-exact
+    copies (hamming 0) and near-copies planted by flipping k phash bits
+    must be recovered exactly at max_hamming >= k; a 16-bit-flip copy must
+    NOT appear at max_hamming=3."""
+    from geedim_spark import synth
+
+    imgs = synth.images_df(spark, 60).select("image_id", "phash")
+    exact = imgs.filter("image_id < 'IMG/00000020'").select(
+        F.concat(F.lit("DUP0/"), "image_id").alias("image_id"), "phash"
+    )
+    near = imgs.filter("image_id < 'IMG/00000010'").select(
+        F.concat(F.lit("DUP3/"), "image_id").alias("image_id"),
+        F.expr("phash ^ CAST(7 AS BIGINT)").alias("phash"),  # 3 bits
+    )
+    far = imgs.filter("image_id = 'IMG/00000000'").select(
+        F.concat(F.lit("FAR/"), "image_id").alias("image_id"),
+        F.expr("phash ^ CAST(65535 AS BIGINT)").alias("phash"),  # 16 bits
+    )
+    allrows = imgs.unionByName(exact).unionByName(near).unionByName(far)
+    out = dedup.phash_near_dup_pairs(allrows, max_hamming=3).collect()
+    pairs = {(r["image_id_a"], r["image_id_b"]): r["hamming"] for r in out}
+    # the synth world has repeated pixel content (v cycles mod 200 etc.),
+    # so identical-phash NATURAL pairs exist; assert the planted relations
+    for i in range(20):
+        key = (f"DUP0/IMG/{i:08d}", f"IMG/{i:08d}")
+        assert pairs[tuple(sorted(key))] == 0, key
+    for i in range(10):
+        key = tuple(sorted((f"DUP3/IMG/{i:08d}", f"IMG/{i:08d}")))
+        assert pairs[key] == 3, key
+    assert not any(a.startswith("FAR/") or b.startswith("FAR/")
+                   for (a, b) in pairs)
+    # every reported pair is genuinely within the threshold
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_phash_near_dup_validation_and_cap(spark):
+    """Pigeonhole precondition is enforced; the oversized-bucket cap walks
+    the same lazy path as the text LSH (an all-identical phash cluster is
+    one bucket per band)."""
+    from geedim_spark import synth
+
+    imgs = synth.images_df(spark, 12).select("image_id", "phash")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.phash_near_dup_pairs(imgs, max_hamming=8, n_bands=8)
+    with pytest.raises(ValueError, match="divide 64"):
+        dedup.phash_near_dup_pairs(imgs, n_bands=7)
+
+    # 30-copy identical-phash cluster with cap 10 -> all its rows dropped,
+    # pairs empty, loud report carries the drop count
+    clones = spark.range(30).select(
+        F.format_string("C/%04d", F.col("id")).alias("image_id"),
+        F.lit(123456789).cast("long").alias("phash"),
+    )
+    out = dedup.phash_near_dup_pairs(
+        clones, max_hamming=1, max_bucket_size=10
+    )
+    assert out.count() == 0
+    rep = out._bucket_cap_report.wait()
+    assert rep["rows_dropped"] == 30 * 8 and rep["largest_bucket"] == 30
