@@ -34,7 +34,8 @@ _VALUE_OPTS = {
     "--buffer", "--add-props", "--results-file",
     "--method", "--date",
     "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
-    "--dtype", "--files-dir", "--overview-min-dim",
+    "--dtype", "--files-dir", "--overview-min-dim", "--bbox", "--id",
+    "--split",
 }
 
 
@@ -87,6 +88,10 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     search.add_argument("--fill-portion", type=float)
     search.add_argument("--cloudless-portion", type=float)
     search.add_argument("--rois", help="parquet path of the ROI table")
+    search.add_argument("--bbox", type=float, nargs=4, default=None,
+                        metavar=("LEFT", "BOTTOM", "RIGHT", "TOP"),
+                        help="region bounds as coordinates (the reference "
+                             "CLI's -b/--bbox, cli.py:245-256)")
     search.add_argument("--buffer", type=float, default=None,
                         help="distance (world units) to buffer the ROI "
                              "bboxes with (cli.py:269-275, 644-645)")
@@ -129,6 +134,17 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     download.add_argument("--overviews", action="store_true",
                           help="write overview (reduced-resolution) pages "
                                "into the GeoTIFFs (image.py:1060-1077)")
+    download.add_argument("--id", dest="image_ids", action="append",
+                          default=None,
+                          help="export only these image id(s); repeatable "
+                               "(the reference CLI's -i/--id, "
+                               "cli.py:356-362)")
+    download.add_argument("--split", choices=("images", "bands"),
+                          default="images",
+                          help="one GeoTIFF per image, or one per band of "
+                               "each image (the reference CLI's "
+                               "-sp/--split, cli.py:374-383); applies to "
+                               "--files-dir")
     download.add_argument("--overview-min-dim", type=int, default=256,
                           help="stop adding overview levels once both dims "
                                "drop under this (rasterio build_overviews "
@@ -179,6 +195,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 rois = synth.rois_df(spark, args.synthetic_rois)
             elif args.rois:
                 rois = spark.read.parquet(args.rois)
+            if args.bbox is not None:
+                if rois is not None:
+                    parsers[cmd].error(
+                        "--bbox is mutually exclusive with --rois / "
+                        "--synthetic-rois"
+                    )
+                x0, y0, x1, y1 = args.bbox
+                rois = spark.createDataFrame(
+                    [("BBOX/0000", float(x0), float(y0),
+                      float(x1), float(y1))],
+                    "roi_id string, rx0 double, ry0 double, "
+                    "rx1 double, ry1 double",
+                )
             if args.buffer is not None:
                 if rois is None:
                     # cli.py:224-230: --buffer needs a region to buffer
@@ -222,6 +251,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                                   by_portion=args.by_portion)
             print(f"composite: {args.method}")
         elif cmd == "download":
+            if args.image_ids:
+                from pyspark.sql import functions as F
+
+                from geedim_spark.api import Collection as _Coll
+                coll = _Coll(
+                    coll.df.filter(F.col("image_id").isin(args.image_ids)),
+                    coll.cloud_kwargs,
+                )
             # dtype is applied INSIDE the export kernel AFTER masks are
             # computed (the reference's addMaskBands -> maskClouds ->
             # prepareForExport order) — casting the table first would
@@ -267,6 +304,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     nodata=_codecs.NODATA_VALS[dtype],
                     overviews=args.overviews,
                     min_overview_dim=args.overview_min_dim,
+                    split=args.split,
                 ).count()
                 print(f"download: {n_files} GeoTIFFs -> {args.files_dir}")
     return 0

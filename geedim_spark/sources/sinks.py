@@ -76,6 +76,7 @@ def write_image_files(
     overviews: bool = False,
     geographic: bool | None = None,
     min_overview_dim: int = 256,
+    split: str = "images",
 ):
     """Distributed per-image file sink (K1 completion): assemble each
     image's tiles INSIDE its executor group and write one file per image —
@@ -108,6 +109,8 @@ def write_image_files(
 
     if fmt not in ("gtiff", "npy"):
         raise ValueError(f"unsupported fmt {fmt!r} (gtiff or npy)")
+    if split not in ("images", "bands"):
+        raise ValueError(f"split must be images|bands (got {split!r})")
     os.makedirs(out_dir, exist_ok=True)
     has_geo = "transform" in tiles.columns
     has_crs = "crs" in tiles.columns
@@ -119,11 +122,23 @@ def write_image_files(
         # (download.py:82-86): 'A/B' and 'A-B' must not share one file
         from urllib.parse import quote
         safe = quote(str(image_id), safe="")
+        # split='bands' (the reference CLI's -sp bands, cli.py:374-383 /
+        # enums.SplitType): one single-band file per band of each image,
+        # suffixed _B<i>; geo tags are per-image so each band file carries
+        # the same transform/CRS
+        pieces = (
+            [(arr, "")] if split == "images"
+            else [(arr[b:b + 1], f"_B{b}") for b in range(arr.shape[0])]
+        )
         if fmt == "npy":
-            path = os.path.join(out_dir, f"{safe}.npy")
-            np.save(path, arr)
+            out_rows = []
+            for piece, suffix in pieces:
+                path = os.path.join(out_dir, f"{safe}{suffix}.npy")
+                np.save(path, piece)
+                out_rows.append({"image_id": image_id, "path": path,
+                                 "nbytes": int(os.path.getsize(path))})
+            return pd.DataFrame(out_rows)
         else:
-            path = os.path.join(out_dir, f"{safe}.tif")
             transform = list(pdf["transform"].iloc[0]) if has_geo else None
             epsg = None
             geo = bool(geographic)
@@ -141,16 +156,18 @@ def write_image_files(
                         4326, 4269, 4267, 4258, 4283, 4148, 4490,
                         4171, 4617, 4619, 4759,
                     )
-            write_geotiff(
-                path, arr, transform=transform, crs_epsg=epsg,
-                geographic=geo, nodata=nodata,
-                compress="deflate", overviews=overviews,
-                min_overview_dim=min_overview_dim,
-            )
-        return pd.DataFrame([
-            {"image_id": image_id, "path": path,
-             "nbytes": int(os.path.getsize(path))}
-        ])
+            out_rows = []
+            for piece, suffix in pieces:
+                path = os.path.join(out_dir, f"{safe}{suffix}.tif")
+                write_geotiff(
+                    path, piece, transform=transform, crs_epsg=epsg,
+                    geographic=geo, nodata=nodata,
+                    compress="deflate", overviews=overviews,
+                    min_overview_dim=min_overview_dim,
+                )
+                out_rows.append({"image_id": image_id, "path": path,
+                                 "nbytes": int(os.path.getsize(path))})
+            return pd.DataFrame(out_rows)
 
     return (
         tiles.groupBy("image_id")

@@ -302,3 +302,46 @@ def test_cli_chain_composite_download_files_dir(spark, tmp_path):
     assert meta["n_pages"] == 1
     # the mosaic of the synthetic strips has real pixel values somewhere
     assert np.isfinite(arr[0]).any() and (arr[0][np.isfinite(arr[0])] > 0).any()
+
+
+def test_cli_bbox_id_and_band_split(spark, tmp_path, capsys):
+    """Reference CLI option parity: search --bbox (coordinate region,
+    cli.py:245-256), download --id (export only named images,
+    cli.py:356-362) and download --split bands (one single-band GeoTIFF
+    per band, cli.py:374-383)."""
+    import glob as globmod
+
+    import numpy as np
+
+    from geedim_spark.sources import geotiff
+
+    out = str(tmp_path / "bbox_table")
+    files = str(tmp_path / "bbox_tifs")
+    rc = cli.main([
+        "--synthetic", "40",
+        "search", "--start", "2024-01-01", "--end", "2025-01-01",
+        "--bbox", "0", "0", "99400", "90400",
+        "download", "--out", out, "--max-tile-dim", "21",
+        "--id", "IMG/00000000", "--id", "IMG/00000001",
+        "--files-dir", files, "--split", "bands",
+    ], spark=spark)
+    assert rc == 0
+    snap_ids = {r["image_id"] for r in snapshots.read_snapshot(
+        spark, out).select("image_id").distinct().collect()}
+    assert snap_ids == {"IMG/00000000", "IMG/00000001"}
+    paths = sorted(globmod.glob(f"{files}/*.tif"))
+    # 2 images x 2 bands, each file single-band with the image's geo tags
+    assert len(paths) == 4
+    assert all("_B0.tif" in p or "_B1.tif" in p for p in paths)
+    for p in paths:
+        arr, meta = geotiff.read_geotiff(p)
+        assert arr.shape == (1, 40, 40) and arr.dtype == np.uint16
+        assert meta["crs_epsg"] == 3857
+
+
+def test_cli_bbox_excludes_rois(spark):
+    with pytest.raises(SystemExit):
+        cli.main([
+            "--synthetic", "10",
+            "search", "--bbox", "0", "0", "10", "10", "--synthetic-rois", "2",
+        ], spark=spark)
