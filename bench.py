@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "doc_token_stats", "simhash", "lang_id", "minhash_sig",
     "minhash_lsh_pairs", "ann_topk", "ann_lsh", "embed_near_dup",
     "s2_qa_portions", "skew_join", "landsat_param_portions",
+    "phash_near_dup",
     # halo_edt is value-checked by the driver but excluded here: at the
     # bench's 40 px synthetic images its cost is pure tiny-group overhead
     # (2,700 applyInPandas groups of 16 px tiles), not kernel throughput
@@ -97,27 +98,29 @@ def headline_job(
     sf = synth.sf_from_dir(sf_dir)
     m = synth.n_rois_for_sf(sf)
     out_dir = tempfile.mkdtemp(prefix="geedim_spark_bench_", dir=sink_dir)
-    # split the staged scan into EXACTLY (2 x task slots) even partitions:
-    # the default bin packing lands on e.g. 33 tasks for 16 slots — a lone
+    # split the staged scan into exactly N_SCAN_PARTS even partitions: the
+    # default bin packing lands on e.g. 33 tasks for 16 slots — a lone
     # 3rd-wave straggler that idles 15 slots for a full task duration
-    # (~3-5% of the job).  Files are uniform-sized, so a byte target of
-    # total/(2*slots) packs them into equal bins; openCost=0 keeps the
-    # arithmetic exact.  Same lever you'd pull on a real cluster
-    # (maxPartitionBytes vs executor count).
-    task_cpus = int(spark.conf.get("spark.task.cpus", "1"))
-    slots = max(1, spark.sparkContext.defaultParallelism // task_cpus)
+    # (~3-5% of the job).  N_SCAN_PARTS is a CONSTANT of the input, not of
+    # the session width: on a real cluster input splits don't change when
+    # executors are added, and deriving it from the session made the
+    # scaling pair incomparable (local[1] got 2 jumbo partitions, ran a
+    # faster baseline than any cluster would, and the N->4N ratio read
+    # ~0.76 instead of the partition-matched ~0.9).  32 = two even waves
+    # at the production width (32 cores / task.cpus=2).
+    n_parts = N_SCAN_PARTS
     sizes = [
         os.path.getsize(os.path.join(images_path, f))
         for f in os.listdir(images_path) if f.endswith(".parquet")
     ]
     # bins sized in FILES, not bytes: file sizes vary ~8%, so a pure
-    # total/(2*slots) byte target first-fits into ragged extra bins.
+    # total/n_parts byte target first-fits into ragged extra bins.
     # k*max(sizes) guarantees every bin takes k files; guard that k+1
     # small files can't sneak in, else fall back to the byte split.
-    k = max(1, len(sizes) // (2 * slots))
+    k = max(1, len(sizes) // n_parts)
     target = k * max(sizes) + 1
     if target >= (k + 1) * min(sizes):
-        target = max(1, math.ceil(sum(sizes) / (2 * slots)) + 1)
+        target = max(1, math.ceil(sum(sizes) / n_parts) + 1)
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     try:
@@ -142,6 +145,10 @@ def headline_job(
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+
+# fixed scan split count for the headline input (see headline_job): a
+# property of the staged table, identical at every parallelism level
+N_SCAN_PARTS = int(os.environ.get("SPARK_GRAFT_SCAN_PARTS", "32"))
 
 SKEW_BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "24000000"))
 
