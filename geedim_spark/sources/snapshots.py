@@ -473,3 +473,68 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
             shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
             removed_commits.append(rel)
     return {"removed_snapshots": drop, "removed_commits": removed_commits}
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    min_files: int = 2,
+    shuffle: bool = True,
+) -> str | None:
+    """Iceberg ``rewrite_data_files`` analog: rewrite partitions whose
+    current data spans >= ``min_files`` parquet files into one file per
+    partition, published as a normal commit (CAS manifest swap, safe
+    under concurrent committers).
+
+    Why it matters at scale: streaming ingest appends one file per
+    partition per micro-batch (snapshots in 'append' mode accumulate
+    paths), so a long-lived table degrades into thousands of small files
+    per partition — the classic small-files read amplification.
+    Compaction folds them back to one file without touching history:
+    older manifests keep referencing the original commit dirs, so pinned
+    time-travel reads are intact until :func:`expire_snapshots` GCs them.
+
+    ``shuffle=True`` hash-repartitions on the partition column so every
+    key lands in exactly one task -> exactly one output file per
+    partition; with ``shuffle=False`` the existing layout is rewritten
+    as-is (fewer guarantees, no exchange).  Stat columns recorded by the
+    original writers (min_*/max_*/sum_*) are re-derived for the rewritten
+    partitions.
+
+    Returns the new snapshot id, or the current id when nothing needed
+    compacting (no empty commit is published), or None on an empty table.
+    """
+    snap = current_snapshot(table_dir)
+    if snap is None:
+        return None
+    partition_col = snap["partition_col"]
+
+    def _n_files(p: dict) -> int:
+        n = 0
+        for path in p["paths"]:
+            d = os.path.join(table_dir, path)
+            try:
+                n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            except FileNotFoundError:
+                pass
+        return n
+
+    todo = [p["key"] for p in snap["partitions"] if _n_files(p) >= min_files]
+    if not todo:
+        return snap["snapshot_id"]
+
+    # stat columns are recoverable from the manifest entries themselves
+    stats_cols = tuple(sorted({
+        k[len("sum_"):]
+        for p in snap["partitions"] for k in p if k.startswith("sum_")
+    }))
+
+    df = read_snapshot(spark, table_dir)
+    key = F.coalesce(F.col(partition_col).cast("string"), F.lit(NULL_KEY))
+    sub = df.where(key.isin([str(k) for k in todo]))
+    if shuffle:
+        sub = sub.repartition(F.col(partition_col))
+    return write_snapshot(
+        sub, table_dir, partition_col, stats_cols=stats_cols,
+        mode="overwrite",
+    )

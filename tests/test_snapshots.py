@@ -482,3 +482,43 @@ def test_expire_races_pinned_reader_all_or_clean_error(spark, table_dir):
     # post-expiry, a pinned read fails cleanly (manifest removed)
     with pytest.raises(FileNotFoundError):
         snap.read_snapshot(spark, table_dir, s1)
+
+
+def test_compact_partitions_folds_small_files(spark, table_dir):
+    """Iceberg rewrite_data_files analog: 3 append commits leave 3 files in
+    partition A; compaction rewrites it to ONE file, preserves rows and
+    min/max/sum stats, keeps time travel intact for the pre-compaction
+    snapshot, and is a no-op (no empty commit) when nothing qualifies."""
+    import glob
+    import json
+    import os
+    from pyspark.sql import functions as F
+
+    for i in range(3):
+        df = spark.range(4).select(
+            (F.col("id") + 10 * i).alias("x"), F.lit("A").alias("part"))
+        s_pre = snap.write_snapshot(df, table_dir, "part",
+                                    stats_cols=("x",), mode="append")
+    n_files_before = len(glob.glob(f"{table_dir}/data/commit-*/part=A/*.parquet"))
+    assert n_files_before == 12  # 3 commits x 4 range-partition files each
+
+    sid = snap.compact_partitions(spark, table_dir, min_files=2)
+    assert sid is not None and sid > s_pre
+    man = snap.current_snapshot(table_dir)
+    assert man["snapshot_id"] == sid
+    (entry,) = [p for p in man["partitions"] if p["key"] == "A"]
+    # one path, one file
+    assert len(entry["paths"]) == 1
+    d = os.path.join(table_dir, entry["paths"][0])
+    assert sum(1 for f in os.listdir(d) if f.endswith(".parquet")) == 1
+    # rows + stats preserved
+    back = snap.read_snapshot(spark, table_dir)
+    assert back.count() == 12
+    assert entry["row_count"] == 12
+    assert entry["min_x"] == 0 and entry["max_x"] == 23
+    assert entry["sum_x"] == sum(range(4)) + sum(range(10, 14)) + sum(range(20, 24))
+    # time travel: the pre-compaction snapshot still reads its own files
+    assert snap.read_snapshot(spark, table_dir, s_pre).count() == 12
+    # idempotent: everything already compact -> returns current id, no commit
+    assert snap.compact_partitions(spark, table_dir, min_files=2) == sid
+    assert snap.current_snapshot(table_dir)["snapshot_id"] == sid
