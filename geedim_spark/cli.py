@@ -35,7 +35,7 @@ _VALUE_OPTS = {
     "--method", "--date",
     "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
     "--dtype", "--files-dir", "--overview-min-dim", "--bbox", "--id",
-    "--split",
+    "--split", "--band-name",
 }
 
 
@@ -134,6 +134,13 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     download.add_argument("--overviews", action="store_true",
                           help="write overview (reduced-resolution) pages "
                                "into the GeoTIFFs (image.py:1060-1077)")
+    download.add_argument("--band-name", dest="bands", action="append",
+                          default=None,
+                          help="export only these band name(s); repeatable "
+                               "(the reference CLI's -bn/--band-name, "
+                               "cli.py:364-372).  Masks are computed from "
+                               "the full band set first, then the "
+                               "selection applies")
     download.add_argument("--id", dest="image_ids", action="append",
                           default=None,
                           help="export only these image id(s); repeatable "
@@ -263,6 +270,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # computed (the reference's addMaskBands -> maskClouds ->
             # prepareForExport order) — casting the table first would
             # saturate the QA bands and garble every cloud bit
+            band_kw = {}
+            if args.bands:
+                import re as _re
+                band_kw["band_regex"] = "|".join(
+                    _re.escape(b) for b in args.bands
+                )
             snap = coll.download(
                 args.out, partition_col=args.partition_col,
                 resume=not args.no_resume,
@@ -270,6 +283,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 max_tile_bands=args.max_tile_bands,
                 apply_cloud_mask=args.apply_mask,
                 export_dtype=args.dtype,
+                **band_kw,
             )
             print(f"download: snapshot {snap} -> {args.out}")
             if args.files_dir:

@@ -15,6 +15,8 @@ writes; tile rows are ~tile_size bytes, so
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -42,6 +44,7 @@ def mask_and_tile(
     focal_open_px: int = 0,
     focal_dilate_px: int = 0,
     export_dtype: str | None = None,
+    band_regex: str | None = None,
     **mask_opts,
 ) -> DataFrame:
     """images -> masked tile rows, single decode per image.
@@ -59,6 +62,14 @@ def mask_and_tile(
     ``scale`` feeds both the cloud-distance geometry and (unless the
     caller overrides it in ``mask_opts``) the S2 shadow/morphology
     pixel-size — one physical quantity, one route.
+
+    ``band_regex`` exports only the bands whose (per-collection) names
+    fully match — the reference's band selection on download
+    (cli.py:364-372 -bn/--band-name -> image.py:796-798 select).  The
+    ORDER matters and is the reference's: masks are computed from the
+    FULL band set first (a QA-only or reflectance-only selection still
+    cloud-masks correctly), then the selected bands are sliced for
+    tiling.  An image whose band set matches nothing raises loudly.
 
     ``dist_sum`` in the output is PER-IMAGE (the coarse cloud-distance sum
     over fill pixels), replicated onto every tile row of that image —
@@ -112,6 +123,17 @@ def mask_and_tile(
                 if not export_dtype:
                     px = px.copy()
                 px[0][~cl] = codecs.NODATA_VALS[px.dtype.name]
+
+            if band_regex is not None:
+                full_names = list(names[: px.shape[0]])
+                keep = [i for i, n in enumerate(full_names)
+                        if re.fullmatch(band_regex, n)]
+                if not keep:
+                    raise ValueError(
+                        f"no bands of {image_id} ({full_names}) match "
+                        f"band_regex {band_regex!r}"
+                    )
+                px = np.ascontiguousarray(px[keep])
 
             nbands, h, w = px.shape
             tb, th, tw = tile_shape(

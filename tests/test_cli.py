@@ -345,3 +345,31 @@ def test_cli_bbox_excludes_rois(spark):
             "--synthetic", "10",
             "search", "--bbox", "0", "0", "10", "10", "--synthetic-rois", "2",
         ], spark=spark)
+
+
+def test_cli_download_band_name(spark, tmp_path):
+    """download --band-name B1: masks computed from the full band set,
+    only the selected band exported (snapshot tiles are single-band and
+    the per-image GeoTIFF is (1, h, w))."""
+    import glob as globmod
+
+    from geedim_spark import codecs
+    from geedim_spark.sources import geotiff
+
+    out = str(tmp_path / "bn_table")
+    files = str(tmp_path / "bn_tifs")
+    rc = cli.main([
+        "--synthetic", "20",
+        "search", "--start", "2024-01-01", "--end", "2025-01-01",
+        "download", "--out", out, "--max-tile-dim", "21",
+        "--band-name", "B1", "--files-dir", files,
+    ], spark=spark)
+    assert rc == 0
+    back = snapshots.read_snapshot(spark, out)
+    assert back.agg({"band_stop": "max"}).first()[0] == 1
+    px = codecs.decode(bytes(back.first()["tile_bytes"]))
+    assert px.shape[0] == 1
+    paths = globmod.glob(f"{files}/*.tif")
+    assert paths
+    arr, _ = geotiff.read_geotiff(paths[0])
+    assert arr.shape == (1, 40, 40)

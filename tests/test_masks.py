@@ -501,3 +501,43 @@ def test_s2_score_cs_band_selection(spark):
 
     with pytest.raises(ValueError):
         masks.s2_score_mask_stats(imgs, scores, cs_band="nope")
+
+
+def test_pipeline_band_regex_selects_after_masking(spark):
+    """download band selection (cli.py:364-372 -> image.py:796-798): masks
+    are computed from the FULL band set first, then only matching bands
+    are tiled.  A B1-only export still carries the cloud-mask nodata
+    holes; a QA-only export still exists even though QA is not a validity
+    band; no-match raises loudly."""
+    import pandas as pd
+
+    from geedim_spark import codecs
+    from geedim_spark.operators import pipeline
+
+    px = np.zeros((2, 20, 20), np.uint16)
+    px[0, :, :] = 7
+    px[1, :, 12:] = 1 << 9  # 8-col cloud strip in QA_PIXEL
+    rows = [{"image_id": "I", "caption": "c",
+             "collection": "LANDSAT/LC09/C02/T1_L2",
+             "bytes": codecs.encode_raw(px)}]
+    images = spark.createDataFrame(pd.DataFrame(rows))
+
+    tiles = pipeline.mask_and_tile(
+        images, band_regex="B1", max_tile_dim=20, max_tile_bands=2,
+    ).collect()
+    assert len(tiles) == 1 and tiles[0]["band_stop"] == 1
+    out = codecs.decode(bytes(tiles[0]["tile_bytes"]))
+    assert out.shape == (1, 20, 20)
+    # cloud strip masked to nodata in the exported band
+    assert (out[0, :, 12:] == 0).all() and (out[0, :, :12] == 7).all()
+
+    qa_only = pipeline.mask_and_tile(
+        images, band_regex="QA_.*", max_tile_dim=20, max_tile_bands=2,
+    ).collect()
+    blk = codecs.decode(bytes(qa_only[0]["tile_bytes"]))
+    assert blk.shape == (1, 20, 20) and (blk[0, :, 12:] == (1 << 9)).all()
+
+    with pytest.raises(Exception, match="band_regex"):
+        pipeline.mask_and_tile(
+            images, band_regex="SR_B4", max_tile_dim=20, max_tile_bands=2,
+        ).collect()
