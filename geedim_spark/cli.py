@@ -134,6 +134,12 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     download.add_argument("--overviews", action="store_true",
                           help="write overview (reduced-resolution) pages "
                                "into the GeoTIFFs (image.py:1060-1077)")
+    download.add_argument("--scale-offset", action="store_true",
+                          help="apply the catalog's STAC band scale/"
+                               "offset to the exported pixels (the "
+                               "reference CLI's -so/--scale-offset, "
+                               "cli.py:319-326; applied after masks, "
+                               "before --dtype)")
     download.add_argument("--band-name", dest="bands", action="append",
                           default=None,
                           help="export only these band name(s); repeatable "
@@ -283,6 +289,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 max_tile_bands=args.max_tile_bands,
                 apply_cloud_mask=args.apply_mask,
                 export_dtype=args.dtype,
+                scale_offset=args.scale_offset,
                 **band_kw,
             )
             print(f"download: snapshot {snap} -> {args.out}")

@@ -45,6 +45,7 @@ def mask_and_tile(
     focal_dilate_px: int = 0,
     export_dtype: str | None = None,
     band_regex: str | None = None,
+    scale_offset: bool = False,
     **mask_opts,
 ) -> DataFrame:
     """images -> masked tile rows, single decode per image.
@@ -62,6 +63,13 @@ def mask_and_tile(
     ``scale`` feeds both the cloud-distance geometry and (unless the
     caller overrides it in ``mask_opts``) the S2 shadow/morphology
     pixel-size — one physical quantity, one route.
+
+    ``scale_offset`` applies the catalog's per-band STAC scale/offset
+    (sources.band_props; reference image.py:137-172 via prepareForExport)
+    AFTER the masks are computed and BEFORE any ``export_dtype`` cast —
+    the reference's order.  Identity factors leave the image's dtype
+    untouched (prepare_for_export's no-op band semantics); any
+    non-identity factor promotes the image to float64.
 
     ``band_regex`` exports only the bands whose (per-collection) names
     fully match — the reference's band selection on download
@@ -115,6 +123,17 @@ def mask_and_tile(
             d = masks.cloud_dist(dk, scale * dist_decimate, max_cloud_dist,
                                  fill=fk)
             dist_sum = int(d[fk].sum(dtype=np.int64))
+            if scale_offset:
+                from geedim_spark.sources.band_props import _CATALOG
+                factors = [
+                    _CATALOG.get(coll, {}).get(n, (1.0, 0.0))[:2]
+                    for n in names[: px.shape[0]]
+                ]
+                if any(sc != 1.0 or off != 0.0 for sc, off in factors):
+                    px = px.astype(np.float64)
+                    for i, (sc, off) in enumerate(factors):
+                        if sc != 1.0 or off != 0.0:
+                            px[i] = px[i] * sc + off
             if export_dtype:
                 # AFTER the masks were computed from the raw bands
                 from geedim_spark.functions.dtypes import cast_pixels

@@ -541,3 +541,40 @@ def test_pipeline_band_regex_selects_after_masking(spark):
         pipeline.mask_and_tile(
             images, band_regex="SR_B4", max_tile_dim=20, max_tile_bands=2,
         ).collect()
+
+
+def test_pipeline_scale_offset_after_masks(spark):
+    """download --scale-offset semantics (image.py:137-172 via
+    prepareForExport): STAC factors applied AFTER mask computation, before
+    dtype handling; identity-factor collections stay bit-identical uint16;
+    masked pixels take the float nodata."""
+    import pandas as pd
+
+    from geedim_spark import codecs
+    from geedim_spark.operators import pipeline
+
+    px = np.zeros((2, 20, 20), np.uint16)
+    px[0, :, :] = 1000
+    px[1, :, 12:] = 1 << 9
+    rows = [
+        {"image_id": "L", "caption": "c",
+         "collection": "LANDSAT/LC09/C02/T1_L2",
+         "bytes": codecs.encode_raw(px)},
+        {"image_id": "M", "caption": "c", "collection": "MOCK/CONST",
+         "bytes": codecs.encode_raw(px)},
+    ]
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    tiles = {r["image_id"]: r for r in pipeline.mask_and_tile(
+        images, scale_offset=True, max_tile_dim=20, max_tile_bands=2,
+    ).collect()}
+
+    lt = codecs.decode(bytes(tiles["L"]["tile_bytes"]))
+    assert lt.dtype == np.float64
+    want = 1000 * 2.75e-05 - 0.2
+    assert np.allclose(lt[0, :, :12], want)      # reflectance converted
+    assert (lt[0, :, 12:] == float("-inf")).all()  # cloud strip -> nodata
+    assert (lt[1, :, 12:] == (1 << 9)).all()     # QA identity factors
+
+    mt = codecs.decode(bytes(tiles["M"]["tile_bytes"]))
+    assert mt.dtype == np.uint16                 # all-identity: untouched
+    assert (mt[0, :, :12] == 1000).all()
