@@ -33,6 +33,7 @@ _VALUE_OPTS = {
     "--cloudless-portion", "--rois", "--synthetic-rois",
     "--buffer", "--add-props", "--results-file",
     "--method", "--date",
+    "--region",
     "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
     "--dtype", "--files-dir", "--overview-min-dim", "--bbox", "--id",
     "--split", "--band-name",
@@ -88,6 +89,11 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     search.add_argument("--fill-portion", type=float)
     search.add_argument("--cloudless-portion", type=float)
     search.add_argument("--rois", help="parquet path of the ROI table")
+    search.add_argument("--region", default=None,
+                        help="path of a GeoJSON file defining the region "
+                             "bounds (the reference CLI's -r/--region, "
+                             "cli.py:257-268); Polygon / Feature / "
+                             "FeatureCollection")
     search.add_argument("--bbox", type=float, nargs=4, default=None,
                         metavar=("LEFT", "BOTTOM", "RIGHT", "TOP"),
                         help="region bounds as coordinates (the reference "
@@ -208,16 +214,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 rois = synth.rois_df(spark, args.synthetic_rois)
             elif args.rois:
                 rois = spark.read.parquet(args.rois)
-            if args.bbox is not None:
-                if rois is not None:
+            if args.bbox is not None or args.region is not None:
+                if rois is not None or (
+                    args.bbox is not None and args.region is not None
+                ):
                     parsers[cmd].error(
-                        "--bbox is mutually exclusive with --rois / "
-                        "--synthetic-rois"
+                        "--bbox / --region are mutually exclusive with "
+                        "each other and with --rois / --synthetic-rois"
                     )
-                x0, y0, x1, y1 = args.bbox
+                if args.bbox is not None:
+                    x0, y0, x1, y1 = args.bbox
+                    rid = "BBOX/0000"
+                else:
+                    from geedim_spark.cli_helpers import geojson_bounds
+                    x0, y0, x1, y1 = geojson_bounds(args.region)
+                    rid = "REGION/0000"
                 rois = spark.createDataFrame(
-                    [("BBOX/0000", float(x0), float(y0),
-                      float(x1), float(y1))],
+                    [(rid, float(x0), float(y0), float(x1), float(y1))],
                     "roi_id string, rx0 double, ry0 double, "
                     "rx1 double, ry1 double",
                 )

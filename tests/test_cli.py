@@ -373,3 +373,41 @@ def test_cli_download_band_name(spark, tmp_path):
     assert paths
     arr, _ = geotiff.read_geotiff(paths[0])
     assert arr.shape == (1, 40, 40)
+
+
+def test_cli_region_geojson(spark, tmp_path, capsys):
+    """search --region path.geojson (reference -r/--region, cli.py:257-268):
+    the polygon's bounds become the search region; Feature and
+    FeatureCollection wrappers and MultiPolygon all resolve."""
+    import json
+
+    region = {
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "properties": {},
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[0, 0], [500, 0], [500, 500], [0, 500],
+                                 [0, 0]]],
+            },
+        }],
+    }
+    path = tmp_path / "region.geojson"
+    path.write_text(json.dumps(region))
+    rc = cli.main([
+        "--synthetic", "40",
+        "search", "--start", "2024-01-01", "--end", "2025-01-01",
+        "--region", str(path),
+    ], spark=spark)
+    assert rc == 0
+    printed = capsys.readouterr().out
+    # image 0 sits at (0,0)-(400,400): inside; most others are far away
+    assert "search: 1 images match" in printed
+
+    from geedim_spark.cli_helpers import geojson_bounds
+    assert geojson_bounds(str(path)) == (0.0, 0.0, 500.0, 500.0)
+    bad = tmp_path / "bad.geojson"
+    bad.write_text(json.dumps({"type": "Point", "coordinates": [0, 0]}))
+    with pytest.raises(ValueError, match="unsupported GeoJSON"):
+        geojson_bounds(str(bad))
