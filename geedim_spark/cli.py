@@ -238,7 +238,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 if rois is None:
                     # cli.py:224-230: --buffer needs a region to buffer
                     parsers[cmd].error(
-                        "--rois / --synthetic-rois is required with --buffer"
+                        "--rois / --synthetic-rois / --bbox / --region is "
+                        "required with --buffer"
                     )
                 from pyspark.sql import functions as F
                 b = float(args.buffer)
