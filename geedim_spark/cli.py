@@ -333,13 +333,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     bytes(tiles.select("tile_bytes").first()["tile_bytes"])
                 )
                 dtype = probe.dtype.name
+                band_names = None
+                if args.split == "bands":
+                    # the reference raises on inconsistent band sets
+                    # before splitting (collection.py:467-468
+                    # _raise_image_consistency); band names come from the
+                    # (single) collection family
+                    from geedim_spark.operators import masks as _masks
+                    fams = {
+                        _masks.band_names_for(r[0])
+                        for r in coll.df.select("collection")
+                        .distinct().collect()
+                    }
+                    if len(fams) > 1:
+                        raise ValueError(
+                            "--split bands needs a consistent band set "
+                            f"across images (got {sorted(fams)})"
+                        )
+                    band_names = next(iter(fams)) if fams else None
                 n_files = sinks.write_image_files(
                     tiles, args.files_dir, bands=nbands,
                     h=int(dims["h"]), w=int(dims["w"]), dtype=dtype,
                     nodata=_codecs.NODATA_VALS[dtype],
                     overviews=args.overviews,
                     min_overview_dim=args.overview_min_dim,
-                    split=args.split,
+                    split=args.split, band_names=band_names,
                 ).count()
                 print(f"download: {n_files} GeoTIFFs -> {args.files_dir}")
     return 0

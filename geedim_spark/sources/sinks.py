@@ -77,6 +77,7 @@ def write_image_files(
     geographic: bool | None = None,
     min_overview_dim: int = 256,
     split: str = "images",
+    band_names: tuple | None = None,
 ):
     """Distributed per-image file sink (K1 completion): assemble each
     image's tiles INSIDE its executor group and write one file per image —
@@ -97,6 +98,14 @@ def write_image_files(
     NOT exhaustive — pass ``geographic=True`` for geographic CRSs outside
     it).
 
+    ``split='bands'`` is the reference's collection TRANSPOSE
+    (collection.py:465-495 ``_split_images(SplitType.bands)``): one file
+    per BAND NAME, whose file-bands are that band from every input image
+    in image_id order — not per-image band files.  ``band_names`` names
+    the output files (default ``B<i>`` by index); geo tags come from the
+    first image by id (the reference's toBands uses the first image's
+    projection).
+
     ``out_dir`` must be a path every executor can reach (local[*]: any
     local dir; a real cluster: a shared filesystem / object-store mount).
     """
@@ -115,6 +124,72 @@ def write_image_files(
     has_geo = "transform" in tiles.columns
     has_crs = "crs" in tiles.columns
 
+    def _geo_of(row) -> tuple:
+        transform = list(row["transform"]) if has_geo else None
+        epsg = None
+        geo = bool(geographic)
+        if has_crs:
+            crs = str(row["crs"])
+            if crs.upper().startswith("EPSG:"):
+                epsg = int(crs.split(":", 1)[1])
+                # geographic (lat/lon) vs projected GeoKey choice:
+                # explicit `geographic` argument wins; otherwise a
+                # known-codes list (NOT exhaustive — geographic CRSs
+                # outside it, e.g. EPSG:4171/4617, need the explicit
+                # argument or they are written under
+                # ProjectedCSTypeGeoKey)
+                geo = geographic if geographic is not None else epsg in (
+                    4326, 4269, 4267, 4258, 4283, 4148, 4490,
+                    4171, 4617, 4619, 4759,
+                )
+        return transform, epsg, geo
+
+    def _emit(name: str, arr, transform, epsg, geo) -> dict:
+        from urllib.parse import quote
+        # percent-escape (collision-free, reversible) rather than '/'->'-'
+        # (download.py:82-86): 'A/B' and 'A-B' must not share one file
+        safe = quote(str(name), safe="")
+        if fmt == "npy":
+            path = os.path.join(out_dir, f"{safe}.npy")
+            np.save(path, arr)
+        else:
+            path = os.path.join(out_dir, f"{safe}.tif")
+            write_geotiff(
+                path, arr, transform=transform, crs_epsg=epsg,
+                geographic=geo, nodata=nodata,
+                compress="deflate", overviews=overviews,
+                min_overview_dim=min_overview_dim,
+            )
+        return {"image_id": name, "path": path,
+                "nbytes": int(os.path.getsize(path))}
+
+    def _write_band(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the reference transpose (collection.py:465-495): this group is
+        # ONE band index across every image; the output file's bands are
+        # the images in image_id order
+        b = int(pdf["_band"].iloc[0])
+        ids = sorted(pdf["image_id"].unique())
+        arr = np.zeros((len(ids), h, w), dtype)
+        for i, iid in enumerate(ids):
+            sub = pdf[pdf["image_id"] == iid]
+            arr[i] = assemble_image(sub.to_dict("records"), bands, h, w,
+                                    dtype)[b]
+        first = pdf[pdf["image_id"] == ids[0]].iloc[0]
+        transform, epsg, geo = _geo_of(first)
+        name = (band_names[b] if band_names and b < len(band_names)
+                else f"B{b}")
+        return pd.DataFrame([_emit(name, arr, transform, epsg, geo)])
+
+    if split == "bands":
+        banded = tiles.withColumn(
+            "_band",
+            F.explode(F.sequence(F.col("band_start"),
+                                 F.col("band_stop") - 1)),
+        )
+        return banded.groupBy("_band").applyInPandas(
+            _write_band, schema="image_id string, path string, nbytes long"
+        )
+
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         image_id = pdf["image_id"].iloc[0]
         arr = assemble_image(pdf.to_dict("records"), bands, h, w, dtype)
@@ -122,22 +197,13 @@ def write_image_files(
         # (download.py:82-86): 'A/B' and 'A-B' must not share one file
         from urllib.parse import quote
         safe = quote(str(image_id), safe="")
-        # split='bands' (the reference CLI's -sp bands, cli.py:374-383 /
-        # enums.SplitType): one single-band file per band of each image,
-        # suffixed _B<i>; geo tags are per-image so each band file carries
-        # the same transform/CRS
-        pieces = (
-            [(arr, "")] if split == "images"
-            else [(arr[b:b + 1], f"_B{b}") for b in range(arr.shape[0])]
-        )
         if fmt == "npy":
-            out_rows = []
-            for piece, suffix in pieces:
-                path = os.path.join(out_dir, f"{safe}{suffix}.npy")
-                np.save(path, piece)
-                out_rows.append({"image_id": image_id, "path": path,
-                                 "nbytes": int(os.path.getsize(path))})
-            return pd.DataFrame(out_rows)
+            path = os.path.join(out_dir, f"{safe}.npy")
+            np.save(path, arr)
+            return pd.DataFrame([
+                {"image_id": image_id, "path": path,
+                 "nbytes": int(os.path.getsize(path))}
+            ])
         else:
             transform = list(pdf["transform"].iloc[0]) if has_geo else None
             epsg = None
@@ -156,18 +222,17 @@ def write_image_files(
                         4326, 4269, 4267, 4258, 4283, 4148, 4490,
                         4171, 4617, 4619, 4759,
                     )
-            out_rows = []
-            for piece, suffix in pieces:
-                path = os.path.join(out_dir, f"{safe}{suffix}.tif")
-                write_geotiff(
-                    path, piece, transform=transform, crs_epsg=epsg,
-                    geographic=geo, nodata=nodata,
-                    compress="deflate", overviews=overviews,
-                    min_overview_dim=min_overview_dim,
-                )
-                out_rows.append({"image_id": image_id, "path": path,
-                                 "nbytes": int(os.path.getsize(path))})
-            return pd.DataFrame(out_rows)
+            path = os.path.join(out_dir, f"{safe}.tif")
+            write_geotiff(
+                path, arr, transform=transform, crs_epsg=epsg,
+                geographic=geo, nodata=nodata,
+                compress="deflate", overviews=overviews,
+                min_overview_dim=min_overview_dim,
+            )
+            return pd.DataFrame([
+                {"image_id": image_id, "path": path,
+                 "nbytes": int(os.path.getsize(path))}
+            ])
 
     return (
         tiles.groupBy("image_id")

@@ -330,12 +330,12 @@ def test_cli_bbox_id_and_band_split(spark, tmp_path, capsys):
         spark, out).select("image_id").distinct().collect()}
     assert snap_ids == {"IMG/00000000", "IMG/00000001"}
     paths = sorted(globmod.glob(f"{files}/*.tif"))
-    # 2 images x 2 bands, each file single-band with the image's geo tags
-    assert len(paths) == 4
-    assert all("_B0.tif" in p or "_B1.tif" in p for p in paths)
+    # the reference transpose (collection.py:465-495): one file per BAND
+    # NAME; each file's bands are that band from every exported image
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["B1.tif", "QA_PIXEL.tif"]
     for p in paths:
         arr, meta = geotiff.read_geotiff(p)
-        assert arr.shape == (1, 40, 40) and arr.dtype == np.uint16
+        assert arr.shape == (2, 40, 40) and arr.dtype == np.uint16
         assert meta["crs_epsg"] == 3857
 
 

@@ -105,3 +105,38 @@ def test_write_image_files_geotiff_sink(spark, tmp_path):
         assert np.array_equal(arr, want)
         assert meta["crs_epsg"] == 3857 and meta["nodata"] == 0.0
         assert meta["transform"] == [float(t) for t in src[r["image_id"]]["transform"]]
+
+
+def test_write_image_files_split_bands_transpose(spark, tmp_path):
+    """split='bands' is the reference's collection transpose
+    (collection.py:465-495): one file per band NAME whose file-bands are
+    that band from every image in image_id order."""
+    import numpy as np
+    from geedim_spark import synth
+    from geedim_spark.operators import export_ops
+    from geedim_spark.sources import geotiff, sinks
+    from pyspark.sql import functions as F
+
+    imgs = synth.images_df(spark, 9, scalar_filter="fmt = 'raw'")
+    ids = sorted(r[0] for r in imgs.select("image_id").collect())
+    tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
+    geo = imgs.select("image_id", "transform", "crs")
+    tiles = tiles.join(F.broadcast(geo), "image_id")
+    out = str(tmp_path / "band_tifs")
+    manifest = sinks.write_image_files(
+        tiles, out, bands=2, h=40, w=40, split="bands",
+        band_names=("B1", "QA_PIXEL"), nodata=0,
+    ).collect()
+    assert sorted(r["image_id"] for r in manifest) == ["B1", "QA_PIXEL"]
+    for r in manifest:
+        arr, meta = geotiff.read_geotiff(r["path"])
+        assert arr.shape == (len(ids), 40, 40)
+        b = 0 if r["image_id"] == "B1" else 1
+        for i, iid in enumerate(ids):
+            want = export_ops.assemble_image(
+                tiles.where(tiles.image_id == iid).collect(), 2, 40, 40,
+                "uint16")[b]
+            assert np.array_equal(arr[i], want), (r["image_id"], iid)
+        # geo tags from the first image by id
+        first_tf = imgs.where(imgs.image_id == ids[0]).first()["transform"]
+        assert meta["transform"] == [float(t) for t in first_tf]
