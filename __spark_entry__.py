@@ -1378,6 +1378,53 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 band-split transpose through the driver gate
+    (collection.py:465-495 ``_split_images(SplitType.bands)``): the
+    distributed per-band GeoTIFF sink writes one file per band name whose
+    file-bands are that band from every image; each file is parsed back
+    and its shape + pixel sum value-checked against the strip closed
+    form.  S2 rows are excluded so the band set is consistent (the
+    reference raises on inconsistent band sets before splitting)."""
+    from geedim_spark.operators import export_ops
+    from geedim_spark.sources import geotiff, sinks
+
+    n, _ = _sizes(sf_dir)
+    cap = min(n, 300)
+    imgs = synth.images_df(
+        spark, cap, scalar_filter="fmt = 'raw' AND i % 3 <> 2"
+    )
+    tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
+    out_dir = (
+        f"/tmp/geedim_spark_split_bands_{synth.recipe_hash()}_{cap}"
+    )
+    manifest = sinks.write_image_files(
+        tiles, out_dir, bands=2, h=40, w=40, split="bands",
+        band_names=("B1", "QA_PIXEL"), nodata=0,
+    )
+
+    def _verify(it):
+        for pdf in it:
+            rows = []
+            for name, path in zip(pdf["image_id"], pdf["path"]):
+                arr, _meta = geotiff.read_geotiff(path)
+                rows.append({
+                    "band": name,
+                    "n_images": int(arr.shape[0]),
+                    "h": int(arr.shape[1]),
+                    "w": int(arr.shape[2]),
+                    "px_sum": int(arr.sum(dtype=np.int64)),
+                })
+            yield pd.DataFrame(
+                rows, columns=["band", "n_images", "h", "w", "px_sum"]
+            )
+
+    return manifest.mapInPandas(
+        _verify,
+        schema="band string, n_images int, h int, w int, px_sum long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1477,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_fns": q_string_fns,
         "limit_sorted": q_limit_sorted,
         "phash_near_dup": q_phash_near_dup,  # new r4 capability; windows r5
+        "split_bands": q_split_bands,        # new r4 capability; windows r5
     }
 
 
@@ -1500,7 +1548,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "cloud-dist": ("cloud_dist",),
     "stencil": ("halo_edt",),
     "tiler": ("tile_grid",),
-    "export": ("export_tiles", "prepare_export"),
+    "export": ("export_tiles", "prepare_export", "split_bands"),
     "resample": ("resample",),
     "geotiff": ("geotiff_roundtrip",),
     "band-props": ("band_props",),
@@ -2529,6 +2577,27 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(5 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS recall_ge_30pct
+        """,
+        # strip closed form of the band-split transpose: per surviving
+        # image (raw, non-S2), band B1 sums v over the non-fill columns
+        # and QA_PIXEL sums bit-9 over the cloud strip
+        "split_bands": f"""
+            WITH imgs AS (
+              SELECT i, (i % 200) + 1 AS v,
+                     (i % 5) * 4 AS f_px, (i % 7) * 2 AS c_px
+              FROM range(0, {min(n, 300)}) t(i)
+              WHERE i % 3 <> 2 AND i % 4 <> 3)
+            SELECT 'B1' AS band,
+                   CAST(COUNT(*) AS INT) AS n_images,
+                   CAST(40 AS INT) AS h, CAST(40 AS INT) AS w,
+                   CAST(SUM(v * 40 * (40 - f_px)) AS BIGINT) AS px_sum
+            FROM imgs
+            UNION ALL
+            SELECT 'QA_PIXEL',
+                   CAST(COUNT(*) AS INT),
+                   CAST(40 AS INT), CAST(40 AS INT),
+                   CAST(SUM(512 * 40 * c_px) AS BIGINT)
+            FROM imgs
         """,
         # BRUTE-FORCE twin of the banded phash join: every (a < b) pair
         # with bit_count(xor) <= 2 — equality with the banded engine
