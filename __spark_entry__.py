@@ -1425,6 +1425,53 @@ def q_split_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_best_effort_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 bestEffort decimation through the driver gate: images above the
+    reference's regionCoverage maxPixels=1e6 cap (mask.py:78,141-144
+    bestEffort=True) compute portions on a stride-decimated grid
+    (masks.stats_stride).  1152x1152 strips (1.33 Mpx) force stride 2;
+    the strided strip counts have an exact integer closed form (strip
+    widths are even, so ceil(width/stride) == width/2).  Pixels are
+    synthesized INSIDE the kernel from the row index — no 5 MB blobs
+    through the plan (the landsat_param_portions pattern)."""
+    n, _ = _sizes(sf_dir)
+    cap = min(n, 48)
+    base = spark.range(cap).select(F.col("id").cast("int").alias("i"))
+    H = W = 1152
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                v = i % 200 + 1
+                f_px = (i % 5) * 4
+                c_px = (i % 7) * 2
+                B1 = np.full((H, W), v, np.uint16)
+                B1[:, :f_px] = 0
+                qa = np.zeros((H, W), np.uint16)
+                if c_px:
+                    qa[:, W - c_px:] = 1 << 9
+                m = masks.landsat_masks({"B1": B1, "QA_PIXEL": qa})
+                step = masks.stats_stride(H * W)
+                sub = (slice(None, None, step), slice(None, None, step))
+                rows.append({
+                    "i": i, "stride": step,
+                    "total_px": int(m["FILL_MASK"][sub].size),
+                    "fill_px": int(m["FILL_MASK"][sub].sum()),
+                    "cloudless_px": int(m["CLOUDLESS_MASK"][sub].sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "i", "stride", "total_px", "fill_px", "cloudless_px",
+            ])
+
+    return base.mapInPandas(
+        _batch,
+        schema="i int, stride int, total_px long, fill_px long, "
+               "cloudless_px long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1525,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_sorted": q_limit_sorted,
         "phash_near_dup": q_phash_near_dup,  # new r4 capability; windows r5
         "split_bands": q_split_bands,        # new r4 capability; windows r5
+        "best_effort_portions": q_best_effort_portions,  # A10; windows r5
     }
 
 
@@ -1537,7 +1585,8 @@ PRIORITY_WINDOW = 50
 QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "spatial-join": ("spatial_join", "geo_spatial_join"),
     "skew-join": ("skew_join",),
-    "mask-stats": ("mask_portions", "tiled_portions", "landsat_param_portions"),
+    "mask-stats": ("mask_portions", "tiled_portions",
+                   "landsat_param_portions", "best_effort_portions"),
     "mask-apply": ("mask_clouds",),
     "geometry": ("mask_polygons",),
     "s2-qa": ("s2_qa_portions",),
@@ -2577,6 +2626,18 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(5 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS recall_ge_30pct
+        """,
+        # bestEffort stride-2 closed form: sampled grid is 576x576; the
+        # even strip widths halve exactly under the stride
+        "best_effort_portions": f"""
+            SELECT CAST(i AS INT) AS i, CAST(2 AS INT) AS stride,
+                   CAST(576 * 576 AS BIGINT) AS total_px,
+                   CAST(576 * (576 - ((i % 5) * 4) / 2) AS BIGINT)
+                     AS fill_px,
+                   CAST(576 * (576 - ((i % 5) * 4) / 2
+                               - ((i % 7) * 2) / 2) AS BIGINT)
+                     AS cloudless_px
+            FROM range(0, {min(n, 48)}) t(i)
         """,
         # strip closed form of the band-split transpose: per surviving
         # image (raw, non-S2), band B1 sums v over the non-fill columns
