@@ -1472,6 +1472,34 @@ def q_best_effort_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 snapshot machinery through the driver gate: commit the raw
+    images into a partitioned snapshot table (CAS manifest swap), GC all
+    but the newest manifest, read the committed snapshot back, and
+    resume-check — per-collection committed row counts have a closed
+    form and the resume anti-join must report zero pending keys.  The
+    table dir is recipe-keyed in /tmp; repeated executions overwrite the
+    same partitions and expire their predecessors, so output is stable
+    run-over-run."""
+    from geedim_spark.sources import snapshots
+
+    n, _ = _sizes(sf_dir)
+    cap = min(n, 400)
+    imgs = synth.images_df(
+        spark, cap, scalar_filter="fmt = 'raw'"
+    ).select("image_id", "collection", "bytes")
+    tdir = f"/tmp/geedim_spark_snapq_{synth.recipe_hash()}_{cap}"
+    snapshots.write_snapshot(imgs, tdir, "collection")
+    snapshots.expire_snapshots(tdir, keep_last=1)
+    n_pending = snapshots.pending_keys(imgs, tdir, "collection").count()
+    back = snapshots.read_snapshot(spark, tdir)
+    return (
+        back.groupBy("collection")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn("n_pending", F.lit(n_pending).cast("long"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1573,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,  # new r4 capability; windows r5
         "split_bands": q_split_bands,        # new r4 capability; windows r5
         "best_effort_portions": q_best_effort_portions,  # A10; windows r5
+        "snapshot_commit": q_snapshot_commit,            # K4; windows r5
     }
 
 
@@ -1613,7 +1642,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "medoid": ("medoid_profile",),
     "qmosaic": ("qmosaic_halo", "composite_tiled_qmosaic"),
     "multimodal": ("image_features", "dct8_psnr"),
-    "streaming-ingest": ("streaming_ingest",),
+    "streaming-ingest": ("streaming_ingest", "snapshot_commit"),
     "streaming-windows": ("streaming_windows",),
     "streaming-dedup": ("streaming_dedup",),
     "sessionisation": ("events_sessions", "session_windows",
@@ -2626,6 +2655,20 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(5 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS recall_ge_30pct
+        """,
+        # committed-rows closed form: raw images per collection family;
+        # the resume anti-join against a fully-committed table is empty
+        "snapshot_commit": f"""
+            SELECT CASE i % 3
+                     WHEN 0 THEN 'MOCK/CONST'
+                     WHEN 1 THEN 'LANDSAT/LC09/C02/T1_L2'
+                     ELSE 'COPERNICUS/S2_SR_HARMONIZED'
+                   END AS collection,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(0 AS BIGINT) AS n_pending
+            FROM range(0, {min(n, 400)}) t(i)
+            WHERE i % 4 <> 3
+            GROUP BY 1
         """,
         # bestEffort stride-2 closed form: sampled grid is 576x576; the
         # even strip widths halve exactly under the stride
