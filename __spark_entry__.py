@@ -1500,6 +1500,35 @@ def q_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_numpy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 NumPy sink through the driver gate: tiles reassemble into the
+    (bands, h, w) array (export_ops.assemble_image), viewed as the
+    structured per-band dtype (sinks.to_structured, image.py:1167-1175
+    analog); per-band structured-field sums value-check against the strip
+    closed form — S2 rows carry QA60 bit 10, others QA_PIXEL bit 9."""
+    from geedim_spark.operators import export_ops
+    from geedim_spark.sources import sinks
+
+    n, _ = _sizes(sf_dir)
+    cap = min(n, 240)
+    imgs = synth.images_df(spark, cap, scalar_filter="fmt = 'raw'")
+    tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
+
+    def _asm(pdf: pd.DataFrame) -> pd.DataFrame:
+        iid = pdf["image_id"].iloc[0]
+        arr = sinks.to_numpy(pdf.to_dict("records"), 2, 40, 40, "uint16")
+        st = sinks.to_structured(arr, ["B1", "QA"])
+        return pd.DataFrame([{
+            "image_id": iid,
+            "b1_sum": int(st["B1"].sum(dtype=np.int64)),
+            "qa_sum": int(st["QA"].sum(dtype=np.int64)),
+        }])
+
+    return tiles.groupBy("image_id").applyInPandas(
+        _asm, schema="image_id string, b1_sum long, qa_sum long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1602,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_bands": q_split_bands,        # new r4 capability; windows r5
         "best_effort_portions": q_best_effort_portions,  # A10; windows r5
         "snapshot_commit": q_snapshot_commit,            # K4; windows r5
+        "numpy_roundtrip": q_numpy_roundtrip,            # K2; windows r5
     }
 
 
@@ -1626,7 +1656,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "cloud-dist": ("cloud_dist",),
     "stencil": ("halo_edt",),
     "tiler": ("tile_grid",),
-    "export": ("export_tiles", "prepare_export", "split_bands"),
+    "export": ("export_tiles", "prepare_export", "split_bands",
+               "numpy_roundtrip"),
     "resample": ("resample",),
     "geotiff": ("geotiff_roundtrip",),
     "band-props": ("band_props",),
@@ -2655,6 +2686,17 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(5 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS recall_ge_30pct
+        """,
+        # structured-view band sums: B1 sums v over the non-fill columns,
+        # the QA field sums the family cloud bit over the cloud strip
+        "numpy_roundtrip": f"""
+            SELECT printf('IMG/%08d', i) AS image_id,
+                   CAST(((i % 200) + 1) * 40 * (40 - (i % 5) * 4) AS BIGINT)
+                     AS b1_sum,
+                   CAST((CASE WHEN i % 3 = 2 THEN 1024 ELSE 512 END)
+                        * 40 * ((i % 7) * 2) AS BIGINT) AS qa_sum
+            FROM range(0, {min(n, 240)}) t(i)
+            WHERE i % 4 <> 3
         """,
         # committed-rows closed form: raw images per collection family;
         # the resume anti-join against a fully-committed table is empty
