@@ -468,7 +468,7 @@ def q_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 try:
                     geotiff.write_geotiff(
                         path, px, transform=tf, crs_epsg=epsg, nodata=0,
-                        compress="deflate",
+                        compress="deflate", overwrite=True,  # mkstemp'd
                     )
                     got, meta = geotiff.read_geotiff(path)
                 finally:

@@ -52,6 +52,15 @@ def cast_pixels(pixels: np.ndarray, dtype: str) -> np.ndarray:
     Non-finite inputs (NaN marks all-masked composite pixels) become the
     target dtype's nodata — np.clip passes NaN through and NaN.astype(int)
     is undefined (platform-dependent garbage)."""
+    if dtype not in NODATA_VALS:
+        # the reference's toDType raises on int64/uint64 etc.
+        # (test_image.py:254-258 'Unsupported dtype'; image.py:66-73 has no
+        # nodata for them) — silently casting here would produce a table
+        # whose nodata convention no downstream kernel understands
+        raise ValueError(
+            f"Unsupported dtype: {dtype!r} (supported: "
+            f"{sorted(NODATA_VALS)})"
+        )
     dt = np.dtype(dtype)
     if dt.kind in "ui":
         px = pixels

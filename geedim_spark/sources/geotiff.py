@@ -222,6 +222,7 @@ def write_geotiff(
     description: str | None = None,
     overviews: bool = False,
     min_overview_dim: int = 256,
+    overwrite: bool = False,
 ) -> int:
     """Write ``pixels`` (bands, h, w) as a striped (Geo)TIFF; returns bytes
     written.  ``transform`` is the 6-element affine (sx, 0, x0, 0, -sy, y1)
@@ -233,6 +234,12 @@ def write_geotiff(
     the tiled snapshot table is the primary sink and per-image GeoTIFFs are
     bounded by the reference's own 10 GB/5000-image export guards.
     """
+    if not overwrite and os.path.exists(path):
+        # reference toGeoTIFF parity (test_image.py:550-563): an existing
+        # file is refused unless the caller opts into overwriting
+        raise FileExistsError(
+            f"{path} exists — pass overwrite=True to replace it"
+        )
     if pixels.ndim == 2:
         pixels = pixels[None]
     if pixels.ndim != 3:

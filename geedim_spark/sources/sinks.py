@@ -159,6 +159,7 @@ def write_image_files(
                 geographic=geo, nodata=nodata,
                 compress="deflate", overviews=overviews,
                 min_overview_dim=min_overview_dim,
+                overwrite=True,  # the manifest dir is the unit of intent
             )
         return {"image_id": name, "path": path,
                 "nbytes": int(os.path.getsize(path))}
@@ -228,6 +229,7 @@ def write_image_files(
                 geographic=geo, nodata=nodata,
                 compress="deflate", overviews=overviews,
                 min_overview_dim=min_overview_dim,
+                overwrite=True,  # the manifest dir is the unit of intent
             )
             return pd.DataFrame([
                 {"image_id": image_id, "path": path,

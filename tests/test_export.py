@@ -159,3 +159,20 @@ def test_resample_nodata_aware_no_halos():
     # bicubic variant: interior valid pixels unchanged, no halo leak
     outc = rs.resample(px, 4, 4, "bicubic", nodata=0)
     assert np.all(np.abs(outc[0, :, 3] - 100.0) < 1e-9)
+
+
+def test_cast_pixels_unsupported_dtype_raises():
+    """toDType('int64') raises in the reference (test_image.py:254-258,
+    'Unsupported dtype' — image.py:66-73 defines no nodata for 64-bit
+    ints); a silent cast would emit a table whose nodata convention no
+    kernel understands."""
+    import numpy as np
+    import pytest
+
+    from geedim_spark.functions.dtypes import cast_pixels
+
+    px = np.ones((1, 4, 4), np.uint16)
+    for bad in ("int64", "uint64", "complex64", "bool"):
+        with pytest.raises(ValueError, match="Unsupported dtype"):
+            cast_pixels(px, bad)
+    assert cast_pixels(px, "uint8").dtype == np.uint8  # supported path OK

@@ -147,3 +147,21 @@ def test_overview_geo_tags_scale_per_level(tmp_path):
     assert m0["transform"] == [10.0, 0, 500.0, 0, -10.0, 900.0]
     assert m1["transform"] == [20.0, 0, 500.0, 0, -20.0, 900.0]
     assert m2["transform"] == [40.0, 0, 500.0, 0, -40.0, 900.0]
+
+
+def test_write_geotiff_overwrite_guard(tmp_path):
+    """toGeoTIFF overwrite parity (reference test_image.py:550-563): an
+    existing file is refused unless overwrite=True."""
+    import numpy as np
+    import pytest
+
+    from geedim_spark.sources import geotiff
+
+    arr = np.ones((1, 8, 8), np.uint16)
+    p = str(tmp_path / "ow.tif")
+    geotiff.write_geotiff(p, arr)
+    with pytest.raises(FileExistsError, match="overwrite=True"):
+        geotiff.write_geotiff(p, arr)
+    geotiff.write_geotiff(p, arr * 3, overwrite=True)
+    got, _ = geotiff.read_geotiff(p)
+    assert (got == 3).all()
