@@ -49,3 +49,22 @@ if __name__ == "__main__":
         f"real-kernel probe imgs/s local8={r8:.1f} local32={r32:.1f} "
         f"eff={(r32 / r8) / 4:.3f}"
     )
+
+
+def bw_work(i):
+    """Stream ~256 MB through memory — the scan/Arrow-shaped control."""
+    a = np.empty(8_000_000, np.int64)
+    a[:] = i
+    s = 0
+    for _ in range(4):
+        b = a.copy()  # read+write stream
+        s += int(b[::4096].sum())
+    return s
+
+
+def bw_run(workers, tasks):
+    with mp.Pool(workers) as p:
+        p.map(bw_work, range(workers))  # warm
+        t0 = time.time()
+        p.map(bw_work, range(tasks), chunksize=2)
+        return tasks / (time.time() - t0)
