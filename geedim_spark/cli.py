@@ -36,7 +36,7 @@ _VALUE_OPTS = {
     "--region",
     "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
     "--dtype", "--files-dir", "--overview-min-dim", "--bbox", "--id",
-    "--split", "--band-name",
+    "--split", "--band-name", "--compact-files",
 }
 
 
@@ -164,6 +164,13 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
                                "each image (the reference CLI's "
                                "-sp/--split, cli.py:374-383); applies to "
                                "--files-dir")
+    download.add_argument("--compact-files", type=int, default=None,
+                          metavar="MIN_FILES",
+                          help="after the commit, rewrite partitions "
+                               "spanning >= MIN_FILES parquet files to "
+                               "one file each (snapshots."
+                               "compact_partitions, Iceberg "
+                               "rewrite_data_files analog)")
     download.add_argument("--overview-min-dim", type=int, default=256,
                           help="stop adding overview levels once both dims "
                                "drop under this (rasterio build_overviews "
@@ -307,6 +314,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 **band_kw,
             )
             print(f"download: snapshot {snap} -> {args.out}")
+            if args.compact_files is not None:
+                from geedim_spark.sources import snapshots as _snaps
+                cid = _snaps.compact_partitions(
+                    spark, args.out, min_files=args.compact_files
+                )
+                print(f"download: compacted -> snapshot {cid}")
             if args.files_dir:
                 # the reference CLI's on-disk deliverable: one GeoTIFF per
                 # image (cli.py download -dd -> image.py:954-1085), here

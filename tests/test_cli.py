@@ -411,3 +411,27 @@ def test_cli_region_geojson(spark, tmp_path, capsys):
     bad.write_text(json.dumps({"type": "Point", "coordinates": [0, 0]}))
     with pytest.raises(ValueError, match="unsupported GeoJSON"):
         geojson_bounds(str(bad))
+
+
+def test_cli_download_compact_files(spark, tmp_path, capsys):
+    """download --compact-files N folds multi-file partitions to one file
+    each after the commit (snapshots.compact_partitions)."""
+    import glob as globmod
+
+    out = str(tmp_path / "compact_table")
+    rc = cli.main([
+        "--synthetic", "30",
+        "search", "--start", "2024-01-01", "--end", "2025-01-01",
+        "download", "--out", out, "--max-tile-dim", "21",
+        "--compact-files", "2",
+    ], spark=spark)
+    assert rc == 0
+    assert "compacted -> snapshot" in capsys.readouterr().out
+    man = snapshots.current_snapshot(out)
+    for part in man["partitions"]:
+        files = [
+            f for path in part["paths"]
+            for f in globmod.glob(f"{out}/{path}/*.parquet")
+        ]
+        assert len(files) == 1, part["key"]
+    assert snapshots.read_snapshot(spark, out).count() > 0
