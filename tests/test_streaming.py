@@ -157,3 +157,87 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
         ).agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_stream_dedup_ttl_evicts_expired_state(spark, tmp_path):
+    """TTL-bounded stateful dedup: within the TTL duplicates are dropped;
+    once a hash's last-seen falls outside the TTL it is evicted and the
+    document re-emits on its next occurrence — the bounded-state contract
+    an unbounded 100 TB stream needs (NoTimeout state grows forever)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geedim_spark.streaming import stateful
+
+    # pure eviction logic
+    seen = {"a": 1000, "b": 5000, "c": 9000}
+    assert stateful._evict_expired(seen, now_ms=10000, ttl_ms=4000) == {
+        "c": 9000,
+    }
+    # boundary: last-seen exactly at the floor survives (>=)
+    assert stateful._evict_expired(seen, now_ms=10000, ttl_ms=5000) == {
+        "b": 5000, "c": 9000,
+    }
+    assert stateful._evict_expired(seen, now_ms=10000, ttl_ms=100) == {}
+
+    # integration: drain, wait past the TTL, append the SAME docs, drain
+    # from the SAME checkpoint (parquet sink — the memory sink cannot
+    # recover from a checkpoint)
+    src = str(tmp_path / "ttl_src")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    out = str(tmp_path / "ttl_out")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    docs.coalesce(1).write.parquet(src)
+    q = stateful.stream_dedup(
+        spark, src, ckpt, ttl_minutes=0.5 / 60, sink_dir=out,  # 0.5 s TTL
+    )
+    q.awaitTermination(180)
+    n_distinct = docs.select(
+        F.md5(F.coalesce("text", F.lit("")))).distinct().count()
+    assert spark.read.parquet(out).count() == n_distinct
+
+    _time.sleep(1.5)  # > TTL: every state entry expires
+    docs.select((F.col("doc_id") + 500_000).alias("doc_id"), "text",
+                "lang", "source", "n_chars") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = stateful.stream_dedup(
+        spark, src, ckpt, ttl_minutes=0.5 / 60, sink_dir=out,
+    )
+    q.awaitTermination(180)
+    # the replayed docs re-emit: expired hashes no longer count as seen
+    assert spark.read.parquet(out).count() == 2 * n_distinct
+
+
+def test_stream_dedup_ttl_large_matches_unbounded(spark, tmp_path):
+    """With a TTL far larger than the run, the TTL form must equal the
+    unbounded NoTimeout form exactly."""
+    from pyspark.sql import functions as F
+
+    from geedim_spark.streaming import stateful
+
+    src = str(tmp_path / "ttl_eq_src")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    dups = docs.limit(15).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    docs.coalesce(2).write.parquet(src)
+    dups.coalesce(2).write.mode("append").parquet(src)
+
+    q = stateful.stream_dedup(
+        spark, src, str(tmp_path / "ck_a"), sink_table="sdd_eq_ttl",
+        ttl_minutes=60,
+    )
+    q.awaitTermination(180)
+    q = stateful.stream_dedup(
+        spark, src, str(tmp_path / "ck_b"), sink_table="sdd_eq_plain",
+    )
+    q.awaitTermination(180)
+    a = {(r["doc_id"], r["text_hash"])
+         for r in spark.table("sdd_eq_ttl").collect()}
+    b = {(r["doc_id"], r["text_hash"])
+         for r in spark.table("sdd_eq_plain").collect()}
+    assert a == b and len(a) > 0
