@@ -357,7 +357,29 @@ def main() -> None:
     # (warm page cache on the staged input)
     res = run_once(None, repeats=3)
     scaling = {}
-    if "--no-scaling" not in sys.argv:
+    try:
+        scaling = (
+            _scaling_block(sf, res) if "--no-scaling" not in sys.argv else {}
+        )
+    except Exception as e:  # fail-soft: the headline JSON line must survive
+        scaling = {"scaling": {"error": f"{type(e).__name__}: {e}"}}
+    print(json.dumps({
+        "metric": "tiles/sec headline (spatial join + mask + tile export)",
+        "value": res["headline_sec"],
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": sf,
+        "n_tiles": res["n_tiles"],
+        "tiles_per_sec": res["tiles_per_sec"],
+        **{k: v for k, v in res.items() if k.startswith("skew_")},
+        **scaling,
+    }))
+
+
+def _scaling_block(sf: float, res: dict) -> dict:
+    """North-rule scaling evidence; any failure here is caught by main()
+    so the headline JSON line always prints."""
+    if True:
         # north-rule evidence refreshed EVERY driver run (~1-2 min extra):
         # the same job at two parallelism levels on the same input.
         # (a) N=1 vs 4N=4 cores, noop sink, BOTH at task.cpus=1 — the
@@ -451,17 +473,7 @@ def main() -> None:
                 f"{s['wide_tiles_per_sec_local32_parquet']} | "
                 f"{s['wide_efficiency_8_to_32']} |\n"
             )
-    print(json.dumps({
-        "metric": "tiles/sec headline (spatial join + mask + tile export)",
-        "value": res["headline_sec"],
-        "unit": "sec",
-        "queries": res["queries"],
-        "sf": sf,
-        "n_tiles": res["n_tiles"],
-        "tiles_per_sec": res["tiles_per_sec"],
-        **{k: v for k, v in res.items() if k.startswith("skew_")},
-        **scaling,
-    }))
+    return scaling
 
 
 if __name__ == "__main__":
