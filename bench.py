@@ -184,22 +184,25 @@ def skew_bench(spark: SparkSession) -> dict:
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    def best_of(fn, n=2):
-        best = None
-        for _ in range(n):
-            t0 = time.time()
-            fn().write.format("noop").mode("overwrite").save()
-            secs = time.time() - t0
-            best = secs if best is None else min(best, secs)
-        return best
+    def timed(fn):
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        return time.time() - t0
 
     try:
-        t_plain = best_of(lambda: agg(big.join(dim, "cell")))
-        t_salted = best_of(
-            lambda: agg(
-                sj.adaptive_salted_join(big, dim, "cell", rows_per_task=100_000)
-            )
-        )
+        # INTERLEAVED best-of-2 per side: a contiguous per-side block lets
+        # one steal epoch slow exactly one side (observed: salted "0.75x"
+        # on a run whose salted block caught the load) — alternating
+        # samples the same environment for both plans
+        t_plain = t_salted = None
+        for _ in range(2):
+            tp = timed(lambda: agg(big.join(dim, "cell")))
+            ts = timed(lambda: agg(
+                sj.adaptive_salted_join(big, dim, "cell",
+                                        rows_per_task=100_000)
+            ))
+            t_plain = tp if t_plain is None else min(t_plain, tp)
+            t_salted = ts if t_salted is None else min(t_salted, ts)
     finally:
         if old is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
