@@ -1529,6 +1529,36 @@ def q_numpy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash data mixing (operators/sampling.py):
+    per-language keep rates over the documents table, membership a pure
+    function of (doc_id, salt) — reproducible across engines and layout,
+    which seeded Bernoulli sampling is not.  The oracle reproduces the
+    EXACT row set (md5 is the portable hash), plus the nested-sample
+    property is asserted structurally: the 20% draw is a superset of the
+    10% draw at the same salt, so rows carry an in_smaller flag the SQL
+    recomputes."""
+    from geedim_spark.operators import sampling
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id", "lang"
+    )
+    mixed = sampling.stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.20, "de": 0.50}, default_fraction=0.05, salt="mix-v1",
+    )
+    smaller = sampling.stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.10, "de": 0.25}, default_fraction=0.02, salt="mix-v1",
+    )
+    return mixed.join(
+        smaller.select("doc_id", F.lit(1).alias("_in")), "doc_id", "left"
+    ).select(
+        "doc_id", "lang",
+        F.coalesce(F.col("_in"), F.lit(0)).cast("long").alias("in_smaller"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1632,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_effort_portions": q_best_effort_portions,  # A10; windows r5
         "snapshot_commit": q_snapshot_commit,            # K4; windows r5
         "numpy_roundtrip": q_numpy_roundtrip,            # K2; windows r5
+        "stratified_sample": q_stratified_sample,        # new; windows r5
     }
 
 
@@ -1684,7 +1715,9 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "text-quality": ("doc_quality",),
     "text-tokens": ("doc_token_stats",),
     "text-langid": ("lang_id",),
-    "text-fingerprint": ("doc_fingerprint",),
+    # content-hash sampling shares the portable-md5-derivation machinery
+    # with the fingerprint ops; doc_fingerprint anchors the family in-window
+    "text-fingerprint": ("doc_fingerprint", "stratified_sample"),
     "dedup-exact": ("doc_dup_counts",),
     "dedup-simhash": ("simhash", "phash_near_dup"),  # bit-fingerprint
                                                      # hamming dedup
@@ -2686,6 +2719,23 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(5 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS recall_ge_30pct
+        """,
+        # exact row-set twin of the content-hash mixer: same md5 bucket,
+        # same thresholds; in_smaller recomputes the nested draw
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR),
+                          'mix-v1')), 1, 8)) AS BIGINT) % 1000000 AS bkt
+              FROM documents)
+            SELECT doc_id, lang,
+                   CAST(CASE WHEN bkt < (CASE lang WHEN 'en' THEN 100000
+                                         WHEN 'de' THEN 250000
+                                         ELSE 20000 END)
+                        THEN 1 ELSE 0 END AS BIGINT) AS in_smaller
+            FROM b
+            WHERE bkt < (CASE lang WHEN 'en' THEN 200000
+                         WHEN 'de' THEN 500000 ELSE 50000 END)
         """,
         # structured-view band sums: B1 sums v over the non-fill columns,
         # the QA field sums the family cloud bit over the cloud strip

@@ -1,0 +1,76 @@
+"""Deterministic content-hash sampling (operators/sampling.py): the
+data-mixing primitive — membership is a pure function of (key, salt)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geedim_spark.operators import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang")
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_deterministic_and_layout_independent(spark, docs):
+    a = _ids(sampling.deterministic_sample(docs, "doc_id", 0.3, salt="s"))
+    b = _ids(sampling.deterministic_sample(
+        docs.repartition(7), "doc_id", 0.3, salt="s"))
+    assert a == b and 0 < len(a) < docs.count()
+    # roughly the requested rate (hash uniformity)
+    assert abs(len(a) / docs.count() - 0.3) < 0.1
+
+
+def test_nested_for_growing_fractions(spark, docs):
+    small = _ids(sampling.deterministic_sample(docs, "doc_id", 0.1, salt="s"))
+    big = _ids(sampling.deterministic_sample(docs, "doc_id", 0.4, salt="s"))
+    assert small <= big  # strictly nested at a fixed salt
+
+
+def test_salts_draw_independent_subsets(spark, docs):
+    a = _ids(sampling.deterministic_sample(docs, "doc_id", 0.5, salt="a"))
+    b = _ids(sampling.deterministic_sample(docs, "doc_id", 0.5, salt="b"))
+    assert a != b  # different salt -> different draw
+    n = docs.count()
+    # independence: overlap ~ f^2, far from either identical or disjoint
+    assert 0.1 < len(a & b) / n < 0.4
+
+
+def test_stratified_matches_per_stratum_rule(spark, docs):
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0},
+        default_fraction=0.5, salt="x",
+    )
+    langs = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert langs.get("en") == totals.get("en")   # keep all
+    assert "de" not in langs                     # drop all
+    for lg, n in langs.items():
+        if lg not in ("en", "de"):
+            assert 0 < n < totals[lg]            # ~half
+
+    # edge fractions on the plain sampler
+    assert _ids(sampling.deterministic_sample(docs, "doc_id", 0.0)) == set()
+    assert _ids(sampling.deterministic_sample(
+        docs, "doc_id", 1.0)) == _ids(docs)
+
+
+def test_fraction_validation():
+    import pandas as pd
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.deterministic_sample(None, "k", 1.5)
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.stratified_sample(None, "k", "s", {"a": -0.1})
+    with pytest.raises(ValueError, match="default_fraction"):
+        sampling.stratified_sample(None, "k", "s", {}, default_fraction=2)
