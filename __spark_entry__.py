@@ -1559,6 +1559,17 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (text.top_ngrams): top-50 character trigrams by
+    DOCUMENT frequency with the deterministic (count desc, ngram) order —
+    the SQL twin regenerates the same distinct-shingle sets, so the
+    whole ranking value-checks exactly."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("text")
+    return text_ops.top_ngrams(docs, n=3, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1663,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_commit": q_snapshot_commit,            # K4; windows r5
         "numpy_roundtrip": q_numpy_roundtrip,            # K2; windows r5
         "stratified_sample": q_stratified_sample,        # new; windows r5
+        "top_ngrams": q_top_ngrams,                      # new; windows r5
     }
 
 
@@ -1713,7 +1725,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "relational": ("pricing_summary", "top_customers", "shipping_priority",
                    "local_supplier_volume"),
     "text-quality": ("doc_quality",),
-    "text-tokens": ("doc_token_stats",),
+    "text-tokens": ("doc_token_stats", "top_ngrams"),
     "text-langid": ("lang_id",),
     # content-hash sampling shares the portable-md5-derivation machinery
     # with the fingerprint ops; doc_fingerprint anchors the family in-window
@@ -2719,6 +2731,27 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT CAST(10 AS BIGINT) AS k,
                    CAST(5 AS BIGINT) AS n_queries,
                    CAST(1 AS BIGINT) AS recall_ge_30pct
+        """,
+        # vocabulary twin: DuckDB regenerates the distinct trigram sets
+        # exactly like the engine's shingles() (the ngram_jaccard pattern)
+        "top_ngrams": """
+            WITH grams AS (
+              SELECT DISTINCT doc_id, g AS ngram
+              FROM (
+                SELECT doc_id,
+                       UNNEST(list_transform(
+                         range(1, GREATEST(length(COALESCE(text, '')) - 2, 1) + 1),
+                         i -> substr(COALESCE(text, ''), CAST(i AS INT), 3)
+                       )) AS g
+                FROM documents)),
+            counts AS (
+              SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM grams GROUP BY ngram)
+            SELECT ngram, n_docs,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY n_docs DESC, ngram) AS BIGINT) AS rank
+            FROM counts
+            QUALIFY rank <= 50
         """,
         # exact row-set twin of the content-hash mixer: same md5 bucket,
         # same thresholds; in_smaller recomputes the nested draw

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # tiny common-word lists for the n-gram/stopword language heuristic
 _LANG_MARKERS = {
@@ -124,3 +125,42 @@ def fingerprint(documents: DataFrame, window: int = 64) -> DataFrame:
         lambda acc, c: (acc * F.lit(1000003) + c.cast("long")) % F.lit((1 << 31) - 1),
     )
     return documents.select("doc_id", fp.alias("fp"), F.length(text).cast("long").alias("n_len"))
+
+
+def top_ngrams(
+    documents: DataFrame, n: int = 3, k: int = 50, distinct_per_doc: bool = True
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent character n-grams with a
+    deterministic total order (count desc, ngram asc) — the
+    vocabulary-building / corpus-statistics primitive of a training-data
+    pipeline, pure Catalyst end to end.
+
+    ``distinct_per_doc=True`` counts DOCUMENT frequency (one vote per doc
+    per n-gram — the dedup shingle machinery); ``False`` counts raw term
+    frequency via the non-distinct shingle positions.  Scale shape:
+    explode -> 2-phase hash aggregate on the n-gram (map-side combine
+    absorbs the per-doc repetition) -> rank window; only (ngram, count)
+    rows shuffle, never documents.
+    """
+    from geedim_spark.operators.dedup import shingles
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    grams = (
+        shingles(F.col("text"), n) if distinct_per_doc
+        else F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+    counts = (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -51,3 +51,31 @@ def test_fingerprint_prefix_sensitivity(spark, docs):
     got = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
     assert got[0] != got[1]
     assert got[3] == 0  # empty text -> zero hash
+
+def test_top_ngrams_document_vs_term_frequency(spark):
+    """Vocabulary op: document frequency counts each doc once per n-gram;
+    term frequency counts every occurrence; deterministic tiebreak."""
+    import pandas as pd
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["ababab", "abxyz", None],
+    }))
+    # document frequency: 'aba'/'bab' appear (distinct) only in doc 0;
+    # 'ab' trigrams... n=2 for hand-checkable sets
+    out = {r["ngram"]: (r["n_docs"], r["rank"]) for r in
+           text_ops.top_ngrams(docs, n=2, k=10).collect()}
+    assert out["ab"][0] == 2          # docs 0 and 1 (distinct per doc)
+    assert out["ba"][0] == 1          # doc 0 only
+    assert out[""][0] == 1 or "" in out  # NULL text -> one empty shingle
+    # term frequency: 'ab' occurs 3x in doc 0 + 1x in doc 1 = 4
+    tf = {r["ngram"]: r["n_docs"] for r in
+          text_ops.top_ngrams(docs, n=2, k=10,
+                              distinct_per_doc=False).collect()}
+    assert tf["ab"] == 4 and tf["ba"] == 2
+    # deterministic order: rank 1 has the max count, ties break by ngram
+    ranked = sorted(out.items(), key=lambda kv: kv[1][1])
+    counts = [v[0] for _, v in ranked]
+    assert counts == sorted(counts, reverse=True)
