@@ -502,6 +502,11 @@ def q_sort_portion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", F.col("cloudless_portion").alias("CLOUDLESS_PORTION"),
     )
     keyed = composite.sort_for_composite(stats, "mosaic", by_portion=True)
+    # global unpartitioned window: bounded by CONTRACT — this ranks
+    # IMAGES, and the reference caps collections at 5000
+    # (collection.py:102 _max_export_images), so the single partition holds
+    # <= 5000 metadata rows.  Do NOT lift this shape into an unbounded
+    # context (see text.top_ngrams for the distributed top-k pattern).
     w = Window.orderBy(F.desc("sort_key"), F.asc("image_id"))
     return keyed.select(
         "image_id", F.row_number().over(w).cast("long").alias("rank")
@@ -960,6 +965,9 @@ def q_sort_date_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = synth.images_meta_df(spark, n)
     target = F.to_timestamp(F.lit("2024-02-01 00:00:00")).cast("double")
     dist = F.abs(F.col("time_start").cast("double") - target)
+    # global unpartitioned window: bounded by the reference's 5000-image
+    # collection cap (collection.py:102) — image-metadata rows only; see
+    # q_sort_portion's note
     w = Window.orderBy(F.desc(dist), F.asc("image_id"))
     return images.select(
         "image_id", F.row_number().over(w).cast("long").alias("rank")

@@ -330,6 +330,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 from geedim_spark.sources import sinks
                 from geedim_spark.sources import snapshots as _snaps
 
+                cur = _snaps.current_snapshot(args.out)
+                if cur is None or not cur["partitions"]:
+                    # empty export (every --id missed / empty search):
+                    # clean no-op instead of an empty-snapshot error
+                    print(f"download: 0 GeoTIFFs -> {args.files_dir}")
+                    continue
                 tiles = _snaps.read_snapshot(spark, args.out)
                 geo_cols = [c for c in ("transform", "crs")
                             if c in coll.df.columns]
@@ -341,10 +347,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 # band count, and one tile header for the exported dtype
                 dims = coll.df.agg(F.max("w").alias("w"),
                                    F.max("h").alias("h")).first()
+                probe_row = tiles.select("tile_bytes").first()
+                if probe_row is None or dims["h"] is None:
+                    # empty export (every --id missed / empty search):
+                    # clean no-op instead of TypeError on bytes(None);
+                    # chained commands after this one still run
+                    print(f"download: 0 GeoTIFFs -> {args.files_dir}")
+                    continue
                 nbands = int(tiles.agg(F.max("band_stop")).first()[0])
-                probe = _codecs.decode(
-                    bytes(tiles.select("tile_bytes").first()["tile_bytes"])
-                )
+                probe = _codecs.decode(bytes(probe_row["tile_bytes"]))
                 dtype = probe.dtype.name
                 band_names = None
                 if args.split == "bands":
@@ -364,6 +375,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                             f"across images (got {sorted(fams)})"
                         )
                     band_names = next(iter(fams)) if fams else None
+                    if band_names is not None and args.bands:
+                        # --band-name sliced bands BEFORE tiling, so the
+                        # snapshot band index b maps into the SELECTED
+                        # subset, not the full family list — filter the
+                        # family names through the same fullmatch regex
+                        # mask_and_tile applied (pipeline.py band_regex)
+                        import re as _re
+                        regex = "|".join(_re.escape(b) for b in args.bands)
+                        band_names = [n for n in band_names
+                                      if _re.fullmatch(regex, n)]
                 n_files = sinks.write_image_files(
                     tiles, args.files_dir, bands=nbands,
                     h=int(dims["h"]), w=int(dims["w"]), dtype=dtype,

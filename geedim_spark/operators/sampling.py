@@ -35,11 +35,17 @@ _M = 1_000_000
 
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Deterministic bucket in [0, 1e6) from md5(key || salt) — the
-    portable membership hash (first 8 hex digits -> int, mod 1e6)."""
+    portable membership hash (first 8 hex digits -> int, mod 1e6).
+
+    NULL keys coalesce to a sentinel before hashing (the same
+    convention as the dedup shingles / stream_dedup NULL-text paths):
+    without it md5(concat(NULL, salt)) is NULL, the ``< threshold``
+    predicate is NULL, and NULL-keyed rows silently vanish even at
+    fraction=1.0 — breaking the "fraction of the table" contract."""
+    key_s = F.coalesce(key.cast("string"), F.lit("\x00null"))
     return (
         F.conv(
-            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))),
-                        1, 8),
+            F.substring(F.md5(F.concat(key_s, F.lit(salt))), 1, 8),
             16, 10,
         ).cast("long") % F.lit(_M)
     )

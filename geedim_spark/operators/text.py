@@ -159,8 +159,12 @@ def top_ngrams(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+    # Distributed top-k: orderBy().limit(k) compiles to TakeOrderedAndProject
+    # (per-partition top-k + driver merge of k*P rows) — at 100 TB the distinct
+    # n-gram vocabulary is huge (1e9+ rows for char 5-grams) and the old
+    # row_number() over a global unpartitioned window funnelled every
+    # (ngram, count) row through ONE task.  Ranks are stamped on the tiny
+    # k-row result where a single partition is by construction bounded by k.
+    topk = counts.orderBy(F.col("n_docs").desc(), F.col("ngram")).limit(k)
     w = Window.orderBy(F.col("n_docs").desc(), F.col("ngram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -145,6 +145,11 @@ def _find_token(table_dir: str, token: str | None) -> str | None:
     return None
 
 
+class SnapshotConflictError(RuntimeError):
+    """A commit's ``require_unchanged`` precondition failed: a partition
+    it read was modified by a concurrent committer before publish."""
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -153,6 +158,7 @@ def write_snapshot(
     mode: str = "overwrite",
     commit_token: str | None = None,
     max_commit_retries: int = 10,
+    require_unchanged: dict | None = None,
 ) -> str:
     """Write ``df`` into a fresh commit directory and publish a snapshot
     via a CAS manifest swap (safe under CONCURRENT committers).
@@ -187,6 +193,16 @@ def write_snapshot(
     folded).  Streaming ingest commits per micro-batch with 'append';
     without it every batch would silently discard the previous batches'
     rows for the partitions it touches.
+
+    ``require_unchanged``: optimistic-concurrency precondition mapping
+    canonical partition key -> the manifest ``paths`` list this commit
+    READ.  Validated inside the CAS loop against the live parent on every
+    attempt: if any listed partition's paths differ (a concurrent append
+    or overwrite landed between read and publish),
+    :class:`SnapshotConflictError` is raised BEFORE the manifest is
+    claimed — the Iceberg ``rewrite_data_files`` conflict-validation rule
+    that makes read-rewrite-republish (compaction) safe under concurrent
+    committers instead of silently discarding their rows.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append (got {mode!r})")
@@ -290,6 +306,15 @@ def write_snapshot(
         parent_parts = (
             {p["key"]: p for p in parent["partitions"]} if parent else {}
         )
+        if require_unchanged:
+            for k, paths in require_unchanged.items():
+                live = parent_parts.get(k, {}).get("paths")
+                if live != paths:
+                    raise SnapshotConflictError(
+                        f"partition {k!r} changed between read and publish "
+                        f"(read {paths}, live {live}) — a concurrent commit "
+                        f"landed; re-read the snapshot and retry"
+                    )
         snap_id = f"{(int(parent['snapshot_id']) + 1) if parent else 1:08d}"
         manifest = {
             "snapshot_id": snap_id,
@@ -480,11 +505,19 @@ def compact_partitions(
     table_dir: str,
     min_files: int = 2,
     shuffle: bool = True,
+    max_conflict_retries: int = 3,
 ) -> str | None:
     """Iceberg ``rewrite_data_files`` analog: rewrite partitions whose
     current data spans >= ``min_files`` parquet files into one file per
-    partition, published as a normal commit (CAS manifest swap, safe
-    under concurrent committers).
+    partition, published as a normal commit (CAS manifest swap), safe
+    under concurrent committers via publish-time conflict validation:
+    the commit carries a ``require_unchanged`` precondition on every
+    rewritten partition's manifest paths, so an append that lands on one
+    of them between the snapshot read and the publish aborts THIS
+    compaction (:class:`SnapshotConflictError`) instead of being
+    silently discarded — the whole read-rewrite-validate cycle then
+    retries against the fresh snapshot (up to ``max_conflict_retries``
+    times; the orphaned rewrite data dirs are GC-able).
 
     Why it matters at scale: streaming ingest appends one file per
     partition per micro-batch (snapshots in 'append' mode accumulate
@@ -504,37 +537,61 @@ def compact_partitions(
     Returns the new snapshot id, or the current id when nothing needed
     compacting (no empty commit is published), or None on an empty table.
     """
-    snap = current_snapshot(table_dir)
-    if snap is None:
-        return None
-    partition_col = snap["partition_col"]
+    last_err: SnapshotConflictError | None = None
+    for _ in range(max_conflict_retries):
+        snap = current_snapshot(table_dir)
+        if snap is None:
+            return None
+        partition_col = snap["partition_col"]
 
-    def _n_files(p: dict) -> int:
-        n = 0
-        for path in p["paths"]:
-            d = os.path.join(table_dir, path)
-            try:
-                n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-            except FileNotFoundError:
-                pass
-        return n
+        def _n_files(p: dict) -> int:
+            n = 0
+            for path in p["paths"]:
+                d = os.path.join(table_dir, path)
+                try:
+                    n += sum(
+                        1 for f in os.listdir(d) if f.endswith(".parquet")
+                    )
+                except FileNotFoundError:
+                    pass
+            return n
 
-    todo = [p["key"] for p in snap["partitions"] if _n_files(p) >= min_files]
-    if not todo:
-        return snap["snapshot_id"]
+        todo = [
+            p["key"] for p in snap["partitions"] if _n_files(p) >= min_files
+        ]
+        if not todo:
+            return snap["snapshot_id"]
 
-    # stat columns are recoverable from the manifest entries themselves
-    stats_cols = tuple(sorted({
-        k[len("sum_"):]
-        for p in snap["partitions"] for k in p if k.startswith("sum_")
-    }))
+        # stat columns are recoverable from the manifest entries themselves
+        stats_cols = tuple(sorted({
+            k[len("sum_"):]
+            for p in snap["partitions"] for k in p if k.startswith("sum_")
+        }))
 
-    df = read_snapshot(spark, table_dir)
-    key = F.coalesce(F.col(partition_col).cast("string"), F.lit(NULL_KEY))
-    sub = df.where(key.isin([str(k) for k in todo]))
-    if shuffle:
-        sub = sub.repartition(F.col(partition_col))
-    return write_snapshot(
-        sub, table_dir, partition_col, stats_cols=stats_cols,
-        mode="overwrite",
-    )
+        df = read_snapshot(spark, table_dir)
+        key = F.coalesce(
+            F.col(partition_col).cast("string"), F.lit(NULL_KEY)
+        )
+        sub = df.where(key.isin([str(k) for k in todo]))
+        if shuffle:
+            sub = sub.repartition(F.col(partition_col))
+        # publish-time precondition: every rewritten partition's paths
+        # must still be exactly what this cycle read (read_snapshot pins
+        # the FILES at plan time, so the rewrite itself is consistent
+        # with the paths listed here)
+        expected = {
+            str(p["key"]): p["paths"]
+            for p in snap["partitions"] if p["key"] in set(todo)
+        }
+        try:
+            return write_snapshot(
+                sub, table_dir, partition_col, stats_cols=stats_cols,
+                mode="overwrite", require_unchanged=expected,
+            )
+        except SnapshotConflictError as e:
+            last_err = e  # concurrent commit touched a todo partition:
+            continue      # re-read, re-plan, re-validate
+    raise SnapshotConflictError(
+        f"compact_partitions: {max_conflict_retries} consecutive publish "
+        f"conflicts in {table_dir} — concurrent commit rate too high"
+    ) from last_err

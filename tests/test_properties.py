@@ -245,3 +245,15 @@ def test_landsat_toa_family_drops_sr_only_flags():
     )
     assert "NONPHYSICAL_MASK" not in m
     assert "AEROSOL_MASK" not in m
+
+
+def test_registry_count_is_exact():
+    """Audit-trail hygiene (VERDICT r4 #7): the registry size quoted in
+    round notes must be mechanically true.  Bump EXPECTED when adding a
+    query AND update NOTES_r{N}.md with the same number."""
+    import __spark_entry__ as entry
+
+    EXPECTED = 73
+    assert len(entry.queries()) == EXPECTED
+    # every oracle key must name a registered query
+    assert set(entry.oracle_sql()) <= set(entry.queries())

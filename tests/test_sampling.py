@@ -74,3 +74,25 @@ def test_fraction_validation():
         sampling.stratified_sample(None, "k", "s", {"a": -0.1})
     with pytest.raises(ValueError, match="default_fraction"):
         sampling.stratified_sample(None, "k", "s", {}, default_fraction=2)
+
+
+def test_null_keys_are_kept_not_silently_dropped(spark):
+    """NULL keys hash via a sentinel: fraction=1.0 keeps the WHOLE table
+    (the 'fraction of the table' contract), and NULL-keyed rows get a
+    deterministic draw at intermediate fractions."""
+    import pandas as pd
+
+    from geedim_spark.operators import sampling
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": pd.array([None, "a", "b", None], dtype="string"),
+        "v": [0, 1, 2, 3],
+    }))
+    assert sampling.deterministic_sample(df, "k", 1.0).count() == 4
+    assert sampling.deterministic_sample(df, "k", 0.0).count() == 0
+    # both NULL rows share one draw (same sentinel) — either both in or
+    # both out at any fraction
+    for frac in (0.25, 0.5, 0.75):
+        got = sampling.deterministic_sample(df, "k", frac)
+        n_null = got.where("k IS NULL").count()
+        assert n_null in (0, 2)

@@ -522,3 +522,49 @@ def test_compact_partitions_folds_small_files(spark, table_dir):
     # idempotent: everything already compact -> returns current id, no commit
     assert snap.compact_partitions(spark, table_dir, min_files=2) == sid
     assert snap.current_snapshot(table_dir)["snapshot_id"] == sid
+
+
+def test_compact_conflict_validation_no_lost_update(spark, table_dir, monkeypatch):
+    """rewrite_data_files conflict rule: an append landing on a todo
+    partition BETWEEN compaction's snapshot read and its publish must
+    abort that compaction attempt (SnapshotConflictError), and the retry
+    must re-read so the appended rows survive — never silently discarded
+    by the overwrite."""
+    from pyspark.sql import functions as F
+
+    for i in range(3):
+        df = spark.range(4).select(
+            (F.col("id") + 10 * i).alias("x"), F.lit("A").alias("part"))
+        snap.write_snapshot(df, table_dir, "part",
+                            stats_cols=("x",), mode="append")
+
+    # interleave: first read_snapshot inside compact triggers a racing
+    # append to the SAME partition before the publish
+    real_read = snap.read_snapshot
+    state = {"raced": False}
+
+    def racing_read(sp, td, *a, **kw):
+        out = real_read(sp, td, *a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            racer = sp.range(1).select(
+                F.lit(999).cast("long").alias("x"), F.lit("A").alias("part"))
+            snap.write_snapshot(racer, td, "part",
+                                stats_cols=("x",), mode="append")
+        return out
+
+    monkeypatch.setattr(snap, "read_snapshot", racing_read)
+    sid = snap.compact_partitions(spark, table_dir, min_files=2)
+    assert sid is not None
+    back = snap.read_snapshot(spark, table_dir)
+    assert back.count() == 13            # 12 original + the racer row
+    assert back.where("x = 999").count() == 1
+
+    # direct precondition check: a stale paths list must raise
+    man = snap.current_snapshot(table_dir)
+    (entry,) = [p for p in man["partitions"] if p["key"] == "A"]
+    stale = {"A": entry["paths"] + ["data/commit-bogus/part=A"]}
+    one = spark.range(1).select(F.lit(5).cast("long").alias("x"), F.lit("A").alias("part"))
+    with pytest.raises(snap.SnapshotConflictError):
+        snap.write_snapshot(one, table_dir, "part", mode="append",
+                            require_unchanged=stale)

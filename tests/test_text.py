@@ -79,3 +79,21 @@ def test_top_ngrams_document_vs_term_frequency(spark):
     ranked = sorted(out.items(), key=lambda kv: kv[1][1])
     counts = [v[0] for _, v in ranked]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_top_ngrams_plan_is_distributed_topk(spark):
+    """Scale guard: the ranking must compile to TakeOrderedAndProject
+    (per-partition top-k + driver merge), NOT a global unpartitioned
+    window sort over the full n-gram vocabulary."""
+    import pandas as pd
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["abcabc", "xyzxyz"]}))
+    df = text_ops.top_ngrams(docs, n=2, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only Window node allowed is the k-row rank stamp (post-limit)
+    pre_limit = plan.split("TakeOrderedAndProject")[-1]
+    assert "Window" not in pre_limit
