@@ -1588,28 +1588,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- priority prefix: one oracle per operator family -------------
-        # Round-4 rotation (VERDICT r3 #1): redundant in-family variants are
-        # swapped through the window round-over-round so every registry
-        # entry eventually gets a driver-green row, not just pytest +
-        # check_oracles coverage.  This round's 11 swaps (IN <- OUT):
-        #   tiled_portions <- mask_portions, s2_score_thresh <- s2_score_join,
-        #   composite_tiled_qmosaic <- qmosaic_halo,
-        #   composite_tiled_profile <- composite_profile,
-        #   session_windows <- events_sessions,
-        #   dct8_psnr <- image_features, embed_dup_counts <- embed_near_dup,
-        #   ngram_jaccard <- minhash_sig, events_recent <- events_type_stats,
-        #   top_customers <- pricing_summary, ann_ivf_flat <- ann_ivf.
-        # The ann-ivf family's driver row is now full value parity
-        # (ann_ivf_flat); the Lloyd-trained ann_ivf keeps its recall gate
-        # below the window plus an independent-reimplementation pytest
-        # (tests/test_similarity.py) that value-checks its deterministic
-        # pieces — centroids and per-cluster assignment counts (VERDICT
-        # r3 #3).
-        # Schedule for the never-yet-windowed rest lives in COVERAGE.md.
+        # Round-5 rotation (COVERAGE.md schedule): 9 swaps (IN <- OUT),
+        # every swap keeping >= 1 oracle per family in the prefix
+        # (guarded by test_priority_prefix_covers_every_family):
+        #   best_effort_portions <- tiled_portions   (mask-stats keeps
+        #                                             landsat_param_portions)
+        #   split_bands <- export_tiles              (export keeps
+        #                                             prepare_export)
+        #   string_fns <- search                     (search family)
+        #   top_ngrams <- sort_date_dist             (sort keeps
+        #                                             sort_portion)
+        #   streaming_sessions <- session_windows    (sessionisation)
+        #   shipping_priority <- top_customers       (relational)
+        #   phash_near_dup <- simhash                (dedup-simhash)
+        #   stratified_sample <- ngram_jaccard       (dedup-minhash keeps
+        #                                             minhash_lsh_pairs)
+        #   snapshot_commit <- streaming_ingest      (streaming-ingest)
+        # The five r4-new capabilities (phash_near_dup, split_bands,
+        # best_effort_portions, snapshot_commit, stratified_sample) and
+        # top_ngrams get their first driver-green row this round; the OUT
+        # set was driver-green in r4 and stays check_oracles + pytest
+        # covered.  r6 plan: numpy_roundtrip <- prepare_export,
+        # local_supplier_volume <- shipping_priority, search returns,
+        # limit_sorted <- string_fns.
         "spatial_join": q_spatial_join,
         "geo_spatial_join": q_geo_spatial_join,
         "skew_join": q_skew_join,
-        "tiled_portions": q_tiled_portions,
+        "best_effort_portions": q_best_effort_portions,
         "landsat_param_portions": q_landsat_param_portions,
         "mask_clouds": q_mask_clouds,
         "mask_polygons": q_mask_polygons,
@@ -1621,35 +1626,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloud_dist": q_cloud_dist,
         "halo_edt": q_halo_edt,
         "tile_grid": q_tile_grid,
-        "export_tiles": q_export_tiles,
+        "split_bands": q_split_bands,
         "prepare_export": q_prepare_export,
         "resample": q_resample,
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "band_props": q_band_props,
         "band_select": q_band_select,
-        "search": q_search,
+        "string_fns": q_string_fns,
         "date_filter_1ms": q_date_filter_1ms,
         "union_compat": q_union_compat,
         "sort_portion": q_sort_portion,
-        "sort_date_dist": q_sort_date_dist,
+        "top_ngrams": q_top_ngrams,
         "collection_minmax": q_collection_minmax,
         "composite_tiled_profile": q_composite_tiled_profile,
         "medoid_profile": q_medoid_profile,
         "composite_tiled_qmosaic": q_composite_tiled_qmosaic,
         "dct8_psnr": q_dct8_psnr,
-        "streaming_ingest": q_streaming_ingest,
+        "snapshot_commit": q_snapshot_commit,
         "streaming_windows": q_streaming_windows,
         "streaming_dedup": q_streaming_dedup,
-        "session_windows": q_session_windows,
+        "streaming_sessions": q_streaming_sessions,
         "events_recent": q_events_recent,
-        "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
         "doc_quality": q_doc_quality,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "doc_dup_counts": q_doc_dup_counts,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
+        "phash_near_dup": q_phash_near_dup,
+        "stratified_sample": q_stratified_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
@@ -1657,9 +1662,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_flat": q_ann_ivf_flat,
         "embed_dup_counts": q_embed_dup_counts,
         # --- below the driver's 50-query window: in-family variants ------
-        # (driver-green in a previous round, or scheduled for r5+ —
-        # see COVERAGE.md rotation table; still pytest + check_oracles
-        # covered every session)
+        # (driver-green in a previous round — r5 OUT set first; still
+        # pytest + check_oracles covered every session)
+        "tiled_portions": q_tiled_portions,
+        "export_tiles": q_export_tiles,
+        "search": q_search,
+        "sort_date_dist": q_sort_date_dist,
+        "session_windows": q_session_windows,
+        "top_customers": q_top_customers,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "streaming_ingest": q_streaming_ingest,
         "embed_near_dup": q_embed_near_dup,
         "ann_ivf": q_ann_ivf,  # recall-vs-exact quality gate (hashable)
         "mask_portions": q_mask_portions,
@@ -1669,20 +1682,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "minhash_sig": q_minhash_sig,
         "events_sessions": q_events_sessions,
-        "streaming_sessions": q_streaming_sessions,
         "events_type_stats": q_events_type_stats,
         "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
-        "string_fns": q_string_fns,
         "limit_sorted": q_limit_sorted,
-        "phash_near_dup": q_phash_near_dup,  # new r4 capability; windows r5
-        "split_bands": q_split_bands,        # new r4 capability; windows r5
-        "best_effort_portions": q_best_effort_portions,  # A10; windows r5
-        "snapshot_commit": q_snapshot_commit,            # K4; windows r5
-        "numpy_roundtrip": q_numpy_roundtrip,            # K2; windows r5
-        "stratified_sample": q_stratified_sample,        # new; windows r5
-        "top_ngrams": q_top_ngrams,                      # new; windows r5
+        "numpy_roundtrip": q_numpy_roundtrip,            # K2; windows r6
+    
     }
 
 
