@@ -1508,6 +1508,56 @@ def q_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-grid reprojection (reference prepareForExport crs/
+    crs_transform/shape/scale/like, image.py:741-862 ->
+    operators/reproject.py): every raw image regridded to scale=2*SCALE
+    with nearest resampling.  The target grid defaults to the image
+    footprint, so target centres land at source position 2j+0.5 ->
+    sampled pixels are exactly the odd rows/cols, giving integer
+    closed-form band sums over the synthetic strip world: band 0 counts
+    odd columns past the fill strip (f_px even), QA counts odd columns
+    inside the cloud strip (c_px even).  Grid metadata (h, w, x-scale)
+    is value-checked alongside the pixels; the bit-identical
+    grid-preservation path (image.py:820-833) is pytest-covered in
+    tests/test_reproject.py."""
+    from geedim_spark.api import Collection
+    from geedim_spark import synth as _synth
+
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    coll = Collection(imgs).prepare_for_export(scale=2 * _synth.SCALE)
+
+    def _batch(it):
+        for pdf in it:
+            rows = []
+            for image_id, buf, h, w, tr in zip(
+                pdf["image_id"], pdf["bytes"], pdf["h"], pdf["w"],
+                pdf["transform"],
+            ):
+                px = codecs.decode(bytes(buf))
+                rows.append({
+                    "image_id": image_id,
+                    "out_h": int(h), "out_w": int(w),
+                    "xscale": float(tr[0]),
+                    "b0_sum": int(px[0].sum(dtype=np.int64)),
+                    "qa_sum": int(px[1].sum(dtype=np.int64)),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "out_h", "out_w", "xscale", "b0_sum", "qa_sum",
+            ])
+
+    return coll.df.select(
+        "image_id", "bytes", "h", "w", "transform"
+    ).mapInPandas(
+        _batch,
+        schema=(
+            "image_id string, out_h long, out_w long, xscale double, "
+            "b0_sum long, qa_sum long"
+        ),
+    )
+
+
 def q_numpy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 NumPy sink through the driver gate: tiles reassemble into the
     (bands, h, w) array (export_ops.assemble_image), viewed as the
@@ -1612,7 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local_supplier_volume <- shipping_priority, search returns,
         # limit_sorted <- string_fns.
         "spatial_join": q_spatial_join,
-        "geo_spatial_join": q_geo_spatial_join,
+        "reproject_export": q_reproject_export,  # NEW r5 capability
         "skew_join": q_skew_join,
         "best_effort_portions": q_best_effort_portions,
         "landsat_param_portions": q_landsat_param_portions,
@@ -1664,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- below the driver's 50-query window: in-family variants ------
         # (driver-green in a previous round — r5 OUT set first; still
         # pytest + check_oracles covered every session)
+        "geo_spatial_join": q_geo_spatial_join,
         "tiled_portions": q_tiled_portions,
         "export_tiles": q_export_tiles,
         "search": q_search,
@@ -1715,6 +1766,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "export": ("export_tiles", "prepare_export", "split_bands",
                "numpy_roundtrip"),
     "resample": ("resample",),
+    "reproject": ("reproject_export",),
     "geotiff": ("geotiff_roundtrip",),
     "band-props": ("band_props",),
     "band-select": ("band_select",),
@@ -2782,6 +2834,23 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM b
             WHERE bkt < (CASE lang WHEN 'en' THEN 200000
                          WHEN 'de' THEN 500000 ELSE 50000 END)
+        """,
+        # 2x nearest decimation closed form: sampled pixels are the odd
+        # rows/cols (target centre j -> source 2j+0.5 -> nearest 2j+1);
+        # f_px=(i%5)*4 and c_px=(i%7)*2 are even, so the surviving odd-col
+        # counts are 20-(i%5)*2 (band 0, past the fill strip) and i%7
+        # (QA, inside the cloud strip); 20 sampled rows
+        "reproject_export": f"""
+            SELECT printf('IMG/%08d', i) AS image_id,
+                   CAST(20 AS BIGINT) AS out_h,
+                   CAST(20 AS BIGINT) AS out_w,
+                   CAST(20.0 AS DOUBLE) AS xscale,
+                   CAST(((i % 200) + 1) * 20 * (20 - (i % 5) * 2) AS BIGINT)
+                     AS b0_sum,
+                   CAST((CASE WHEN i % 3 = 2 THEN 1024 ELSE 512 END)
+                        * 20 * (i % 7) AS BIGINT) AS qa_sum
+            FROM range(0, {n}) t(i)
+            WHERE i % 4 <> 3
         """,
         # structured-view band sums: B1 sums v over the non-fill columns,
         # the QA field sums the family cloud bit over the cloud strip

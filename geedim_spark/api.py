@@ -192,21 +192,70 @@ class Collection:
         self,
         scale_offset: dict[int, tuple[float, float]] | None = None,
         dtype: str | None = None,
+        crs: str | None = None,
+        crs_transform=None,
+        shape=None,
+        region=None,
+        scale: float | None = None,
+        like=None,
+        resampling: str = "near",
     ) -> "Collection":
         """prepareForExport analog over the whole collection (image.py:
-        741-862 via export_ops.prepare_for_export): per-band STAC
-        scale/offset then saturating dtype cast, with the metadata columns
-        re-attached and ``fmt`` rewritten to 'raw' (the prepared bytes are
-        a fresh raw encoding).
+        741-862): per-band STAC scale/offset, saturating dtype cast, and
+        — when any of ``crs`` / ``crs_transform`` / ``shape`` /
+        ``region`` / ``scale`` / ``like`` is given — reprojection onto
+        the export grid (operators/reproject.py: validation per
+        image.py:804-818, grid preservation per image.py:820-833,
+        resampling 'near'/'bilinear'/'bicubic').  Metadata columns are
+        re-attached, the georeferencing columns (transform/crs/w/h and
+        the footprint bbox) updated from the resolved grid, and ``fmt``
+        rewritten to 'raw'.
 
         ORDERING: run this AFTER any mask computation/application — the
         cast saturates the QA bands, garbling cloud bits for any later
         mask kernel.  For the download chain use
         ``download(..., export_dtype=...)``, which casts inside the export
         kernel after the masks (the reference's addMaskBands ->
-        maskClouds -> prepareForExport order)."""
-        if not scale_offset and not dtype:
+        maskClouds -> prepareForExport order).  With both scale/offset
+        and a grid, interpolation happens in float64 AFTER scale/offset
+        and the dtype cast comes last (saturating)."""
+        spatial = any(
+            v is not None
+            for v in (crs, crs_transform, shape, region, scale, like)
+        )
+        if not scale_offset and not dtype and not spatial:
             return self
+        df = self.df
+        if spatial:
+            from geedim_spark.operators import reproject as _rp
+
+            if scale_offset:
+                # scale/offset first (float64), interpolate, cast last
+                prepared = export_ops.prepare_for_export(df, scale_offset)
+                meta = df.drop("bytes", "fmt", "caption")
+                df = meta.join(prepared, "image_id") \
+                    .withColumn("fmt", F.lit("raw"))
+                dtype = dtype or "float64"
+            reproj = _rp.reproject_images(
+                df, crs=crs, crs_transform=crs_transform, shape=shape,
+                region=region, scale=scale, like=like,
+                resampling=resampling, dtype=dtype,
+            )
+            meta = df.drop("bytes", "fmt", "caption", "crs", "transform",
+                           "w", "h", "x0", "y0", "x1", "y1")
+            out = meta.join(reproj, "image_id") \
+                .withColumn("fmt", F.lit("raw")) \
+                .withColumn("x0", F.element_at("transform", 3)) \
+                .withColumn("y1", F.element_at("transform", 6)) \
+                .withColumn(
+                    "x1",
+                    F.element_at("transform", 3)
+                    + F.col("w") * F.element_at("transform", 1)) \
+                .withColumn(
+                    "y0",
+                    F.element_at("transform", 6)
+                    + F.col("h") * F.element_at("transform", 5))
+            return Collection(out, self.cloud_kwargs)
         prepared = export_ops.prepare_for_export(self.df, scale_offset, dtype)
         meta = self.df.drop("bytes", "fmt", "caption")
         df = meta.join(prepared, "image_id").withColumn("fmt", F.lit("raw"))
@@ -336,10 +385,21 @@ class Image:
 
     # -- export surface (image.py:741-1176) ---------------------------------
     def prepare_for_export(self, scale_offset=None, dtype=None,
-                           band_regex=None) -> "Image":
+                           band_regex=None, **grid_kwargs) -> "Image":
+        """``grid_kwargs`` (crs / crs_transform / shape / region / scale /
+        like / resampling) route through the Collection grid path —
+        reprojection onto the export grid (operators/reproject.py)."""
         df = self.df
         if band_regex is not None:
-            df = export_ops.select_bands(df, band_regex)
+            sel = export_ops.select_bands(df, band_regex)
+            # re-attach metadata (select_bands keeps only id/caption/bytes;
+            # the grid path needs crs/transform)
+            df = self.df.drop("bytes", "fmt", "caption", "n_bands") \
+                .join(sel, "image_id").withColumn("fmt", F.lit("raw"))
+        if any(v is not None for v in grid_kwargs.values()):
+            coll = Collection(df, dict(self.cloud_kwargs)).prepare_for_export(
+                scale_offset=scale_offset, dtype=dtype, **grid_kwargs)
+            return Image(coll.df, dict(self.cloud_kwargs))
         df = export_ops.prepare_for_export(df, scale_offset=scale_offset,
                                            dtype=dtype)
         return Image(df, dict(self.cloud_kwargs))
