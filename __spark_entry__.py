@@ -654,6 +654,19 @@ def q_s2_prob_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.s2_prob_mask_stats(imgs, probs, prob_thresh=60.0)
 
 
+def q_s2_shadow_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cast-shadow parameterisation (mask.py:331-372) over the shadow
+    strip mock (masks.s2_shadow_strip_bands — test_mask.py strip
+    construction): five configs through the masks_for dispatch isolate
+    the dark threshold (B8 < dark*1e4), the SR SCL==6 water exclusion,
+    the shadow_dist projection reach and mask_shadows — all exact strip
+    closed forms incl. the qa pipeline's open(2 px)+dilate(5 px)
+    morphology (see masks.s2_shadow_param_stats)."""
+    n, _ = _sizes(sf_dir)
+    ids = spark.range(min(n, 240)).select(F.col("id").alias("image_id"))
+    return masks.s2_shadow_param_stats(ids)
+
+
 def q_band_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 regex band select: keep 'B.*' bands, verify via decoded pixel sum
     (the QA band's bits must vanish from the payload)."""
@@ -1671,13 +1684,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_qa_portions": q_s2_qa_portions,
         "s2_score_thresh": q_s2_score_thresh,
         "s2_prob_join": q_s2_prob_join,
+        "s2_shadow_params": q_s2_shadow_params,  # NEW r5 capability
         "cdi_join": q_cdi_join,
         "morphology": q_morphology,
         "cloud_dist": q_cloud_dist,
         "halo_edt": q_halo_edt,
         "tile_grid": q_tile_grid,
         "split_bands": q_split_bands,
-        "prepare_export": q_prepare_export,
         "resample": q_resample,
         "geotiff_roundtrip": q_geotiff_roundtrip,
         "band_props": q_band_props,
@@ -1719,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_tiles": q_export_tiles,
         "search": q_search,
         "sort_date_dist": q_sort_date_dist,
+        "prepare_export": q_prepare_export,
         "session_windows": q_session_windows,
         "top_customers": q_top_customers,
         "simhash": q_simhash,
@@ -1758,6 +1772,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "s2-qa": ("s2_qa_portions",),
     "s2-score": ("s2_score_join", "s2_score_thresh"),
     "s2-prob": ("s2_prob_join",),
+    "s2-shadow": ("s2_shadow_params",),
     "cdi": ("cdi_join",),
     "morphology": ("morphology",),
     "cloud-dist": ("cloud_dist",),
@@ -2834,6 +2849,33 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM b
             WHERE bkt < (CASE lang WHEN 'en' THEN 200000
                          WHEN 'de' THEN 500000 ELSE 50000 END)
+        """,
+        # shadow strip mock closed forms (s2_shadow_strip_bands widths
+        # a=6+(i%3)*2, c=4+(i%4)*2, d=4+(i%5)*2, e=4+(i%2)*2, w=a+c+d+e+12,
+        # h=20): shadow == dark LAND strip (water SCL=6 excluded for SR);
+        # qa morphology erodes 2 px then dilates 5 px -> contiguous
+        # combined strips grow by 6; a width-4 cloud erodes away entirely
+        "s2_shadow_params": f"""
+            WITH p AS (
+              SELECT i,
+                     6 + (i % 3) * 2 AS a, 4 + (i % 4) * 2 AS c,
+                     4 + (i % 5) * 2 AS d, 4 + (i % 2) * 2 AS e
+              FROM range(0, {min(n, 240)}) t(i))
+            SELECT CAST(i AS BIGINT) AS image_id,
+                   CAST(20 * (a + c + d + e + 12) AS BIGINT) AS fill_px,
+                   CAST(20 * c AS BIGINT) AS cloud_px,
+                   CAST(20 * d AS BIGINT) AS shadow_px,
+                   CAST(20 * (a + e + 6) AS BIGINT) AS cloudless_px,
+                   CAST(20 * (a + d + e + 12
+                        - (CASE WHEN c = 4 THEN -c ELSE 6 END))
+                     AS BIGINT) AS cloudless_dark10_px,
+                   CAST(60 AS BIGINT) AS shadow_sd30_px,
+                   CAST(20 * (a + d + e + 3) AS BIGINT) AS cloudless_sd30_px,
+                   CAST(20 * (d + e) AS BIGINT) AS shadow_toa_px,
+                   CAST(20 * (a + d + e + 12
+                        - (CASE WHEN c = 4 THEN -c ELSE 6 END))
+                     AS BIGINT) AS cloudless_nsh_px
+            FROM p
         """,
         # 2x nearest decimation closed form: sampled pixels are the odd
         # rows/cols (target centre j -> source 2j+0.5 -> nearest 2j+1);

@@ -81,6 +81,39 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
                         action="store_true", default=None)
     config.add_argument("--mask-nonphysical", dest="mask_nonphysical",
                         action="store_true", default=None)
+    # S2 method + threshold parameterisation (reference cli.py:523-537
+    # option defs -> mask.py:264-534 kwargs; the operator layer accepts
+    # every knob — masks.s2_masks / s2_score_mask_stats / cdi_mask_stats
+    # / pipeline.mask_and_tile — this is pure plumbing)
+    config.add_argument("--mask-method", dest="mask_method", default=None,
+                        choices=("cloud-score", "cloud-prob", "qa"),
+                        help="S2 cloud mask method (reference -mm/"
+                             "--mask-method)")
+    config.add_argument("--prob", dest="prob_thresh", type=float,
+                        default=None,
+                        help="cloud-prob threshold %% (reference -p/--prob)")
+    config.add_argument("--score", dest="score_thresh", type=float,
+                        default=None,
+                        help="Cloud Score+ threshold (reference -s/--score)")
+    config.add_argument("--cs-band", dest="cs_band", default=None,
+                        choices=("cs", "cs_cdf"),
+                        help="Cloud Score+ band to threshold (reference "
+                             "-cb/--cs-band)")
+    config.add_argument("--cdi-thresh", dest="cdi_thresh", type=float,
+                        default=None,
+                        help="Cloud Displacement Index threshold "
+                             "(reference -cdi/--cdi-thresh; None = unused)")
+    config.add_argument("--dark", dest="dark", type=float, default=None,
+                        help="NIR reflectance threshold for shadow "
+                             "candidates (reference -d/--dark)")
+    config.add_argument("--shadow-dist", dest="shadow_dist", type=float,
+                        default=None,
+                        help="max distance (m) to project cloud shadows "
+                             "(reference -sd/--shadow-dist)")
+    config.add_argument("--max-cloud-dist", dest="max_cloud_dist",
+                        type=float, default=None,
+                        help="max distance (m) for the CLOUD_DIST band "
+                             "(reference -mcd/--max-cloud-dist)")
 
     search = argparse.ArgumentParser(prog="search", add_help=False)
     search.add_argument("--start")
@@ -164,6 +197,41 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
                                "each image (the reference CLI's "
                                "-sp/--split, cli.py:374-383); applies to "
                                "--files-dir")
+    download.add_argument("--crs", default=None,
+                          help="export CRS (reference -c/--crs); grid "
+                               "args route through operators/reproject "
+                               "after the masks are applied")
+    download.add_argument("--scale", type=float, default=None,
+                          help="export pixel scale (reference -s/--scale"
+                               "); reprojects onto the scaled grid")
+    download.add_argument("--crs-transform", type=float, nargs=6,
+                          default=None,
+                          metavar=("XSCALE", "XSHEAR", "XTRANS",
+                                   "YSHEAR", "YSCALE", "YTRANS"),
+                          help="explicit export affine transform "
+                               "(reference -ct/--crs-transform); needs "
+                               "--shape")
+    download.add_argument("--shape", type=int, nargs=2, default=None,
+                          metavar=("HEIGHT", "WIDTH"),
+                          help="export dimensions in pixels (reference "
+                               "-sh/--shape)")
+    download.add_argument("--like", default=None,
+                          help="parquet path of a georeferenced image "
+                               "table whose first row defines --crs, "
+                               "--crs-transform & --shape (reference "
+                               "-l/--like, cli.py:349-354)")
+    download.add_argument("--resampling", default="near",
+                          choices=("near", "bilinear", "bicubic"),
+                          help="resampling for reprojection (reference "
+                               "-rs/--resampling)")
+    download.add_argument("--nodata", type=float, default=None,
+                          help="override the GeoTIFF nodata tag written "
+                               "by --files-dir (reference profile "
+                               "nodata, image.py)")
+    download.add_argument("--max-tile-size", type=float, default=4.0,
+                          help="max export tile size in MB "
+                               "(pipeline.mask_and_tile; reference "
+                               "tile.py:111 max_tile_size)")
     download.add_argument("--compact-files", type=int, default=None,
                           metavar="MIN_FILES",
                           help="after the commit, rewrite partitions "
@@ -303,14 +371,57 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 band_kw["band_regex"] = "|".join(
                     _re.escape(b) for b in args.bands
                 )
+            grid_given = any(
+                v is not None for v in (args.crs, args.scale,
+                                        args.crs_transform, args.shape,
+                                        args.like)
+            )
+            mask_kw = dict(apply_cloud_mask=args.apply_mask,
+                           export_dtype=args.dtype,
+                           scale_offset=args.scale_offset)
+            if grid_given:
+                # reference order (image.py:741-862): addMaskBands ->
+                # maskClouds -> prepareForExport(spatial).  Masks are
+                # applied FIRST (interpolating already-cast/garbled QA
+                # bands is the bug the ordering rule prevents), then the
+                # collection is reprojected onto the export grid, and the
+                # tiler runs without re-masking/re-casting.
+                if args.scale_offset:
+                    parsers["download"].error(
+                        "--scale-offset is not supported together with "
+                        "the --crs/--scale/--crs-transform/--shape/--like "
+                        "grid arguments"
+                    )
+                from geedim_spark.api import Collection as _Coll2
+                from geedim_spark.api import Image as _Img
+
+                like_row = None
+                if args.like is not None:
+                    like_row = spark.read.parquet(args.like).select(
+                        "crs", "transform", "h", "w").first()
+                work_df = coll.df
+                if args.apply_mask:
+                    work_df = _Img(coll.df, coll.cloud_kwargs) \
+                        .mask_clouds().df
+                coll = _Coll2(work_df, coll.cloud_kwargs).prepare_for_export(
+                    dtype=args.dtype,
+                    crs=args.crs,
+                    crs_transform=(tuple(args.crs_transform)
+                                   if args.crs_transform else None),
+                    shape=tuple(args.shape) if args.shape else None,
+                    scale=args.scale,
+                    like=like_row,
+                    resampling=args.resampling,
+                )
+                mask_kw = dict(apply_cloud_mask=False, export_dtype=None,
+                               scale_offset=False)
             snap = coll.download(
                 args.out, partition_col=args.partition_col,
                 resume=not args.no_resume,
                 max_tile_dim=args.max_tile_dim,
                 max_tile_bands=args.max_tile_bands,
-                apply_cloud_mask=args.apply_mask,
-                export_dtype=args.dtype,
-                scale_offset=args.scale_offset,
+                max_tile_size=args.max_tile_size,
+                **mask_kw,
                 **band_kw,
             )
             print(f"download: snapshot {snap} -> {args.out}")
@@ -385,10 +496,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         regex = "|".join(_re.escape(b) for b in args.bands)
                         band_names = [n for n in band_names
                                       if _re.fullmatch(regex, n)]
+                nodata_tag = (args.nodata if args.nodata is not None
+                              else _codecs.NODATA_VALS[dtype])
                 n_files = sinks.write_image_files(
                     tiles, args.files_dir, bands=nbands,
                     h=int(dims["h"]), w=int(dims["w"]), dtype=dtype,
-                    nodata=_codecs.NODATA_VALS[dtype],
+                    nodata=nodata_tag,
                     overviews=args.overviews,
                     min_overview_dim=args.overview_min_dim,
                     split=args.split, band_names=band_names,

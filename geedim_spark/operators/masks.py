@@ -949,3 +949,88 @@ def landsat_param_stats(
     return ids.select("image_id").mapInPandas(
         lambda it: (_batch(p) for p in it), schema=_PARAM_STATS_SCHEMA
     )
+
+
+def s2_shadow_strip_bands(image_id: int, h: int = 20) -> dict[str, np.ndarray]:
+    """S2 shadow-parameter strip mock (test_mask.py strip construction,
+    applied to the cast-shadow path mask.py:331-372): vertical strips
+    isolating the dark-pixel threshold (``dark``: B8 < dark*1e4), the SR
+    water exclusion (SCL == 6 is never dark) and the projection reach
+    (``shadow_dist``).  Layout (left to right, widths parameterised by
+    ``image_id`` for image-varying closed forms):
+
+    clear(a) | cloud(c, QA60 bit 10) | dark land(d, B8=1200, SCL=5) |
+    dark water(e, B8=1200, SCL=6) | bright(12)
+
+    B1/B8 are nonzero everywhere -> FILL is the whole image; the cloud
+    strip stays bright so shadow never overlaps its own source."""
+    i = int(image_id)
+    a = 6 + (i % 3) * 2
+    c = 4 + (i % 4) * 2
+    d = 4 + (i % 5) * 2
+    e = 4 + (i % 2) * 2
+    w = a + c + d + e + 12
+    b1 = np.full((h, w), 5000, np.uint16)
+    b8 = np.full((h, w), 5000, np.uint16)
+    scl = np.full((h, w), 5, np.uint16)
+    qa60 = np.zeros((h, w), np.uint16)
+    qa60[:, a:a + c] = 1 << 10                      # opaque cloud
+    b8[:, a + c:a + c + d + e] = 1200               # dark candidates
+    scl[:, a + c + d:a + c + d + e] = 6             # water (SR-excluded)
+    return {"B1": b1, "B8": b8, "SCL": scl, "QA60": qa60}
+
+
+_SHADOW_STATS_SCHEMA = (
+    "image_id long, fill_px long, cloud_px long, shadow_px long, "
+    "cloudless_px long, cloudless_dark10_px long, shadow_sd30_px long, "
+    "cloudless_sd30_px long, shadow_toa_px long, cloudless_nsh_px long"
+)
+
+
+def s2_shadow_param_stats(
+    ids: DataFrame, collection: str = "COPERNICUS/S2_SR_HARMONIZED"
+) -> DataFrame:
+    """Per-parameter S2 cast-shadow portions over the shadow strip mock —
+    five configurations through :func:`masks_for` (qa method, sun due
+    east so the projection runs +x across the strips):
+
+    - ref: dark=0.15 default -> B8=1200 is dark; shadow_dist=1000
+      (100 px) covers every strip -> SHADOW == the dark LAND strip
+      (water excluded for SR, mask.py:331-372)
+    - dark=0.10: threshold 1000 < B8 -> nothing is dark, shadow empty
+    - shadow_dist=30: the projection reaches 3 px past the cloud ->
+      shadow = first 3 dark columns
+    - s2_toa=True: no SCL band semantics -> water strip also shadow
+    - mask_shadows=False: CLOUDLESS excludes only the (morphed) cloud
+
+    Counts are exact ints; the qa pipeline's open(20 m)+dilate(50 m)
+    morphology (mask.py:466-472) applies to every CLOUDLESS figure."""
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        common = dict(time_start=None, solar_azimuth=90.0)
+        for image_id in pdf["image_id"]:
+            bands = s2_shadow_strip_bands(int(image_id))
+            ref = masks_for(collection, bands, **common)
+            d10 = masks_for(collection, bands, dark=0.10, **common)
+            sd30 = masks_for(collection, bands, shadow_dist=30.0, **common)
+            toa = masks_for(collection, bands, s2_toa=True, **common)
+            nsh = masks_for(collection, bands, mask_shadows=False, **common)
+            rows.append({
+                "image_id": int(image_id),
+                "fill_px": int(ref["FILL_MASK"].sum()),
+                "cloud_px": int(ref["CLOUD_MASK"].sum()),
+                "shadow_px": int(ref["SHADOW_MASK"].sum()),
+                "cloudless_px": int(ref["CLOUDLESS_MASK"].sum()),
+                "cloudless_dark10_px": int(d10["CLOUDLESS_MASK"].sum()),
+                "shadow_sd30_px": int(sd30["SHADOW_MASK"].sum()),
+                "cloudless_sd30_px": int(sd30["CLOUDLESS_MASK"].sum()),
+                "shadow_toa_px": int(toa["SHADOW_MASK"].sum()),
+                "cloudless_nsh_px": int(nsh["CLOUDLESS_MASK"].sum()),
+            })
+        return pd.DataFrame(rows, columns=[
+            f.split(" ")[0] for f in _SHADOW_STATS_SCHEMA.split(", ")
+        ])
+
+    return ids.select("image_id").mapInPandas(
+        lambda it: (_batch(p) for p in it), schema=_SHADOW_STATS_SCHEMA
+    )

@@ -578,3 +578,30 @@ def test_pipeline_scale_offset_after_masks(spark):
     mt = codecs.decode(bytes(tiles["M"]["tile_bytes"]))
     assert mt.dtype == np.uint16                 # all-identity: untouched
     assert (mt[0, :, :12] == 1000).all()
+
+
+def test_s2_shadow_param_stats_strip_fractions(spark):
+    """VERDICT r4 #5: the cast-shadow parameter sweep (dark threshold,
+    SCL water exclusion, shadow_dist reach, mask_shadows) over the S2
+    shadow strip mock — image 0 (a=6, c=4, d=4, e=4, w=30) by hand:
+    shadow = dark land strip (80 px), water excluded; dark=0.10 makes
+    nothing dark AND the width-4 cloud erodes away (cloudless = all);
+    shadow_dist=30 caps the shadow at 3 columns; s2_toa adds the water
+    strip back."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(2).select(F.col("id").alias("image_id"))
+    got = {r["image_id"]: r
+           for r in masks.s2_shadow_param_stats(ids).collect()}
+    r0 = got[0]
+    assert r0["fill_px"] == 20 * 30
+    assert r0["cloud_px"] == 20 * 4
+    assert r0["shadow_px"] == 20 * 4          # dark LAND only
+    assert r0["cloudless_px"] == 20 * (30 - 14)
+    assert r0["cloudless_dark10_px"] == 20 * 30   # c=4 erodes away
+    assert r0["shadow_sd30_px"] == 60
+    assert r0["shadow_toa_px"] == 20 * 8          # + water strip
+    assert r0["cloudless_nsh_px"] == 20 * 30
+    # image 1 (c=6): the cloud survives the open -> dilated width c+6
+    r1 = got[1]
+    assert r1["cloudless_nsh_px"] == r1["fill_px"] - 20 * (6 + 6)
