@@ -163,17 +163,24 @@ def _medoid(
     any of :func:`spectral_distance`'s metrics like the reference medoid
     module's parameter).
 
-    O(N^2) pairwise distances computed INCREMENTALLY (one (N, bands, h, w)
-    difference per step) — the closed-form (N, N, bands, h, w) tensor is
+    O(N^2) pairwise distances computed INCREMENTALLY (one slab of
+    differences per step) — the closed-form (N, N, bands, h, w) tensor is
     4.3 GB for 64 2-band 256px images, an executor OOM; this loop holds
-    O(N * image) peak memory for the identical result."""
+    O(N * image) peak memory for the identical result.  Only the UPPER
+    TRIANGLE is evaluated: every metric here is symmetric (sed/sam by
+    construction, sid is the symmetrised divergence, emd is |cumsum
+    diff|) and the diagonal is 0, so each pair's distance is computed
+    once and credited to both images — halving the kernel's FLOPs
+    (medoid.py:88-90's own duplicate-work TODO)."""
     s = stack.astype(np.float64)
     n = s.shape[0]
     sumdist = np.zeros((n,) + s.shape[2:], dtype=np.float64)
-    for j in range(n):
-        d_j = spectral_distance(s, s[j], metric)         # (N, h, w)
-        both = valid & valid[j]
-        sumdist += np.where(both, d_j, 0.0)
+    for j in range(n - 1):
+        d_j = spectral_distance(s[j + 1:], s[j], metric)  # (N-j-1, h, w)
+        both = valid[j + 1:] & valid[j]
+        contrib = np.where(both, d_j, 0.0)
+        sumdist[j + 1:] += contrib
+        sumdist[j] += contrib.sum(axis=0)
     sumdist = np.where(valid, sumdist, np.inf)
     best = np.argmin(sumdist, axis=0)             # ties -> lowest index
     return np.take_along_axis(stack, best[None, None, :, :], axis=0)[0].astype(np.float64)
