@@ -1600,6 +1600,40 @@ def q_numpy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.benchmark_overlap): the
+    distinct 5-gram overlap between every corpus document and a small
+    benchmark set (docs with doc_id %% 499 == 0 standing in for a test
+    set), per (doc, bench) pair.  Scale shape: the exploded benchmark
+    n-gram set is BROADCAST; the corpus streams through one explode ->
+    broadcast join -> 2-phase count aggregate — document text never
+    shuffles.  The oracle recomputes the exact distinct-shingle
+    intersections."""
+    from geedim_spark.operators import dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    bench = docs.where("doc_id % 499 = 0").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return dedup.benchmark_overlap(docs, bench, n=5)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (operators/text.pack_sequences):
+    documents sharded by the portable content-hash bucket, then packed
+    into 512-token sequences by the contiguous-fill rule (pack =
+    floor(tokens-before / 512)) under a PARTITIONED window — parallel
+    per shard, bit-reproducible across engines/layout.  Per-pack
+    aggregates (doc count, token sum, first doc) are the hashed
+    contract; the oracle replicates the md5 shard bucket and the same
+    window cumsum."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text_ops.pack_stats(docs, max_tokens=512, n_shards=16,
+                               salt="pack-v1")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash data mixing (operators/sampling.py):
     per-language keep rates over the documents table, membership a pure
@@ -1712,8 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_recent": q_events_recent,
         "shipping_priority": q_shipping_priority,
         "doc_quality": q_doc_quality,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
+        "pack_sequences": q_pack_sequences,      # NEW r5 capability
+        "decontam": q_decontam,                  # NEW r5 capability
         "lang_id": q_lang_id,
         "doc_dup_counts": q_doc_dup_counts,
         "phash_near_dup": q_phash_near_dup,
@@ -1732,6 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_tiles": q_export_tiles,
         "search": q_search,
         "sort_date_dist": q_sort_date_dist,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
         "prepare_export": q_prepare_export,
         "session_windows": q_session_windows,
         "top_customers": q_top_customers,
@@ -1806,6 +1842,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
                    "local_supplier_volume"),
     "text-quality": ("doc_quality",),
     "text-tokens": ("doc_token_stats", "top_ngrams"),
+    "decontam": ("decontam",),
+    "packing": ("pack_sequences",),
     "text-langid": ("lang_id",),
     # content-hash sampling shares the portable-md5-derivation machinery
     # with the fingerprint ops; doc_fingerprint anchors the family in-window
@@ -2671,6 +2709,44 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT doc_id,
                    CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
             FROM documents
+        """,
+        "decontam": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    FOR i IN range(1, greatest(length(text)-4, 1) + 1)]) AS s
+              FROM documents),
+            b AS (SELECT doc_id AS bench_id, s AS bs FROM sh
+                  WHERE doc_id % 499 = 0)
+            SELECT d.doc_id, b.bench_id,
+                   CAST(len(list_filter(d.s, x -> list_contains(b.bs, x)))
+                     AS BIGINT) AS n_hits
+            FROM sh d, b
+            WHERE len(list_filter(d.s, x -> list_contains(b.bs, x))) > 0
+        """,
+        # same md5 hash-bucket shard as the engine (sampling.hash_bucket
+        # % 16), same (shard, doc_id)-ordered cumsum, same floor rule
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(doc_id AS VARCHAR),
+                          'pack-v1')), 1, 8)) AS BIGINT) % 1000000 % 16 AS shard,
+                     CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS cum_before
+              FROM t)
+            SELECT shard,
+                   CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(MIN(doc_id) AS BIGINT) AS first_doc
+            FROM c
+            GROUP BY 1, 2
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -613,3 +613,55 @@ def phash_near_dup_pairs(
     )
     out._bucket_cap_report = report
     return out
+
+
+def benchmark_overlap(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection — the decontamination primitive
+    of a training-data pipeline: distinct character n-gram overlap
+    between every corpus document and every benchmark document,
+    returning one row per (doc_id, bench_id) pair with >= 1 shared
+    n-gram.
+
+    Scale shape (the property that matters at 100 TB): the benchmark is
+    SMALL (test sets are thousands of docs, the corpus is billions), so
+    its distinct (bench_id, ngram) set is exploded once and BROADCAST;
+    the corpus side streams through one explode -> broadcast-hash-join ->
+    2-phase count-distinct aggregate.  No shuffle ever carries document
+    text, only (doc_id, bench_id, ngram) hits — and Catalyst prunes the
+    text column immediately after the explode.
+
+    ``benchmark`` needs (bench_id, text).  Shingles come from the same
+    :func:`shingles` used by the dedup family (NULL -> '' convention),
+    so decontamination and near-dedup see the same n-gram universe.
+    """
+    doc_grams = documents.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("ngram")
+    )
+    bench_grams = benchmark.select(
+        "bench_id", F.explode(shingles(F.col("text"), n)).alias("ngram")
+    ).distinct()
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Remove documents sharing >= ``min_overlap`` distinct n-grams with
+    ANY benchmark document (left-anti join against the contaminated id
+    set — the id set is the only shuffled payload)."""
+    hits = benchmark_overlap(documents, benchmark, n=n)
+    contaminated = hits.where(
+        F.col("n_hits") >= min_overlap
+    ).select("doc_id").distinct()
+    return documents.join(contaminated, "doc_id", "left_anti")

@@ -385,10 +385,12 @@ def reproject_images(
 
     def _batch(pdf: pd.DataFrame):
         out = []
-        for _, row in pdf.iterrows():
-            px = codecs.decode(bytes(row["bytes"]))
-            src_t = tuple(float(v) for v in row["transform"])
-            src_crs = row["crs"]
+        for image_id, caption, buf, src_crs, src_transform in zip(
+            pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["crs"],
+            pdf["transform"],
+        ):
+            px = codecs.decode(bytes(buf))
+            src_t = tuple(float(v) for v in src_transform)
             grid = resolve_grid(
                 src_crs, src_t, (px.shape[1], px.shape[2]), **kw
             )
@@ -400,8 +402,8 @@ def reproject_images(
             )
             arr = cast_pixels(arr, out_dtype)
             out.append({
-                "image_id": row["image_id"],
-                "caption": row["caption"],
+                "image_id": image_id,
+                "caption": caption,
                 "bytes": codecs.encode_raw(np.ascontiguousarray(arr)),
                 "crs": grid.crs,
                 "transform": list(grid.transform),

@@ -168,3 +168,66 @@ def top_ngrams(
     topk = counts.orderBy(F.col("n_docs").desc(), F.col("ngram")).limit(k)
     w = Window.orderBy(F.col("n_docs").desc(), F.col("ngram"))
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def pack_sequences(
+    documents: DataFrame,
+    max_tokens: int,
+    n_shards: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic sequence packing — assign each document to a fixed-
+    capacity training sequence (pack) of ``max_tokens`` whitespace
+    tokens: the document goes into the pack where its START lands under
+    a contiguous fill (``pack = floor(cum_tokens_before / max_tokens)``),
+    the streaming-packer rule re-expressed as a window cumsum.
+
+    Determinism + scale: documents are first sharded by the portable
+    content-hash bucket (operators/sampling.hash_bucket — a pure
+    function of doc_id and ``salt``, independent of layout/engine/
+    cluster size), and the cumulative sum runs per shard ordered by
+    (doc_id) — so the window is PARTITIONED (no single-task global
+    sort; each of the ``n_shards`` groups packs independently and in
+    parallel) and the assignment is bit-reproducible across runs and
+    engines.  At 100 TB, raise ``n_shards`` so a shard's doc count fits
+    one task; pack ids are globally unique as (shard, pack).
+
+    Output: doc_id, shard, pack, n_tokens, cum_before (tokens preceding
+    this doc inside its shard's fill order).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive (got {max_tokens})")
+    from geedim_spark.operators.sampling import hash_bucket
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    n_tokens = F.size(
+        F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    ).cast("long")
+    shard = (hash_bucket(F.col("doc_id"), salt) % F.lit(n_shards)) \
+        .alias("shard")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    toks = documents.select("doc_id", shard, n_tokens.alias("n_tokens"))
+    return toks.select(
+        "doc_id", "shard", "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .cast("long").alias("cum_before"),
+    ).withColumn(
+        "pack", F.floor(F.col("cum_before") / F.lit(max_tokens)).cast("long")
+    )
+
+
+def pack_stats(
+    documents: DataFrame,
+    max_tokens: int,
+    n_shards: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """Per-pack aggregates of :func:`pack_sequences` (n_docs, token sum)
+    — the packing-efficiency view a data pipeline monitors (mean fill =
+    sum_tokens / max_tokens per pack)."""
+    packed = pack_sequences(documents, max_tokens, n_shards, salt)
+    return packed.groupBy("shard", "pack").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

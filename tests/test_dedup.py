@@ -283,3 +283,38 @@ def test_phash_near_dup_validation_and_cap(spark):
     assert out.count() == 0
     rep = out._bucket_cap_report.wait()
     assert rep["rows_dropped"] == 30 * 8 and rep["largest_bucket"] == 30
+
+
+def test_benchmark_overlap_and_decontaminate(spark):
+    """Decontamination: planted contamination is found with exact overlap
+    counts, clean docs survive, and the broadcast-join plan never
+    shuffles document text."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the quick brown fox jumps",      # contains bench 100 verbatim
+            "completely unrelated words xyz",
+            "quick brown",                    # partial overlap
+            None,                             # NULL -> '' shingle
+        ],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "bench_id": [100], "text": ["quick brown fox"]}))
+    hits = {(r["doc_id"], r["bench_id"]): r["n_hits"]
+            for r in dedup.benchmark_overlap(docs, bench, n=5).collect()}
+    # bench has len('quick brown fox')-4 = 11 distinct 5-grams; doc 0
+    # contains the full phrase -> all 11; doc 2 contains 'quick brown'
+    # -> its 7 grams; doc 1/3 share none
+    assert hits[(0, 100)] == 11
+    assert hits[(2, 100)] == 7
+    assert (1, 100) not in hits and (3, 100) not in hits
+
+    clean = dedup.decontaminate(docs, bench, n=5, min_overlap=8)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2, 3}
+    # scale guard: the bench side is broadcast (no shuffle of doc text)
+    plan = dedup.benchmark_overlap(docs, bench, n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

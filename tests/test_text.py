@@ -97,3 +97,36 @@ def test_top_ngrams_plan_is_distributed_topk(spark):
     # the only Window node allowed is the k-row rank stamp (post-limit)
     pre_limit = plan.split("TakeOrderedAndProject")[-1]
     assert "Window" not in pre_limit
+
+
+def test_pack_sequences_contiguous_fill_rule(spark):
+    """Packing: pack = floor(tokens-before / max_tokens) within the
+    shard's doc_id order; deterministic across layout (repartition must
+    not change any assignment)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": ["w " * t for t in [3, 4, 2, 6, 1, 5, 2, 2]],
+    }))
+    out = text_ops.pack_sequences(docs, max_tokens=5, n_shards=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # one shard -> fill order is doc_id; cum_before: 0,3,7,9,15,16,21,23
+    expect = {0: (0, 0), 1: (3, 0), 2: (7, 1), 3: (9, 1),
+              4: (15, 3), 5: (16, 3), 6: (21, 4), 7: (23, 4)}
+    for d, (cb, pk) in expect.items():
+        assert (rows[d]["cum_before"], rows[d]["pack"]) == (cb, pk), d
+    # layout independence
+    out2 = text_ops.pack_sequences(docs.repartition(7), 5, n_shards=1)
+    assert sorted(map(tuple, out.collect())) == \
+           sorted(map(tuple, out2.collect()))
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_tokens"):
+        text_ops.pack_sequences(docs, 0)
+    # stats view: token sums per pack add up to the corpus total
+    stats = text_ops.pack_stats(docs, 5, n_shards=1)
+    assert stats.agg(F.sum("sum_tokens")).first()[0] == 25
