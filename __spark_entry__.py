@@ -177,6 +177,45 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join (streaming/ingest.stream_score_join_stats):
+    streaming image micro-batches broadcast-joined per batch against a
+    static Cloud Score+ table — stateless, constant memory at any stream
+    length.  Drained commits == the batch s2_score_mask_stats strip
+    closed forms (incl. the unmatched -> fully-masked default), which is
+    the oracle."""
+    import shutil
+    import tempfile
+
+    from geedim_spark.sources import snapshots
+    from geedim_spark.streaming import ingest
+
+    n, _ = _sizes(sf_dir)
+    n = min(n, 600)
+    base = tempfile.mkdtemp(prefix="geedim_stream_scorejoin_")
+    try:
+        synth.images_df(spark, n).coalesce(4).write.parquet(f"{base}/in")
+        scores = synth.scores_df(spark, n)
+        q = ingest.stream_score_join_stats(
+            spark, f"{base}/in", scores, f"{base}/tbl", f"{base}/ckpt",
+            available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream-static join did not drain in 300 s")
+        out = snapshots.read_snapshot(spark, f"{base}/tbl").select(
+            "image_id", "total_px", "fill_px", "cloudless_px",
+            "score_matched",
+        )
+        return spark.createDataFrame(
+            out.collect(),
+            "image_id string, total_px long, fill_px long, "
+            "cloudless_px long, score_matched boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest (file source -> foreachBatch mask kernel
     -> snapshot commits) drained with availableNow; returns the committed
@@ -1788,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "limit_sorted": q_limit_sorted,
         "numpy_roundtrip": q_numpy_roundtrip,            # K2; windows r6
+        "streaming_score_join": q_streaming_score_join,  # NEW r5; windows r6
     
     }
 
@@ -1832,7 +1872,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "medoid": ("medoid_profile",),
     "qmosaic": ("qmosaic_halo", "composite_tiled_qmosaic"),
     "multimodal": ("image_features", "dct8_psnr"),
-    "streaming-ingest": ("streaming_ingest", "snapshot_commit"),
+    "streaming-ingest": ("streaming_ingest", "snapshot_commit",
+                         "streaming_score_join"),
     "streaming-windows": ("streaming_windows",),
     "streaming-dedup": ("streaming_dedup",),
     "sessionisation": ("events_sessions", "session_windows",
@@ -2222,6 +2263,17 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      AS dilated_px,
                    CAST(h * GREATEST(0, c_px - 2) AS BIGINT) AS eroded_px
             FROM images WHERE fmt = 'raw'
+        """,
+        "streaming_score_join": f"""
+            WITH images AS ({images})
+            SELECT image_id,
+                   CAST(w * h AS BIGINT) AS total_px,
+                   CAST((w - f_px) * h AS BIGINT) AS fill_px,
+                   CAST(CASE WHEN i % 2 = 0
+                             THEN GREATEST(0, ((i % 10) * 4) - f_px) * h
+                             ELSE 0 END AS BIGINT) AS cloudless_px,
+                   (i % 2 = 0) AS score_matched
+            FROM images WHERE fmt = 'raw' AND i < 600
         """,
         "s2_score_join": f"""
             WITH images AS ({images})

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs", "ann_topk", "ann_lsh", "embed_near_dup",
     "s2_qa_portions", "skew_join", "landsat_param_portions",
     "phash_near_dup",
+    # round-5 capabilities
+    "reproject_export", "s2_shadow_params", "decontam", "pack_sequences",
+    "top_ngrams",
     # halo_edt is value-checked by the driver but excluded here: at the
     # bench's 40 px synthetic images its cost is pure tiny-group overhead
     # (2,700 applyInPandas groups of 16 px tiles), not kernel throughput

@@ -236,25 +236,14 @@ class Collection:
                 df = meta.join(prepared, "image_id") \
                     .withColumn("fmt", F.lit("raw"))
                 dtype = dtype or "float64"
-            reproj = _rp.reproject_images(
+            # every metadata column passes THROUGH the reprojection
+            # kernel (grid columns + footprint bbox rewritten in place) —
+            # no metadata re-join, which would shuffle the byte blobs
+            out = _rp.reproject_images(
                 df, crs=crs, crs_transform=crs_transform, shape=shape,
                 region=region, scale=scale, like=like,
                 resampling=resampling, dtype=dtype,
             )
-            meta = df.drop("bytes", "fmt", "caption", "crs", "transform",
-                           "w", "h", "x0", "y0", "x1", "y1")
-            out = meta.join(reproj, "image_id") \
-                .withColumn("fmt", F.lit("raw")) \
-                .withColumn("x0", F.element_at("transform", 3)) \
-                .withColumn("y1", F.element_at("transform", 6)) \
-                .withColumn(
-                    "x1",
-                    F.element_at("transform", 3)
-                    + F.col("w") * F.element_at("transform", 1)) \
-                .withColumn(
-                    "y0",
-                    F.element_at("transform", 6)
-                    + F.col("h") * F.element_at("transform", 5))
             return Collection(out, self.cloud_kwargs)
         prepared = export_ops.prepare_for_export(self.df, scale_offset, dtype)
         meta = self.df.drop("bytes", "fmt", "caption")

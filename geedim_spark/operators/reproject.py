@@ -366,13 +366,21 @@ def reproject_images(
     ``like``: a template Row (or dict) with ``crs``/``transform``/
     ``w``/``h`` — overrides crs/crs_transform/shape (reference cli.py
     ``--like``).  Output rows carry the resolved grid (``transform``,
-    ``crs``, ``w``, ``h``) and raw-encoded pixels cast to ``dtype``
-    (default: source dtype; interpolating kernels compute in float64 and
-    cast last with saturation, ``functions/dtypes.py``).
+    ``crs``, ``w``, ``h``, footprint bbox when present) and raw-encoded
+    pixels cast to ``dtype`` (default: source dtype; interpolating
+    kernels compute in float64 and cast last with saturation,
+    ``functions/dtypes.py``).
 
-    Scale shape: narrow per-image map — no shuffle, no driver loop; a
+    Scale shape: narrow per-image map with ALL other input columns
+    passed THROUGH the kernel (no metadata re-join — a join here would
+    shuffle every byte blob twice); no shuffle, no driver loop; a
     1000-executor cluster regrids 1000 images at a time.
     """
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StringType, StructField,
+        StructType,
+    )
+
     if like is not None:
         crs, crs_transform, shape = grid_from_like(like)
     has_fixed = "transform" in images.columns
@@ -383,14 +391,40 @@ def reproject_images(
     kw = dict(crs=crs, crs_transform=crs_transform, shape=shape,
               region=region, scale=scale)
 
+    # output schema = input schema with the grid columns RETYPED/replaced
+    # (transform array<double>, crs string, h/w int, fmt string, bbox
+    # doubles) and every other column passed through untouched
+    replaced = {
+        "bytes": None, "crs": StringType(),
+        "transform": ArrayType(DoubleType()),
+        "h": IntegerType(), "w": IntegerType(),
+        "fmt": StringType(),
+        "x0": DoubleType(), "y0": DoubleType(),
+        "x1": DoubleType(), "y1": DoubleType(),
+    }
+    fields = []
+    for f in images.schema.fields:
+        if f.name in replaced and replaced[f.name] is not None:
+            fields.append(StructField(f.name, replaced[f.name]))
+        else:
+            fields.append(f)
+    names = [f.name for f in images.schema.fields]
+    for extra in ("crs", "transform", "h", "w"):
+        if extra not in names:
+            fields.append(StructField(extra, replaced[extra]))
+    out_schema = StructType(fields)
+    out_names = [f.name for f in out_schema.fields]
+    has_bbox = all(c in names for c in ("x0", "y0", "x1", "y1"))
+
     def _batch(pdf: pd.DataFrame):
-        out = []
-        for image_id, caption, buf, src_crs, src_transform in zip(
-            pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["crs"],
-            pdf["transform"],
-        ):
-            px = codecs.decode(bytes(buf))
-            src_t = tuple(float(v) for v in src_transform)
+        out = {c: [] for c in out_names}
+        pass_through = [c for c in names
+                        if c not in ("bytes", "crs", "transform", "h", "w",
+                                     "fmt", "x0", "y0", "x1", "y1")]
+        for k in range(len(pdf)):
+            px = codecs.decode(bytes(pdf["bytes"].iloc[k]))
+            src_t = tuple(float(v) for v in pdf["transform"].iloc[k])
+            src_crs = pdf["crs"].iloc[k]
             grid = resolve_grid(
                 src_crs, src_t, (px.shape[1], px.shape[2]), **kw
             )
@@ -401,25 +435,23 @@ def reproject_images(
                 nodata=nodata,
             )
             arr = cast_pixels(arr, out_dtype)
-            out.append({
-                "image_id": image_id,
-                "caption": caption,
-                "bytes": codecs.encode_raw(np.ascontiguousarray(arr)),
-                "crs": grid.crs,
-                "transform": list(grid.transform),
-                "h": grid.shape[0],
-                "w": grid.shape[1],
-            })
-        cols = ["image_id", "caption", "bytes", "crs", "transform", "h", "w"]
-        return pd.DataFrame(out, columns=cols)
+            for c in pass_through:
+                out[c].append(pdf[c].iloc[k])
+            out["bytes"].append(codecs.encode_raw(np.ascontiguousarray(arr)))
+            out["crs"].append(grid.crs)
+            out["transform"].append(list(grid.transform))
+            out["h"].append(grid.shape[0])
+            out["w"].append(grid.shape[1])
+            if "fmt" in out_names:
+                out["fmt"].append("raw")
+            if has_bbox:
+                t = grid.transform
+                out["x0"].append(t[2])
+                out["y1"].append(t[5])
+                out["x1"].append(t[2] + grid.shape[1] * t[0])
+                out["y0"].append(t[5] + grid.shape[0] * t[4])
+        return pd.DataFrame(out, columns=out_names)
 
-    src = images.select(
-        "image_id", "caption", "bytes", "crs", "transform"
-    )
-    return src.mapInPandas(
-        lambda it: (_batch(p) for p in it),
-        schema=(
-            "image_id string, caption string, bytes binary, crs string, "
-            "transform array<double>, h int, w int"
-        ),
+    return images.mapInPandas(
+        lambda it: (_batch(p) for p in it), schema=out_schema
     )

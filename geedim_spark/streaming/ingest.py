@@ -86,3 +86,60 @@ def stream_mask_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_score_join_stats(
+    spark: SparkSession,
+    source_dir: str,
+    scores: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    score_thresh: float = 0.6,
+    available_now: bool = True,
+):
+    """Stream-STATIC join ingest: streaming image micro-batches joined
+    against a static (broadcast) Cloud Score+ match table, per-image
+    score-mask stats committed per batch — the reference's match-image
+    join (mask.py:287 linkCollection) lifted onto Structured Streaming.
+
+    Shape: the static side is a plain DataFrame — Spark re-plans the
+    broadcast join per micro-batch with no state store (stream-static
+    joins are stateless by definition), so arbitrarily long streams run
+    at constant memory.  Unmatched streaming rows keep the reference's
+    fully-masked default (VALID=false -> CLOUDLESS 0), exactly as the
+    batch operator; drained output == the batch s2_score_mask_stats
+    closed form, which is how the test pins it.
+
+    Returns the StreamingQuery.
+    """
+    src = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.filter("fmt = 'raw'").persist()
+        try:
+            if batch_df.limit(1).count() == 0:
+                return
+            stats = masks.s2_score_mask_stats(
+                batch_df, scores, score_thresh=score_thresh
+            )
+            snapshots.write_snapshot(
+                stats, table_dir, "image_id",
+                stats_cols=("cloudless_px",), mode="append",
+                commit_token=(
+                    f"{os.path.abspath(checkpoint_dir)}:score-batch-{batch_id}"
+                ),
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        src.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

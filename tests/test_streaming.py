@@ -241,3 +241,41 @@ def test_stream_dedup_ttl_large_matches_unbounded(spark, tmp_path):
     b = {(r["doc_id"], r["text_hash"])
          for r in spark.table("sdd_eq_plain").collect()}
     assert a == b and len(a) > 0
+
+
+def test_stream_static_score_join_matches_batch(spark, tmp_path):
+    """Stream-STATIC join: streaming image micro-batches broadcast-joined
+    against a static Cloud Score+ table; drained commits must equal the
+    batch s2_score_mask_stats output exactly (incl. the no-match
+    fully-masked default), and a checkpointed restart re-commits
+    nothing (idempotent tokens)."""
+    from geedim_spark.operators import masks
+
+    source = str(tmp_path / "incoming_sj")
+    table = str(tmp_path / "score_table")
+    ckpt = str(tmp_path / "ckpt_sj")
+
+    imgs = synth.images_df(spark, 30)
+    imgs.coalesce(3).write.parquet(source)
+    scores = synth.scores_df(spark, 30)
+
+    q = ingest.stream_score_join_stats(
+        spark, source, scores, table, ckpt, available_now=True)
+    q.awaitTermination(180)
+
+    back = snapshots.read_snapshot(spark, table)
+    raw = synth.images_df(spark, 30).filter("fmt = 'raw'")
+    want = {r["image_id"]: r for r in
+            masks.s2_score_mask_stats(raw, scores).collect()}
+    got = {r["image_id"]: r for r in back.collect()}
+    assert set(got) == set(want)
+    for iid in want:
+        assert got[iid]["cloudless_px"] == want[iid]["cloudless_px"], iid
+        assert got[iid]["fill_px"] == want[iid]["fill_px"], iid
+
+    # restart on the same checkpoint: nothing new to commit
+    sid_before = snapshots.current_snapshot(table)["snapshot_id"]
+    q2 = ingest.stream_score_join_stats(
+        spark, source, scores, table, ckpt, available_now=True)
+    q2.awaitTermination(180)
+    assert snapshots.current_snapshot(table)["snapshot_id"] == sid_before
