@@ -126,6 +126,12 @@ def headline_job(
         target = max(1, math.ceil(sum(sizes) / n_parts) + 1)
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    # Spark caps maxSplitBytes at totalBytes/minPartitionNum (default =
+    # parallelism), which silently overrides the tuned target whenever
+    # totalBytes/cores < target and re-fragments the scan into ragged
+    # ~1.2-wave splits (38 tasks for 32 slots observed).  Pin the floor
+    # to 1 so the explicit 2-wave target always wins.
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
     try:
         t0 = time.time()
         images = spark.read.parquet(images_path).filter("fmt = 'raw'")
