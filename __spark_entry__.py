@@ -1673,6 +1673,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                                salt="pack-v1")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL redaction (operators/text.redact): deterministic planted
+    contamination (an email / URL / long digit run appended per doc_id
+    residue in BOTH engines) scrubbed to typed tokens; per-category
+    match counts + the redacted text itself are the hashed contract.
+    Patterns live in the Java-regex/RE2 common subset so the DuckDB
+    twin counts identically."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    d = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" mail: user"), d, F.lit("@example.com")))
+         .when(F.col("doc_id") % 5 == 1,
+               F.concat(F.lit(" see https://ex.org/p/"), d))
+         .when(F.col("doc_id") % 5 == 2,
+               F.concat(F.lit(" acct 1234567890"), d))
+         .otherwise(F.lit("")),
+    )
+    return text_ops.redact(docs.select("doc_id", aug.alias("text")))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (operators/text.
+    repetition_stats — the Gopher duplicated-n-gram quality rule):
+    positional 10-gram duplication counts per document, 2-phase
+    aggregate, integer outputs; the oracle recomputes the same
+    positional-gram histogram."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text_ops.repetition_stats(docs, n=10)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash data mixing (operators/sampling.py):
     per-language keep rates over the documents table, membership a pure
@@ -1828,6 +1864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_sorted": q_limit_sorted,
         "numpy_roundtrip": q_numpy_roundtrip,            # K2; windows r6
         "streaming_score_join": q_streaming_score_join,  # NEW r5; windows r6
+        "pii_redact": q_pii_redact,                      # NEW r5; windows r6
+        "repetition_stats": q_repetition_stats,          # NEW r5; windows r6
     
     }
 
@@ -1881,7 +1919,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "events-agg": ("events_type_stats", "events_recent"),
     "relational": ("pricing_summary", "top_customers", "shipping_priority",
                    "local_supplier_volume"),
-    "text-quality": ("doc_quality",),
+    "text-quality": ("doc_quality", "pii_redact", "repetition_stats"),
     "text-tokens": ("doc_token_stats", "top_ngrams"),
     "decontam": ("decontam",),
     "packing": ("pack_sequences",),
@@ -2761,6 +2799,52 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT doc_id,
                    CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies
             FROM documents
+        """,
+        "pii_redact": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 5 = 0 THEN ' mail: user' ||
+                            CAST(doc_id AS VARCHAR) || '@example.com'
+                       WHEN doc_id % 5 = 1 THEN ' see https://ex.org/p/' ||
+                            CAST(doc_id AS VARCHAR)
+                       WHEN doc_id % 5 = 2 THEN ' acct 1234567890' ||
+                            CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS t
+              FROM documents),
+            red AS (
+              SELECT doc_id, t,
+                     regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                       'https?://[^ ]+', '<URL>', 'g'),
+                       '[0-9]{10}[0-9]*', '<ID>', 'g') AS r
+              FROM aug)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t, 'https?://[^ ]+'))
+                     AS BIGINT) AS n_url,
+                   CAST(len(regexp_extract_all(t, '[0-9]{10}[0-9]*'))
+                     AS BIGINT) AS n_id,
+                   r AS redacted,
+                   CAST(length(r) AS BIGINT) AS n_redacted_chars
+            FROM red
+        """,
+        "repetition_stats": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest([substr(text, i, 10)
+                             FOR i IN range(1, greatest(length(text)-9, 1) + 1)]) AS gram
+              FROM documents),
+            c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                     AS n_dup_positions,
+                   CAST(MAX(cnt) AS BIGINT) AS max_gram_count
+            FROM c GROUP BY 1
         """,
         "decontam": """
             WITH sh AS (

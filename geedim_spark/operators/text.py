@@ -231,3 +231,74 @@ def pack_stats(
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# redaction patterns: the common Java-regex / RE2 subset so Spark and the
+# DuckDB oracle count identically (no lookarounds, no \b ambiguity)
+_REDACT_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "url": "https?://[^ ]+",
+    "id_number": "[0-9]{10}[0-9]*",
+}
+
+
+def redact(documents: DataFrame) -> DataFrame:
+    """PII/URL scrubbing — the redaction stage of a training-data
+    pipeline: emails, URLs and long digit runs replaced by typed tokens
+    (``<EMAIL>``/``<URL>``/``<ID>``), with per-category match counts.
+
+    Pure Catalyst (JVM regexp_replace / regexp_extract_all — no UDF, no
+    shuffle); patterns are restricted to the Java-regex/RE2 common
+    subset so an external engine reproduces the counts bit-for-bit.
+    Output: doc_id, n_email, n_url, n_id, redacted text + its length.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    counts = {
+        k: F.size(F.regexp_extract_all(text, F.lit(p), 0)).cast("long")
+        for k, p in _REDACT_PATTERNS.items()
+    }
+    red = text
+    for k, p in _REDACT_PATTERNS.items():
+        token = {"email": "<EMAIL>", "url": "<URL>", "id_number": "<ID>"}[k]
+        red = F.regexp_replace(red, p, token)
+    return documents.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["url"].alias("n_url"),
+        counts["id_number"].alias("n_id"),
+        red.alias("redacted"),
+        F.length(red).cast("long").alias("n_redacted_chars"),
+    )
+
+
+def repetition_stats(documents: DataFrame, n: int = 10) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    duplicated-n-gram quality rule): over the POSITIONAL character
+    n-grams of each document, how many positions sit inside an n-gram
+    that occurs more than once, and how hard the worst n-gram repeats.
+
+    Scale shape: explode positional grams -> 2-phase hash aggregate on
+    (doc_id, gram) -> per-doc aggregate.  Shuffle payload is (doc_id,
+    gram, count), never documents; partial aggregation absorbs the
+    within-partition repetition that is exactly the signal measured.
+
+    Output (ints, hash-stable): doc_id, n_grams (total positions),
+    n_dup_positions (positions in duplicated grams), max_gram_count.
+    A high ``n_dup_positions / n_grams`` marks boilerplate/spam.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+        lambda i: F.substring(text, i, n),
+    )
+    per_gram = (
+        documents.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long").alias("n_dup_positions"),
+        F.max("cnt").cast("long").alias("max_gram_count"),
+    )

@@ -130,3 +130,37 @@ def test_pack_sequences_contiguous_fill_rule(spark):
     # stats view: token sums per pack add up to the corpus total
     stats = text_ops.pack_stats(docs, 5, n_shards=1)
     assert stats.agg(F.sum("sum_tokens")).first()[0] == 25
+
+
+def test_redact_and_repetition_closed_forms(spark):
+    """Redaction scrubs each category to its token with exact counts;
+    repetition stats follow the positional-gram histogram."""
+    import pandas as pd
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a@b.com and c@d.org via https://x.y id 12345678901",
+                 "clean prose with no contacts",
+                 None],
+    }))
+    got = {r["doc_id"]: r for r in text_ops.redact(docs).collect()}
+    assert (got[0]["n_email"], got[0]["n_url"], got[0]["n_id"]) == (2, 1, 1)
+    assert got[0]["redacted"] == "<EMAIL> and <EMAIL> via <URL> id <ID>"
+    assert (got[1]["n_email"], got[1]["n_url"], got[1]["n_id"]) == (0, 0, 0)
+    assert got[2]["redacted"] == ""  # NULL -> ''
+
+    # 'spamX ' * 4: every 5-gram that recurs is counted positionally
+    rep = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["abcab" * 4, "abcdefghij"]}))
+    out = {r["doc_id"]: r for r in
+           text_ops.repetition_stats(rep, n=5).collect()}
+    # len 20 -> 16 positional 5-grams; period-5 string: each of the 5
+    # distinct grams repeats; count: grams at i and i+5 equal
+    assert out[0]["n_grams"] == 16
+    assert out[0]["n_dup_positions"] == 16
+    assert out[0]["max_gram_count"] == 4
+    assert out[1]["n_grams"] == 6
+    assert out[1]["n_dup_positions"] == 0
+    assert out[1]["max_gram_count"] == 1
