@@ -355,6 +355,180 @@ class Image:
         merged = {**self.cloud_kwargs, **cloud_kwargs}
         return Image(self.df, merged)
 
+    # -- metadata accessor surface (image.py:247-434) ----------------------
+    # All properties are BOUNDED driver pulls: one metadata row (never the
+    # byte blob except `dtype`, which probes a single image's header).
+    # Multi-row frames report the FIRST image by id, mirroring the
+    # reference's per-image accessor.
+
+    def _meta_row(self):
+        if not hasattr(self, "_cached_meta"):
+            cols = [c for c in self.df.columns if c != "bytes"]
+            object.__setattr__(
+                self, "_cached_meta",
+                self.df.select(*cols).orderBy("image_id").first(),
+            )
+        return self._cached_meta
+
+    @property
+    def id(self) -> str | None:
+        """image.py:257-259."""
+        r = self._meta_row()
+        return r["image_id"] if r else None
+
+    @property
+    def index(self) -> str | None:
+        """image.py:262-264 (system:index property)."""
+        r = self._meta_row()
+        if r is None:
+            return None
+        props = dict(r["props"]) if "props" in r.__fields__ and r["props"] else {}
+        return props.get("system:index")
+
+    @property
+    def date(self):
+        """image.py:267-275 (system:time_start as datetime)."""
+        r = self._meta_row()
+        return r["time_start"] if r and "time_start" in r.__fields__ else None
+
+    @property
+    def properties(self) -> dict:
+        """image.py:278-280."""
+        r = self._meta_row()
+        if r is None or "props" not in r.__fields__ or not r["props"]:
+            return {}
+        return dict(r["props"])
+
+    @property
+    def crs(self) -> str | None:
+        """image.py:283-285."""
+        r = self._meta_row()
+        return r["crs"] if r and "crs" in r.__fields__ else None
+
+    @property
+    def transform(self) -> list | None:
+        """image.py:288-290."""
+        r = self._meta_row()
+        return (list(r["transform"])
+                if r and "transform" in r.__fields__ else None)
+
+    @property
+    def shape(self) -> tuple | None:
+        """image.py:293-297 ((height, width))."""
+        r = self._meta_row()
+        if r is None or "h" not in r.__fields__:
+            return None
+        return (int(r["h"]), int(r["w"]))
+
+    @property
+    def count(self) -> int | None:
+        """image.py:300-303 (number of bands, from the family layout)."""
+        r = self._meta_row()
+        if r is None:
+            return None
+        return len(masks.band_names_for(r["collection"]))
+
+    @property
+    def dtype(self) -> str | None:
+        """image.py:305-339 — probed from one image's encoded header
+        (the only accessor that touches pixel bytes; still one row)."""
+        from geedim_spark import codecs as _codecs
+
+        row = self.df.select("bytes").orderBy("image_id").first()
+        if row is None:
+            return None
+        return _codecs.decode(bytes(row["bytes"])).dtype.name
+
+    @property
+    def nodata(self):
+        """image.py:342-352 (dtype-determined fill value)."""
+        from geedim_spark import codecs as _codecs
+
+        dt = self.dtype
+        return _codecs.NODATA_VALS[dt] if dt else None
+
+    @property
+    def size(self) -> int | None:
+        """image.py:355-360 (uncompressed pixel-grid byte size)."""
+        import numpy as _np
+
+        sh, dt, n = self.shape, self.dtype, self.count
+        if None in (sh, dt, n):
+            return None
+        return int(sh[0] * sh[1] * n * _np.dtype(dt).itemsize)
+
+    @property
+    def profile(self) -> dict | None:
+        """image.py:363-376 (rasterio-style export profile)."""
+        sh = self.shape
+        if sh is None:
+            return None
+        return {
+            "crs": self.crs, "transform": self.transform,
+            "width": sh[1], "height": sh[0], "count": self.count,
+            "dtype": self.dtype, "nodata": self.nodata,
+        }
+
+    @property
+    def scale(self) -> float | None:
+        """image.py:379-381 (minimum band scale = x pixel size here)."""
+        t = self.transform
+        return abs(float(t[0])) if t else None
+
+    @property
+    def geometry(self) -> dict | None:
+        """image.py:384-397 (footprint as a GeoJSON Polygon bbox)."""
+        r = self._meta_row()
+        if r is None or "x0" not in r.__fields__:
+            return None
+        x0, y0, x1, y1 = (float(r[c]) for c in ("x0", "y0", "x1", "y1"))
+        return {
+            "type": "Polygon",
+            "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                             [x0, y0]]],
+        }
+
+    @property
+    def bounded(self) -> bool:
+        """image.py:400-404 (has a non-degenerate footprint)."""
+        g = self.geometry
+        if g is None:
+            return False
+        (x0, y0), _, (x1, y1) = g["coordinates"][0][0], None, g["coordinates"][0][2]
+        return x1 > x0 and y1 > y0
+
+    @property
+    def band_names(self) -> list | None:
+        """image.py:407-410 (bandNames)."""
+        r = self._meta_row()
+        if r is None:
+            return None
+        return list(masks.band_names_for(r["collection"]))
+
+    @property
+    def spec_bands(self) -> list | None:
+        """image.py:423-431 (reflectance bands, STAC center_wavelength
+        analog: the B*/SR_B* names)."""
+        names = self.band_names
+        if names is None:
+            return None
+        return [n for n in names if n.startswith(("B", "SR_B"))]
+
+    @property
+    def cloud_support(self) -> bool:
+        """image.py:434-436 (collection has cloud/shadow mask support)."""
+        r = self._meta_row()
+        if r is None:
+            return False
+        return masks._sensor_for(r["collection"]) in ("landsat", "s2")
+
+    @property
+    def fixed(self) -> bool:
+        """image.py:526-528 (has a fixed projection)."""
+        r = self._meta_row()
+        return bool(r and "transform" in r.__fields__
+                    and r["transform"] is not None)
+
     # -- mask surface (image.py:655-739) -----------------------------------
     def add_mask_bands(self) -> DataFrame:
         """addMaskBands analog: per-image mask statistics + portions

@@ -155,3 +155,47 @@ def test_composite_tiled_qmosaic_routes_to_halo(spark):
         tile_h=16, tile_w=16,
     )
     assert canon(got_mean) == canon(want_mean)
+
+
+def test_image_metadata_accessor_surface(spark):
+    """ImageAccessor property parity (image.py:247-434): every metadata
+    accessor resolves from one bounded driver pull with the synthetic
+    closed-form values."""
+    from geedim_spark import synth
+    from geedim_spark.api import Image
+
+    img = Image(synth.images_df(spark, 9, scalar_filter="fmt = 'raw'"))
+    assert img.id == "IMG/00000000"
+    assert img.index == "00000000"
+    assert img.crs == "EPSG:3857"
+    assert img.scale == synth.SCALE
+    assert img.shape == (40, 40)
+    assert img.count == 2
+    assert img.dtype == "uint16"
+    assert img.nodata == 0
+    assert img.size == 40 * 40 * 2 * 2
+    assert img.band_names == ["B1", "QA_PIXEL"]  # i=0 is MOCK/CONST
+    assert img.spec_bands == ["B1"]
+    assert img.cloud_support is False            # MOCK has no cloud bands
+    assert img.fixed and img.bounded
+    prof = img.profile
+    assert prof["width"] == 40 and prof["dtype"] == "uint16"
+    assert prof["transform"][0] == synth.SCALE
+    geom = img.geometry
+    assert geom["type"] == "Polygon" and len(geom["coordinates"][0]) == 5
+    assert img.date is not None and img.properties["system:index"] == "00000000"
+
+    # an S2 row (i % 3 == 2) reports cloud support + the S2 band family
+    s2 = Image(synth.images_df(spark, 9, scalar_filter="fmt = 'raw' AND i % 3 = 2"))
+    assert s2.cloud_support is True
+    assert s2.band_names == ["B1", "QA60"]
+
+    # a composite-like frame without transform: not fixed
+    nofix = Image(synth.images_df(spark, 3, scalar_filter="fmt = 'raw'")
+                  .drop("transform"))
+    assert nofix.fixed is False
+
+    # empty frame: every accessor degrades to None/False, no crash
+    empty = Image(synth.images_df(spark, 3).where("1=0"))
+    assert empty.id is None and empty.shape is None
+    assert empty.fixed is False and empty.bounded is False
