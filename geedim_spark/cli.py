@@ -20,9 +20,10 @@ Each stage prints a one-line summary (the reference's tqdm/status analog).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-COMMANDS = ("config", "search", "composite", "download")
+COMMANDS = ("config", "search", "composite", "download", "export")
 
 
 # option names that consume the NEXT token as a value — a command name in
@@ -37,6 +38,13 @@ _VALUE_OPTS = {
     "--out", "--partition-col", "--max-tile-dim", "--max-tile-bands",
     "--dtype", "--files-dir", "--overview-min-dim", "--bbox", "--id",
     "--split", "--band-name", "--compact-files",
+    # r5 value-taking options: a command name in the value position must
+    # not start a new stage (e.g. `--folder export` names a directory)
+    "--mask-method", "--prob", "--score", "--cs-band", "--cdi-thresh",
+    "--dark", "--shadow-dist", "--max-cloud-dist",
+    "--crs", "--scale", "--crs-transform", "--shape", "--like",
+    "--resampling", "--nodata", "--max-tile-size",
+    "--type", "--folder",
 }
 
 
@@ -244,8 +252,33 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
                                "drop under this (rasterio build_overviews "
                                "analog)")
 
+    export = argparse.ArgumentParser(prog="export", add_help=False)
+    export.add_argument("--type", choices=("drive", "asset", "cloud"),
+                        default="drive",
+                        help="export destination type (reference -t/--type,"
+                             " cli.py:833-905); all types land as snapshot "
+                             "tables here — the type picks the default "
+                             "namespace and the folder requirement")
+    export.add_argument("--folder", default=None,
+                        help="destination folder/bucket/project (reference "
+                             "-f/--folder; REQUIRED for asset/cloud)")
+    export.add_argument("--id", dest="image_ids", action="append",
+                        default=None)
+    export.add_argument("--no-mask", dest="apply_mask",
+                        action="store_false", default=True)
+    export.add_argument("--dtype", default=None)
+    export.add_argument("--scale-offset", action="store_true")
+    export.add_argument("--band-name", dest="bands", action="append",
+                        default=None)
+    export.add_argument("--max-tile-dim", type=int, default=10000)
+    export.add_argument("--no-wait", dest="wait", action="store_false",
+                        default=True,
+                        help="start the export task and return immediately "
+                             "(reference -nw/--no-wait); the task handle "
+                             "is printed and joined at CLI exit")
     return {"config": config, "search": search,
-            "composite": composite, "download": download}
+            "composite": composite, "download": download,
+            "export": export}
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -276,6 +309,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         coll = Collection.from_parquet(spark, gargs.input)
 
     parsers = _parsers()
+    _pending_tasks: list = []
     for seg in segments:
         cmd, rest = seg[0], seg[1:]
         args = parsers[cmd].parse_args(rest)
@@ -507,6 +541,56 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     split=args.split, band_names=band_names,
                 ).count()
                 print(f"download: {n_files} GeoTIFFs -> {args.files_dir}")
+        elif cmd == "export":
+            # toGoogleCloud analog (image.py:862-953 + cli.py:833-905):
+            # every type is a snapshot-table commit here; asset/cloud
+            # REQUIRE --folder like the reference's MissingParameter
+            if args.type in ("asset", "cloud") and not args.folder:
+                parsers["export"].error(
+                    "'--folder' is required for --type asset|cloud"
+                )
+            import threading
+
+            folder = args.folder or "geedim_export"
+            dest = os.path.join(folder, f"{args.type}_table")
+            work = coll
+            if args.image_ids:
+                from pyspark.sql import functions as F
+
+                from geedim_spark.api import Collection as _Coll
+                work = _Coll(
+                    coll.df.filter(F.col("image_id").isin(args.image_ids)),
+                    coll.cloud_kwargs,
+                )
+            band_kw = {}
+            if args.bands:
+                import re as _re
+                band_kw["band_regex"] = "|".join(
+                    _re.escape(b) for b in args.bands
+                )
+
+            def _task(work=work, dest=dest, args=args, band_kw=band_kw):
+                snap_id = work.download(
+                    dest, max_tile_dim=args.max_tile_dim,
+                    apply_cloud_mask=args.apply_mask,
+                    export_dtype=args.dtype,
+                    scale_offset=args.scale_offset,
+                    **band_kw,
+                )
+                print(f"export: completed snapshot {snap_id} -> {dest}")
+
+            label = f"export-{args.type}-{os.path.basename(folder)}"
+            if args.wait:
+                # monitorTask analog: run + report inline
+                print(f"export: started task {label}")
+                _task()
+            else:
+                t = threading.Thread(target=_task, name=label, daemon=False)
+                t.start()
+                _pending_tasks.append(t)
+                print(f"export: task {label} running (--no-wait)")
+    for t in _pending_tasks:
+        t.join()
     return 0
 
 

@@ -587,3 +587,38 @@ def test_cli_download_max_tile_size_forwarded(spark, tmp_path):
     n_big = snapshots.read_snapshot(spark, out_big).count()
     n_small = snapshots.read_snapshot(spark, out_small).count()
     assert n_big == 1 and n_small > 1
+
+
+def test_cli_export_command_types_and_wait(spark, tmp_path, capsys):
+    """Reference `export` parity (cli.py:833-905): drive default folder,
+    asset/cloud require --folder, --no-wait returns immediately and the
+    task is joined at CLI exit; the deliverable is a committed snapshot
+    table under <folder>/<type>_table."""
+    folder = str(tmp_path / "bucket")
+    rc = cli.main([
+        "--synthetic", "10",
+        "export", "--type", "cloud", "--folder", folder,
+        "--id", "IMG/00000000", "--id", "IMG/00000001",
+        "--max-tile-dim", "21", "--no-wait",
+    ], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "running (--no-wait)" in out
+    back = snapshots.read_snapshot(spark, f"{folder}/cloud_table")
+    ids = {r["image_id"] for r in back.select("image_id").distinct().collect()}
+    assert ids == {"IMG/00000000", "IMG/00000001"}
+
+    # asset without folder: clean parser error
+    with pytest.raises(SystemExit):
+        cli.main(["--synthetic", "4", "export", "--type", "asset"],
+                 spark=spark)
+
+    # wait mode prints completion inline
+    folder2 = str(tmp_path / "drive")
+    rc = cli.main([
+        "--synthetic", "6",
+        "export", "--folder", folder2, "--id", "IMG/00000000",
+        "--max-tile-dim", "21",
+    ], spark=spark)
+    assert rc == 0
+    assert "export: completed snapshot" in capsys.readouterr().out
