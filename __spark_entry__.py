@@ -1739,6 +1739,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line removal (operators/dedup.line_dedup —
+    the C4/RefinedWeb line-dedup rule).  Documents are re-lined
+    deterministically in BOTH engines (6-word chunks joined by newline,
+    plus a planted boilerplate footer on doc_id residues 7 / 11), then
+    every line occurring >= 3 times corpus-wide is dropped and the
+    survivors rejoined in order.  n_lines / n_kept / the rebuilt text are
+    the hashed contract — the reassembly order check is exact."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), F.lit(-1))
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(6)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 6 + 1, 6), " "),
+    )
+    body = F.array_join(chunks, "\n")
+    footer = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nall rights reserved - footer"))
+        .when(F.col("doc_id") % 11 == 0,
+              F.lit("\nclick here to subscribe"))
+        .otherwise(F.lit(""))
+    )
+    return dedup.line_dedup(
+        docs.select("doc_id", F.concat(body, footer).alias("text")),
+        min_count=3,
+    )
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (text.top_ngrams): top-50 character trigrams by
     DOCUMENT frequency with the deterministic (count desc, ngram) order —
@@ -1866,7 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_score_join": q_streaming_score_join,  # NEW r5; windows r6
         "pii_redact": q_pii_redact,                      # NEW r5; windows r6
         "repetition_stats": q_repetition_stats,          # NEW r5; windows r6
-    
+        "line_dedup": q_line_dedup,                      # NEW r5; windows r6
     }
 
 
@@ -1927,7 +1958,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     # content-hash sampling shares the portable-md5-derivation machinery
     # with the fingerprint ops; doc_fingerprint anchors the family in-window
     "text-fingerprint": ("doc_fingerprint", "stratified_sample"),
-    "dedup-exact": ("doc_dup_counts",),
+    "dedup-exact": ("doc_dup_counts", "line_dedup"),
     "dedup-simhash": ("simhash", "phash_near_dup"),  # bit-fingerprint
                                                      # hamming dedup
     "dedup-minhash": ("minhash_sig", "minhash_lsh_pairs", "ngram_jaccard"),
@@ -2845,6 +2876,44 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      AS n_dup_positions,
                    CAST(MAX(cnt) AS BIGINT) AS max_gram_count
             FROM c GROUP BY 1
+        """,
+        # same deterministic re-lining (6-word chunks + residue footers),
+        # then the C4 rule: corpus-wide line count >= 3 -> dropped
+        "line_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(COALESCE(text, ''), ' ') AS words
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     array_to_string(
+                       [array_to_string(words[i*6+1 : i*6+6], ' ')
+                        FOR i IN range(0, GREATEST(
+                          CAST(ceil(len(words) / 6.0) AS BIGINT), 1))],
+                       chr(10))
+                     || CASE
+                          WHEN doc_id % 7 = 0
+                            THEN chr(10) || 'all rights reserved - footer'
+                          WHEN doc_id % 11 = 0
+                            THEN chr(10) || 'click here to subscribe'
+                          ELSE '' END AS text
+              FROM w),
+            l AS (SELECT doc_id,
+                         regexp_split_to_array(text, chr(10)) AS lines
+                  FROM b),
+            e AS (SELECT doc_id, unnest(lines) AS line,
+                         unnest(range(1, len(lines) + 1)) AS pos
+                  FROM l),
+            c AS (SELECT line, COUNT(*) AS cnt FROM e GROUP BY 1),
+            k AS (SELECT e.doc_id, e.pos, e.line
+                  FROM e JOIN c USING (line) WHERE c.cnt < 3),
+            r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                  FROM k GROUP BY 1)
+            SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(r.clean_text, '') AS clean_text
+            FROM l LEFT JOIN r USING (doc_id)
         """,
         "decontam": """
             WITH sh AS (

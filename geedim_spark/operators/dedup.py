@@ -41,6 +41,60 @@ def exact_dup_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def line_dedup(
+    documents: DataFrame, min_count: int = 2, delim: str = "\n"
+) -> DataFrame:
+    """Corpus-level duplicated-line removal — the C4/RefinedWeb line-dedup
+    rule: any LINE (delimiter-separated span) occurring ``min_count`` or
+    more times across the WHOLE corpus is dropped from every document, and
+    the survivors are rejoined in their original order.  Repeats inside a
+    single document count toward the corpus total, exactly like C4's
+    "any span occurring more than once" rule.
+
+    Scale shape (100 TB story): ``posexplode`` lines -> count by
+    ``md5(line)`` so the shuffle key is fixed-width even for pathological
+    lines -> 2-phase hash aggregate (map-side partials absorb the
+    within-partition boilerplate that IS the signal) -> equi-join the
+    exploded lines back on the hash -> per-doc ordered reassembly via
+    ``array_sort(collect_list(struct(pos, line)))``.  Only (hash, count)
+    pairs and individual lines ever shuffle; documents never move whole,
+    and there is no window over the corpus.
+
+    Output (hash-stable): doc_id, n_lines, n_kept, clean_text.  A document
+    whose every line is boilerplate survives with n_kept=0 and empty text —
+    the caller decides whether to drop it.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(text, F.lit(delim), -1)).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("cnt"))
+    kept = lines.join(counts, "lh").filter(F.col("cnt") < min_count)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    per_doc = documents.select(
+        "doc_id",
+        F.size(F.split(text, F.lit(delim), -1)).cast("long").alias("n_lines"),
+    )
+    return per_doc.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 def shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-gram array — pure Catalyst.
 

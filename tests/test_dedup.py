@@ -318,3 +318,50 @@ def test_benchmark_overlap_and_decontaminate(spark):
     plan = dedup.benchmark_overlap(docs, bench, n=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedup_c4_rule(spark):
+    """Corpus-wide duplicated lines (count >= min_count) are dropped from
+    every document; survivors keep their original order; within-document
+    repeats count toward the corpus total (the C4 span rule)."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha\nfooter\nbeta",       # footer dup'd across docs
+            "gamma\nfooter",
+            "delta\ndelta\nepsilon",     # in-doc repeat: delta x2 -> dropped
+            None,                        # NULL -> one empty line, unique here
+        ],
+    }))
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs, min_count=2).collect()}
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 2)
+    assert out[0]["clean_text"] == "alpha\nbeta"
+    assert out[1]["clean_text"] == "gamma"
+    # delta occurs twice corpus-wide (both inside doc 2) -> both dropped
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (3, 1)
+    assert out[2]["clean_text"] == "epsilon"
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 1)
+    assert out[3]["clean_text"] == ""
+
+
+def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["spam", "spam", "spam\nspam"],
+    }))
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs, min_count=2).collect()}
+    for d in (0, 1, 2):
+        assert out[d]["n_kept"] == 0 and out[d]["clean_text"] == ""
+    assert out[2]["n_lines"] == 2
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.line_dedup(docs, min_count=1)
+
+
+def test_line_dedup_no_global_window_two_phase_agg(spark):
+    """Scale guard: the corpus line count is a hash aggregate (2-phase),
+    never a global window — no single-partition funnel at 100 TB."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["a\nb", "b\nc"]}))
+    plan = dedup.line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowExec" not in plan or "PartitionBy" in plan
+    assert "HashAggregate" in plan
