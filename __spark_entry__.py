@@ -1770,6 +1770,43 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wds_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shard sink (sources/wds.py) through the driver gate:
+    the synthetic image+caption corpus is written as deterministic
+    content-hash tar shards (md5 bucket of image_id — the portable
+    sampling.hash_bucket rule), read back via the binaryFile tar parser,
+    and joined against the source.  Per shard: sample count, byte-exact
+    round-trip count (must equal n_samples — the oracle's COUNT(*) twin
+    only matches if every blob and caption survived the tar round trip),
+    and a caption checksum.  The tar dir is recipe-keyed in /tmp and
+    overwritten per run, so output is stable run-over-run."""
+    from geedim_spark.sources import wds
+
+    n, _ = _sizes(sf_dir)
+    cap = min(n, 400)
+    imgs = synth.images_df(spark, cap).select(
+        "image_id", "bytes", "caption", "w", "h", "fmt"
+    )
+    out = f"/tmp/geedim_spark_wdsq_{synth.recipe_hash()}_{cap}"
+    wds.write_wds_shards(imgs, out, n_shards=8, overwrite=True)
+    back = wds.read_wds_shards(spark, out).select(
+        "shard",
+        F.regexp_replace("key", "_", "/").alias("image_id"),
+        "data",
+        F.col("caption").alias("rt_caption"),
+    )
+    j = back.join(imgs, "image_id")
+    return j.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(
+            ((F.col("data") == F.col("bytes"))
+             & (F.col("rt_caption") == F.col("caption"))).cast("long")
+        ).cast("long").alias("n_byte_exact"),
+        F.sum(F.substring(F.col("caption"), -3, 3).cast("long"))
+        .cast("long").alias("caption_ck"),
+    )
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (text.top_ngrams): top-50 character trigrams by
     DOCUMENT frequency with the deterministic (count desc, ngram) order —
@@ -1898,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,                      # NEW r5; windows r6
         "repetition_stats": q_repetition_stats,          # NEW r5; windows r6
         "line_dedup": q_line_dedup,                      # NEW r5; windows r6
+        "wds_shards": q_wds_shards,                      # NEW r5; windows r6
     }
 
 
@@ -1924,7 +1962,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "stencil": ("halo_edt",),
     "tiler": ("tile_grid",),
     "export": ("export_tiles", "prepare_export", "split_bands",
-               "numpy_roundtrip"),
+               "numpy_roundtrip", "wds_shards"),
     "resample": ("resample",),
     "reproject": ("reproject_export",),
     "geotiff": ("geotiff_roundtrip",),
@@ -2876,6 +2914,21 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      AS n_dup_positions,
                    CAST(MAX(cnt) AS BIGINT) AS max_gram_count
             FROM c GROUP BY 1
+        """,
+        # same portable md5 shard rule as sources/wds.shard_of; a COUNT(*)
+        # twin for n_byte_exact is only equal if every sample round-tripped
+        "wds_shards": f"""
+            WITH images AS ({synth.sql_images(min(n, 400))}),
+            s AS (
+              SELECT i, image_id,
+                     CAST(CONCAT('0x', SUBSTR(md5(CONCAT(image_id, 'wds-v1')),
+                          1, 8)) AS BIGINT) % 1000000 % 8 AS shard
+              FROM images)
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(COUNT(*) AS BIGINT) AS n_byte_exact,
+                   CAST(SUM((i * 2654435761) % 997) AS BIGINT) AS caption_ck
+            FROM s GROUP BY shard
         """,
         # same deterministic re-lining (6-word chunks + residue footers),
         # then the C4 rule: corpus-wide line count >= 3 -> dropped
