@@ -1807,6 +1807,26 @@ def q_wds_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (operators/multimodal.aspect_bucket — the
+    SDXL multi-aspect batching rule) over deterministic per-doc image
+    dims: every row's bucket assignment and ViT-token cost is checked
+    exactly.  The argmin is integer cross-multiplication in BOTH engines
+    (Spark aggregate fold vs DuckDB list_reduce), so there is no float
+    in the decision path and the per-row contract hashes bit-for-bit."""
+    from geedim_spark.operators import multimodal
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id",
+        (256 + (F.col("doc_id") * 37) % 769).cast("int").alias("w"),
+        (256 + (F.col("doc_id") * 53) % 769).cast("int").alias("h"),
+    )
+    return multimodal.aspect_bucket(docs).select(
+        "doc_id", "w", "h", "bucket_idx", "bucket_w", "bucket_h",
+        "n_vit_tokens",
+    )
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (text.top_ngrams): top-50 character trigrams by
     DOCUMENT frequency with the deterministic (count desc, ngram) order —
@@ -1936,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,          # NEW r5; windows r6
         "line_dedup": q_line_dedup,                      # NEW r5; windows r6
         "wds_shards": q_wds_shards,                      # NEW r5; windows r6
+        "aspect_bucket": q_aspect_bucket,                # NEW r5; windows r6
     }
 
 
@@ -1978,7 +1999,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "composite": ("composite_profile", "composite_tiled_profile"),
     "medoid": ("medoid_profile",),
     "qmosaic": ("qmosaic_halo", "composite_tiled_qmosaic"),
-    "multimodal": ("image_features", "dct8_psnr"),
+    "multimodal": ("image_features", "dct8_psnr", "aspect_bucket"),
     "streaming-ingest": ("streaming_ingest", "snapshot_commit",
                          "streaming_score_join"),
     "streaming-windows": ("streaming_windows",),
@@ -2914,6 +2935,38 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      AS n_dup_positions,
                    CAST(MAX(cnt) AS BIGINT) AS max_gram_count
             FROM c GROUP BY 1
+        """,
+        # same SDXL bucket grid, same exact integer cross-multiplication
+        # argmin (list_reduce = the Spark aggregate fold) — no float in
+        # the decision path in either engine
+        "aspect_bucket": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(256 + (doc_id * 37) % 769 AS INT) AS w,
+                     CAST(256 + (doc_id * 53) % 769 AS INT) AS h
+              FROM documents),
+            b AS (
+              SELECT doc_id, w, h,
+                     list_reduce(
+                       [{'mx': greatest(w*bb[2], h*bb[1]),
+                         'mn': least(w*bb[2], h*bb[1]),
+                         'idx': bb[3], 'bw': bb[1], 'bh': bb[2]}
+                        FOR bb IN [
+                          [1024,1024,0],[1152,896,1],[896,1152,2],
+                          [1216,832,3],[832,1216,4],[1344,768,5],
+                          [768,1344,6],[1536,640,7],[640,1536,8]]],
+                       (acc, x) -> CASE WHEN x['mx'] * acc['mn'] <
+                                             acc['mx'] * x['mn']
+                                        THEN x ELSE acc END
+                     ) AS best
+              FROM d)
+            SELECT doc_id, w, h,
+                   CAST(best['idx'] AS BIGINT) AS bucket_idx,
+                   CAST(best['bw'] AS BIGINT) AS bucket_w,
+                   CAST(best['bh'] AS BIGINT) AS bucket_h,
+                   CAST(ceil(best['bw'] / 14.0) * ceil(best['bh'] / 14.0)
+                        AS BIGINT) AS n_vit_tokens
+            FROM b
         """,
         # same portable md5 shard rule as sources/wds.shard_of; a COUNT(*)
         # twin for n_byte_exact is only equal if every sample round-tripped

@@ -150,3 +150,74 @@ def resize_media(images: DataFrame, out_h: int, out_w: int,
         lambda it: (_batch(p) for p in it),
         schema="image_id string, bytes binary, fmt string, w int, h int",
     )
+
+
+# SDXL-style resolution bucket set (~1 Mpx each, aspect 0.4-2.4): the
+# standard multi-aspect training grid.  All dims <= 1536 so every integer
+# product below stays far inside int64.
+DEFAULT_ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536),
+)
+
+
+def aspect_bucket(
+    images: DataFrame,
+    buckets: tuple[tuple[int, int], ...] | None = None,
+    w_col: str = "w",
+    h_col: str = "h",
+    patch: int = 14,
+) -> DataFrame:
+    """Aspect-ratio bucketing — the multi-aspect batching rule of image
+    training pipelines (SDXL-style): each image is assigned the bucket
+    (bw, bh) whose aspect ratio is closest to its own, so a batch resizes
+    to one shared resolution with minimal distortion.
+
+    "Closest" is argmin over buckets of ``max(r/b, b/r)`` (the symmetric
+    ratio distance, == exp|log r - log b|), compared EXACTLY by integer
+    cross-multiplication: ``max(w*bh, h*bw) / min(w*bh, h*bw)`` as a
+    rational, never a float — engine log/division ulps cannot flip a
+    near-tie, so an external engine reproduces every assignment
+    bit-for-bit.  Exact ratio ties keep the earliest bucket.
+
+    Pure Catalyst (one codegen'd ``aggregate`` fold over a constant
+    array) — no UDF, no shuffle, no state; the follow-up per-bucket
+    groupBy is the only exchange a batch planner needs.
+
+    Output: input key columns + bucket_idx/bucket_w/bucket_h and
+    ``n_vit_tokens`` (ceil(bw/patch)*ceil(bh/patch)) — the sequence-length
+    cost of the sample at its bucket resolution.
+    """
+    from pyspark.sql import functions as F
+
+    bl = list(DEFAULT_ASPECT_BUCKETS if buckets is None else buckets)
+    if not bl:
+        raise ValueError("buckets must be non-empty")
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    arr = F.array(*[
+        F.struct(
+            F.greatest(w * bh, h * bw).alias("mx"),
+            F.least(w * bh, h * bw).alias("mn"),
+            F.lit(i).cast("long").alias("idx"),
+            F.lit(bw).cast("long").alias("bw"),
+            F.lit(bh).cast("long").alias("bh"),
+        )
+        for i, (bw, bh) in enumerate(bl)
+    ])
+    best = F.aggregate(
+        F.slice(arr, 2, len(bl) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: F.when(
+            x["mx"] * acc["mn"] < acc["mx"] * x["mn"], x
+        ).otherwise(acc),
+    )
+    n_tok = (
+        F.ceil(best["bw"] / F.lit(patch)) * F.ceil(best["bh"] / F.lit(patch))
+    ).cast("long")
+    return images.withColumns({
+        "bucket_idx": best["idx"],
+        "bucket_w": best["bw"],
+        "bucket_h": best["bh"],
+        "n_vit_tokens": n_tok,
+    })

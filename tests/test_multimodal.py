@@ -50,3 +50,47 @@ def test_resize_media(spark):
         px = codecs.decode(bytes(r["bytes"]))
         assert px.shape == (2, 20, 20)
         assert r["w"] == 20 and r["h"] == 20
+
+
+def test_aspect_bucket_known_assignments(spark):
+    """Square -> 1024x1024; extreme wide -> 1536x640; extreme tall ->
+    640x1536; exact ratio tie keeps the earliest bucket."""
+    df = spark.createDataFrame(
+        [(0, 512, 512), (1, 2400, 1000), (2, 1000, 2400),
+         # w/h = 1152/896 exactly (ratio 9:7): exact match of bucket 1
+         (3, 576, 448),
+         # ratio exactly between bucket 1 (9:7) and its mirror is 1:1 ->
+         # square input ties nothing; instead test midpoint tie keeps
+         # earliest: with symmetric buckets, r=1 is closest to 1024x1024
+         (4, 640, 640)],
+        "doc_id long, w int, h int",
+    )
+    out = {r["doc_id"]: r for r in mm.aspect_bucket(df).collect()}
+    assert (out[0]["bucket_w"], out[0]["bucket_h"]) == (1024, 1024)
+    assert (out[1]["bucket_w"], out[1]["bucket_h"]) == (1536, 640)
+    assert (out[2]["bucket_w"], out[2]["bucket_h"]) == (640, 1536)
+    assert (out[3]["bucket_w"], out[3]["bucket_h"]) == (1152, 896)
+    assert (out[4]["bucket_w"], out[4]["bucket_h"]) == (1024, 1024)
+    # ViT token cost at the bucket resolution (patch 14)
+    assert out[0]["n_vit_tokens"] == 74 * 74
+    assert out[1]["n_vit_tokens"] == 110 * 46
+
+
+def test_aspect_bucket_exact_tie_keeps_earliest(spark):
+    """Two buckets at the SAME ratio: the fold keeps the first."""
+    df = spark.createDataFrame([(0, 300, 200)], "doc_id long, w int, h int")
+    out = mm.aspect_bucket(
+        df, buckets=((30, 20), (600, 400), (10, 10))
+    ).collect()[0]
+    assert (out["bucket_idx"], out["bucket_w"]) == (0, 30)
+    with pytest.raises(ValueError, match="buckets"):
+        mm.aspect_bucket(df, buckets=())
+
+
+def test_aspect_bucket_no_shuffle_no_udf(spark):
+    """Scale guard: one codegen'd projection — no Exchange, no Python."""
+    df = spark.createDataFrame([(0, 640, 480)], "doc_id long, w int, h int")
+    plan = mm.aspect_bucket(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
