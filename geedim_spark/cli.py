@@ -44,7 +44,7 @@ _VALUE_OPTS = {
     "--dark", "--shadow-dist", "--max-cloud-dist",
     "--crs", "--scale", "--crs-transform", "--shape", "--like",
     "--resampling", "--nodata", "--max-tile-size",
-    "--type", "--folder",
+    "--type", "--folder", "--driver",
 }
 
 
@@ -181,6 +181,13 @@ def _parsers() -> dict[str, argparse.ArgumentParser]:
     download.add_argument("--overviews", action="store_true",
                           help="write overview (reduced-resolution) pages "
                                "into the GeoTIFFs (image.py:1060-1077)")
+    download.add_argument("--driver", choices=("gtiff", "cog"),
+                          default="gtiff",
+                          help="GeoTIFF byte layout (reference -dv/"
+                               "--driver, enums.py Driver): cog places "
+                               "IFDs + overviews at the file front for "
+                               "range-request readers and implies "
+                               "--overviews")
     download.add_argument("--scale-offset", action="store_true",
                           help="apply the catalog's STAC band scale/"
                                "offset to the exported pixels (the "
@@ -539,6 +546,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     overviews=args.overviews,
                     min_overview_dim=args.overview_min_dim,
                     split=args.split, band_names=band_names,
+                    driver=args.driver,
                 ).count()
                 print(f"download: {n_files} GeoTIFFs -> {args.files_dir}")
         elif cmd == "export":

@@ -17,7 +17,13 @@ container is produced directly: a baseline little-endian TIFF with
   the classic TIFF overview representation rasterio's
   ``build_overviews`` produces), decimated 2x per level;
 - ``ImageDescription`` for the EE/STAC properties JSON the reference
-  writes as dataset tags (image.py:1087-1116 ``_write_metadata``).
+  writes as dataset tags (image.py:1087-1116 ``_write_metadata``);
+- ``driver='cog'`` (reference enums.py Driver.cog + image.py toGeoTIFF
+  profile branch): the Cloud-Optimised layout — ALL IFDs at the front of
+  the file, overview pixel data next (smallest level first), full-res
+  data last, so an HTTP reader gets header + every overview with one
+  small initial range request.  Same tags, same pixels; only byte
+  placement differs, and :func:`read_geotiff` reads both identically.
 
 :func:`read_geotiff` is the matching hand-rolled parser — used by the
 tests as an independent decode, and as a minimal GeoTIFF *source* for
@@ -98,6 +104,12 @@ class _IFD:
                 count = 1
             raw = _pack_values(typ, values)
         self.entries.append((tag, typ, count, raw))
+
+    def replace(self, tag: int, typ: int, values) -> None:
+        """Swap a tag's values for same-count ones (size-preserving — the
+        COG layout fixes strip offsets after the IFD sizes are known)."""
+        self.entries = [e for e in self.entries if e[0] != tag]
+        self.add(tag, typ, values)
 
     def nbytes(self) -> int:
         """Size of the serialized IFD incl. out-of-line values."""
@@ -223,6 +235,7 @@ def write_geotiff(
     overviews: bool = False,
     min_overview_dim: int = 256,
     overwrite: bool = False,
+    driver: str = "gtiff",
 ) -> int:
     """Write ``pixels`` (bands, h, w) as a striped (Geo)TIFF; returns bytes
     written.  ``transform`` is the 6-element affine (sx, 0, x0, 0, -sy, y1)
@@ -230,10 +243,23 @@ def write_geotiff(
     ``None``; ``overviews=True`` appends 2x-decimated reduced-resolution
     pages until both dims drop under ``min_overview_dim``.
 
+    ``driver`` picks the byte layout (reference enums.py Driver):
+    ``'gtiff'`` streams strips then appends the IFD chain (peak memory =
+    one strip); ``'cog'`` places all IFDs first and the full-res data
+    LAST (overviews, smallest level first, in between) — the
+    Cloud-Optimised GeoTIFF reading pattern — and implies overviews.
+    The COG path holds every COMPRESSED strip in memory (sizes must be
+    known before any byte is placed); per-image exports are bounded by
+    the reference's own 10 GB guard, so this is fine here.
+
     Baseline (non-Big) TIFF: total size must stay under 4 GiB — at scale
     the tiled snapshot table is the primary sink and per-image GeoTIFFs are
     bounded by the reference's own 10 GB/5000-image export guards.
     """
+    if driver not in ("gtiff", "cog"):
+        raise ValueError(f"unsupported driver {driver!r} (gtiff | cog)")
+    if driver == "cog":
+        overviews = True
     if not overwrite and os.path.exists(path):
         # reference toGeoTIFF parity (test_image.py:550-563): an existing
         # file is refused unless the caller opts into overwriting
@@ -288,14 +314,64 @@ def write_geotiff(
         sx, b, x0, c, nsy, y1 = [float(t) for t in transform]
         return [sx * f, b, x0, c, nsy * f, y1]
 
-    # layout: header | all strip data | IFD chain.  Strips STREAM to the
-    # file as they compress (peak memory = one strip, not ~2x the file)
-    # and the header's first-IFD pointer is patched once the strip
-    # section's total length is known.
     limit_msg = (
         "bytes - past the 4 GiB baseline-TIFF limit; export smaller "
         "regions (the tiles table is the scale sink)"
     )
+
+    if driver == "cog":
+        # COG layout: header | ALL IFDs | overview data (smallest level
+        # first) | full-res data last.  A range-reading HTTP client gets
+        # the complete header + every overview in one small initial
+        # request; the bulk full-res bytes sit at the tail.  Strip sizes
+        # must be known before any byte is placed, so every compressed
+        # strip is held in memory (bounded by the reference's 10 GB
+        # per-export guard).
+        page_strips = [
+            list(_iter_page_strips(px, _rows_per_strip(px, rows_per_strip),
+                                   do_compress))
+            for px, _, _ in pages
+        ]
+        built = [
+            _build_page(
+                px, _scaled_tf(fct), crs_epsg, geographic, nodata,
+                do_compress, rows_per_strip,
+                description if lvl == 0 else None, lvl,
+                [len(s) for s in strips],
+            )
+            for (px, lvl, fct), strips in zip(pages, page_strips)
+        ]
+        # placeholder offsets first so each IFD's byte size is final …
+        for ifd, strips in zip(built, page_strips):
+            ifd.add(_STRIP_OFFSETS, _T_LONG, [0] * len(strips))
+        ifd_offsets, offset = [], 8
+        for ifd in built:
+            ifd_offsets.append(offset)
+            offset += ifd.nbytes()
+        # … then place data: overviews smallest-first, main page last
+        data_order = list(range(1, len(pages)))[::-1] + [0]
+        for k in data_order:
+            offs = []
+            for s in page_strips[k]:
+                offs.append(offset)
+                offset += len(s)
+            built[k].replace(_STRIP_OFFSETS, _T_LONG, offs)
+        if offset > 0xFFFFFFFF:
+            raise ValueError(f"output would be {offset} {limit_msg}")
+        with open(path, "wb") as f:
+            f.write(b"II*\x00" + struct.pack("<I", ifd_offsets[0]))
+            for k, ifd in enumerate(built):
+                nxt = ifd_offsets[k + 1] if k + 1 < len(built) else 0
+                f.write(ifd.serialize(ifd_offsets[k], nxt))
+            for k in data_order:
+                for s in page_strips[k]:
+                    f.write(s)
+        return offset
+
+    # gtiff layout: header | all strip data | IFD chain.  Strips STREAM to
+    # the file as they compress (peak memory = one strip, not ~2x the
+    # file) and the header's first-IFD pointer is patched once the strip
+    # section's total length is known.
     try:
         with open(path, "wb") as f:
             f.write(b"II*\x00" + struct.pack("<I", 0))  # pointer patched below

@@ -78,6 +78,7 @@ def write_image_files(
     min_overview_dim: int = 256,
     split: str = "images",
     band_names: tuple | None = None,
+    driver: str = "gtiff",
 ):
     """Distributed per-image file sink (K1 completion): assemble each
     image's tiles INSIDE its executor group and write one file per image —
@@ -160,6 +161,7 @@ def write_image_files(
                 compress="deflate", overviews=overviews,
                 min_overview_dim=min_overview_dim,
                 overwrite=True,  # the manifest dir is the unit of intent
+                driver=driver,
             )
         return {"image_id": name, "path": path,
                 "nbytes": int(os.path.getsize(path))}
@@ -230,6 +232,7 @@ def write_image_files(
                 compress="deflate", overviews=overviews,
                 min_overview_dim=min_overview_dim,
                 overwrite=True,  # the manifest dir is the unit of intent
+                driver=driver,
             )
             return pd.DataFrame([
                 {"image_id": image_id, "path": path,

@@ -53,15 +53,21 @@ def shard_of(key, n_shards: int, salt: str = "wds-v1"):
     return (hash_bucket(key, salt) % F.lit(n_shards)).cast("long")
 
 
-def _tar_bytes(rows: list[dict]) -> bytes:
-    """One deterministic tar: keys sorted, ustar format, zeroed headers
-    (mtime/uid/gid/uname/gname) so identical samples => identical bytes."""
-    buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+def _write_tar(rows: list[dict], path: str) -> tuple[int, str]:
+    """One deterministic tar streamed straight to ``path``: keys sorted,
+    ustar format, zeroed headers (mtime/uid/gid/uname/gname) so identical
+    samples => identical bytes.  Streaming (not BytesIO) keeps writer
+    memory at one Arrow group, not group + tar copy — the bound that
+    matters at the ~1 GB shard sizes WebDataset recommends.  Returns
+    (n_data_bytes, sha256) with the hash computed in chunks."""
+    n_data = 0
+    with tarfile.open(path, mode="w", format=tarfile.USTAR_FORMAT) as tf:
         for r in sorted(rows, key=lambda r: r["key"]):
             key = str(r["key"]).replace("/", "_")
+            data = bytes(r["data"]) if r["data"] is not None else b""
+            n_data += len(data)
             for ext, payload in (
-                ("img", bytes(r["data"]) if r["data"] is not None else b""),
+                ("img", data),
                 ("txt", (r["caption"] or "").encode("utf-8")),
                 ("json", r["meta"].encode("utf-8")),
             ):
@@ -71,7 +77,11 @@ def _tar_bytes(rows: list[dict]) -> bytes:
                 info.uid = info.gid = 0
                 info.uname = info.gname = ""
                 tf.addfile(info, io.BytesIO(payload))
-    return buf.getvalue()
+    sha = hashlib.sha256()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            sha.update(chunk)
+    return n_data, sha.hexdigest()
 
 
 def write_wds_shards(
@@ -84,26 +94,41 @@ def write_wds_shards(
     meta_cols: tuple[str, ...] = ("w", "h", "fmt"),
     salt: str = "wds-v1",
     overwrite: bool = False,
+    resume: bool = False,
 ) -> DataFrame:
     """Write ``df`` as deterministic WebDataset tar shards; return the
     manifest DataFrame (shard, n_samples, n_data_bytes, tar_sha256, path).
 
     The manifest is also persisted under ``out_dir/_manifest`` so a later
     reader (or resume logic) can verify shard integrity without re-hashing.
+
+    ``resume=True`` skips shards whose tar already exists and only writes
+    the missing ones — safe because shard CONTENT is a pure function of
+    the input (content-hash membership + deterministic tar bytes), so a
+    re-run over the SAME input reproduces exactly what a completed shard
+    already holds.  Running resume with a CHANGED input is the caller's
+    bug (stale shards are not detected); use ``overwrite=True`` then.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if overwrite and resume:
+        raise ValueError("overwrite and resume are mutually exclusive")
     os.makedirs(out_dir, exist_ok=True)
     existing = [p for p in os.listdir(out_dir)
                 if p.startswith("shard-") and p.endswith(".tar")]
-    if existing:
+    if existing and not resume:
         if not overwrite:
             raise FileExistsError(
                 f"{out_dir} already holds {len(existing)} shard tars; "
-                "pass overwrite=True to replace them"
+                "pass overwrite=True to replace them (or resume=True to "
+                "fill in missing shards of an identical input)"
             )
         for p in existing:
             os.unlink(os.path.join(out_dir, p))
+    done_shards = (
+        {int(p[len("shard-"):-len(".tar")]) for p in existing}
+        if resume else set()
+    )
 
     meta_expr = F.to_json(F.struct(*[F.col(c) for c in meta_cols]))
     samples = df.select(
@@ -113,23 +138,27 @@ def write_wds_shards(
         F.col(caption_col).cast("string").alias("caption"),
         meta_expr.alias("meta"),
     )
+    if done_shards:
+        # completed shards are pruned BEFORE the shuffle: a resumed run
+        # moves only the missing shards' bytes
+        samples = samples.filter(~F.col("shard").isin(*done_shards))
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         rows = pdf.to_dict("records")
-        tar = _tar_bytes(rows)
         path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
         tmp = f"{path}.tmp-{os.getpid()}"
-        with open(tmp, "wb") as fh:
-            fh.write(tar)
-        os.replace(tmp, path)  # atomic publish on the same filesystem
+        try:
+            n_data, sha = _write_tar(rows, tmp)
+            os.replace(tmp, path)  # atomic publish on the same filesystem
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return pd.DataFrame([{
             "shard": shard,
             "n_samples": len(rows),
-            "n_data_bytes": int(sum(
-                len(r["data"]) if r["data"] is not None else 0 for r in rows
-            )),
-            "tar_sha256": hashlib.sha256(tar).hexdigest(),
+            "n_data_bytes": n_data,
+            "tar_sha256": sha,
             "path": path,
         }])
 
@@ -138,10 +167,26 @@ def write_wds_shards(
         .groupBy("shard")
         .applyInPandas(_write, schema=MANIFEST_SCHEMA)
     )
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    if done_shards and os.path.exists(manifest_dir):
+        # keep the completed shards' manifest rows alongside the new ones
+        prior = df.sparkSession.read.parquet(manifest_dir).filter(
+            F.col("shard").isin(*done_shards)
+        )
+        manifest = manifest.unionByName(prior)
     # one small action materialises the shards; the manifest itself is tiny
-    # (n_shards rows) so a parquet copy beside the tars is cheap
-    manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "_manifest"))
-    return df.sparkSession.read.parquet(os.path.join(out_dir, "_manifest"))
+    # (n_shards rows) so a parquet copy beside the tars is cheap.  Staged
+    # through a tmp dir because a resumed manifest READS manifest_dir —
+    # Spark cannot overwrite a path that feeds the writing plan.
+    import shutil
+
+    tmp_manifest = os.path.join(out_dir, "_manifest_tmp")
+    manifest.write.mode("overwrite").parquet(tmp_manifest)
+    df.sparkSession.read.parquet(tmp_manifest).write.mode(
+        "overwrite"
+    ).parquet(manifest_dir)
+    shutil.rmtree(tmp_manifest, ignore_errors=True)
+    return df.sparkSession.read.parquet(manifest_dir)
 
 
 def read_wds_shards(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -165,3 +165,83 @@ def test_write_geotiff_overwrite_guard(tmp_path):
     geotiff.write_geotiff(p, arr * 3, overwrite=True)
     got, _ = geotiff.read_geotiff(p)
     assert (got == 3).all()
+
+
+# ---------------------------------------------------------------------------
+# COG driver (reference enums.py Driver.cog)
+# ---------------------------------------------------------------------------
+
+def _walk_strip_offsets(path):
+    """Minimal independent IFD walk: [(ifd_offset, [strip offsets])...]."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:4] == b"II*\x00"
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    out = []
+    while ifd_off:
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
+        offs = []
+        for i in range(n):
+            tag, typ, count = struct.unpack_from(
+                "<HHI", buf, ifd_off + 2 + 12 * i
+            )
+            if tag == 273:  # StripOffsets
+                val = buf[ifd_off + 2 + 12 * i + 8:ifd_off + 2 + 12 * i + 12]
+                if count * 4 <= 4:
+                    offs = list(struct.unpack("<I", val))
+                else:
+                    (p,) = struct.unpack("<I", val)
+                    offs = list(struct.unpack_from("<" + "I" * count, buf, p))
+        out.append((ifd_off, offs))
+        (ifd_off,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
+    return out
+
+
+def test_cog_pixels_and_tags_match_gtiff(tmp_path):
+    """driver='cog' changes byte placement only: every page decodes
+    bit-identical to the gtiff layout, with identical geo tags."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 60000, size=(2, 128, 96), dtype=np.uint16)
+    pg = str(tmp_path / "g.tif")
+    pc = str(tmp_path / "c.tif")
+    geotiff.write_geotiff(pg, arr, transform=TF, crs_epsg=3857, nodata=0,
+                          overviews=True, min_overview_dim=32)
+    geotiff.write_geotiff(pc, arr, transform=TF, crs_epsg=3857, nodata=0,
+                          min_overview_dim=32, driver="cog")
+    for page in range(3):
+        a, ma = geotiff.read_geotiff(pg, page=page)
+        b, mb = geotiff.read_geotiff(pc, page=page)
+        assert np.array_equal(a, b)
+        assert ma == mb
+    assert geotiff.read_geotiff(pc)[1]["n_pages"] == 3
+
+
+def test_cog_layout_header_overviews_first_fullres_last(tmp_path):
+    """The COG contract: IFDs at offset 8 (right after the header),
+    overview data next (smallest level first), full-res data at the
+    tail — one small range request reads header + every overview."""
+    arr = np.arange(128 * 96, dtype=np.uint16).reshape(1, 128, 96)
+    p = str(tmp_path / "cog.tif")
+    geotiff.write_geotiff(p, arr, transform=TF, crs_epsg=3857,
+                          min_overview_dim=32, driver="cog")
+    pages = _walk_strip_offsets(p)
+    assert len(pages) == 3  # 128x96 -> 64x48 -> 32x24
+    assert pages[0][0] == 8  # first IFD immediately after the header
+    main, ov1, ov2 = (offs for _, offs in pages)
+    ifd_end = max(off for off, _ in pages)
+    # every overview strip sits after the IFDs and before ALL main strips
+    assert min(ov1 + ov2) > ifd_end
+    assert max(ov2) < min(ov1) < min(main)  # smallest level first
+
+
+def test_cog_deterministic_and_implies_overviews(tmp_path):
+    arr = np.ones((1, 70, 70), np.uint16)
+    p1, p2 = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    # overviews left False: cog implies them (here 70<2*64 -> single page
+    # is fine; use a bigger min dim so no overview fits)
+    geotiff.write_geotiff(p1, arr, min_overview_dim=16, driver="cog")
+    geotiff.write_geotiff(p2, arr, min_overview_dim=16, driver="cog")
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    assert geotiff.read_geotiff(p1)[1]["n_pages"] > 1
+    with pytest.raises(ValueError, match="unsupported driver"):
+        geotiff.write_geotiff(str(tmp_path / "x.tif"), arr, driver="jp2")

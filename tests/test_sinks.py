@@ -140,3 +140,35 @@ def test_write_image_files_split_bands_transpose(spark, tmp_path):
         # geo tags from the first image by id
         first_tf = imgs.where(imgs.image_id == ids[0]).first()["transform"]
         assert meta["transform"] == [float(t) for t in first_tf]
+
+
+def test_write_image_files_cog_driver(spark, tmp_path):
+    """driver='cog' rides through the distributed sink: same decoded
+    pixels as gtiff, COG byte order (IFDs at 8, full-res data last)."""
+    import numpy as np
+    from geedim_spark import synth
+    from geedim_spark.operators import export_ops
+    from geedim_spark.sources import geotiff
+    from tests.test_geotiff import _walk_strip_offsets
+
+    imgs = synth.images_df(spark, 2, scalar_filter="fmt = 'raw'")
+    tiles = export_ops.export_tiles(imgs, max_tile_dim=21, max_tile_bands=1)
+    from pyspark.sql import functions as F
+    geo = imgs.select("image_id", "transform", "crs")
+    tiles = tiles.join(F.broadcast(geo), "image_id")
+    out = str(tmp_path / "cogs")
+    manifest = sinks.write_image_files(
+        tiles, out, bands=2, h=40, w=40, nodata=0,
+        driver="cog", min_overview_dim=16,
+    ).collect()
+    assert len(manifest) == 2
+    for r in manifest:
+        arr, meta = geotiff.read_geotiff(r["path"])
+        want = export_ops.assemble_image(
+            tiles.where(tiles.image_id == r["image_id"]).collect(),
+            2, 40, 40, "uint16")
+        assert np.array_equal(arr, want)
+        assert meta["n_pages"] > 1  # cog implies overviews
+        pages = _walk_strip_offsets(r["path"])
+        assert pages[0][0] == 8
+        assert min(pages[0][1]) > max(pages[-1][1])  # full-res at the tail

@@ -98,3 +98,28 @@ def test_wds_tar_headers_are_zeroed(spark, images, tmp_path):
         assert [n.rsplit(".", 1)[1] for n in names[:3]] == ["img", "txt", "json"]
         for m in tf.getmembers():
             assert (m.mtime, m.uid, m.gid) == (0, 0, 0)
+
+
+def test_wds_resume_fills_only_missing_shards(spark, images, tmp_path):
+    """Kill-resume: delete two shard tars, resume=True rewrites only the
+    missing ones (surviving tars untouched on disk), the merged manifest
+    covers every shard, and the read-back corpus is complete."""
+    out = str(tmp_path / "r")
+    first = wds.write_wds_shards(images, out, n_shards=4)
+    paths = sorted(r["path"] for r in first.collect())
+    assert len(paths) == 4
+    os.unlink(paths[1])
+    os.unlink(paths[3])
+    before = {p: os.stat(p).st_mtime_ns for p in (paths[0], paths[2])}
+
+    merged = wds.write_wds_shards(images, out, n_shards=4, resume=True)
+    rows = {r["shard"]: r for r in merged.collect()}
+    assert len(rows) == 4
+    assert sum(r["n_samples"] for r in rows.values()) == 60
+    # survivors were not rewritten
+    assert {p: os.stat(p).st_mtime_ns for p in before} == before
+    assert wds.read_wds_shards(spark, out).count() == 60
+    ok = wds.verify_manifest(spark, out).collect()
+    assert len(ok) == 4 and all(r["ok"] for r in ok)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        wds.write_wds_shards(images, out, overwrite=True, resume=True)
