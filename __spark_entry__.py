@@ -1838,6 +1838,43 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, n=3, k=50)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-quality rule verdicts (operators/text.
+    gopher_rules, Rae et al. 2021 appendix A1.1): one boolean per rule +
+    the conjunction, all pure Catalyst expressions — zero shuffle, one
+    projection pass.  min_words/min_stop_words tuned down so the
+    synthetic word-soup corpus exercises both outcomes of every rule the
+    data can flip."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text_ops.gopher_rules(docs, min_words=40, min_stop_words=1)
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY exact dedup (operators/dedup.apply_exact): the deduplicated
+    corpus membership — canonical min-doc_id survivor + copy count per
+    exact text group, as a pure 2-phase hash aggregate (no window, no
+    join).  Complements doc_dup_counts (which measures, per doc)."""
+    from geedim_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup_ops.apply_exact(docs)
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-seeded training order (operators/sampling.
+    epoch_shuffle): (shard, epoch_rank) is a pseudorandom permutation
+    that is a pure function of (doc_id, epoch, salt) — reproducible
+    across layout/engines, NO global sort (rank windows are partitioned
+    by the content-hash shard).  The oracle replays the identical md5
+    derivation and per-shard ranking."""
+    from geedim_spark.operators import sampling
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    return sampling.epoch_shuffle(docs, "doc_id", epoch=3, n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1957,6 +1994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,                      # NEW r5; windows r6
         "wds_shards": q_wds_shards,                      # NEW r5; windows r6
         "aspect_bucket": q_aspect_bucket,                # NEW r5; windows r6
+        "gopher_rules": q_gopher_rules,                  # NEW r5; windows r6
+        "dedup_apply": q_dedup_apply,                    # NEW r5; windows r6
+        "epoch_shuffle": q_epoch_shuffle,                # NEW r5; windows r6
     }
 
 
@@ -2009,15 +2049,17 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "events-agg": ("events_type_stats", "events_recent"),
     "relational": ("pricing_summary", "top_customers", "shipping_priority",
                    "local_supplier_volume"),
-    "text-quality": ("doc_quality", "pii_redact", "repetition_stats"),
+    "text-quality": ("doc_quality", "pii_redact", "repetition_stats",
+                     "gopher_rules"),
     "text-tokens": ("doc_token_stats", "top_ngrams"),
     "decontam": ("decontam",),
     "packing": ("pack_sequences",),
     "text-langid": ("lang_id",),
     # content-hash sampling shares the portable-md5-derivation machinery
     # with the fingerprint ops; doc_fingerprint anchors the family in-window
-    "text-fingerprint": ("doc_fingerprint", "stratified_sample"),
-    "dedup-exact": ("doc_dup_counts", "line_dedup"),
+    "text-fingerprint": ("doc_fingerprint", "stratified_sample",
+                         "epoch_shuffle"),
+    "dedup-exact": ("doc_dup_counts", "line_dedup", "dedup_apply"),
     "dedup-simhash": ("simhash", "phash_near_dup"),  # bit-fingerprint
                                                      # hamming dedup
     "dedup-minhash": ("minhash_sig", "minhash_lsh_pairs", "ngram_jaccard"),
@@ -3020,6 +3062,100 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
                    COALESCE(r.clean_text, '') AS clean_text
             FROM l LEFT JOIN r USING (doc_id)
+        """,
+        # exact replay of the engine's whitespace-token Gopher signals
+        # (operators/text.gopher_rules); the corpus has no newlines /
+        # '#' / '...' so bullet/ellipsis/symbol rules are trivially true
+        # in BOTH engines and the word-count / mean-length / stop-word
+        # rules carry the discriminating signal at min_words=40,
+        # min_stop_words=1
+        "gopher_rules": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     COALESCE(text, '') AS text,
+                     list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                 '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, text, toks,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     COALESCE(list_sum(list_transform(toks,
+                              x -> length(x))), 0) AS sum_len,
+                     CAST(len(list_filter(toks,
+                          x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                       AS alpha_words,
+                     CAST(len(list_filter(['the','be','to','of','and',
+                                           'that','have','with'],
+                          s -> list_contains(list_transform(toks,
+                               x -> lower(x)), s))) AS BIGINT)
+                       AS n_stop_words,
+                     (length(text) - length(replace(text, '#', '')))
+                       AS n_hash,
+                     (length(text) - length(replace(text, '...', ''))) / 3.0
+                       AS n_ellipsis,
+                     regexp_split_to_array(text, chr(10)) AS lines
+              FROM t),
+            m AS (
+              SELECT doc_id, n_words, n_stop_words,
+                     CASE WHEN n_words > 0
+                          THEN CAST(sum_len AS DOUBLE) / n_words
+                          ELSE 0.0 END AS mean_len,
+                     CASE WHEN n_words > 0
+                          THEN alpha_words / n_words ELSE 0.0 END
+                       AS alpha_ratio,
+                     CASE WHEN n_words > 0
+                          THEN (n_hash + n_ellipsis) / n_words
+                          ELSE 0.0 END AS symbol_ratio,
+                     CAST(len(list_filter(lines,
+                          l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+                       / len(lines) AS bullet_ratio,
+                     CAST(len(list_filter(lines,
+                          l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                       AS DOUBLE) / len(lines) AS ellipsis_ratio
+              FROM s)
+            SELECT doc_id, n_words,
+                   CAST(round(mean_len, 6) AS DOUBLE) AS mean_word_len,
+                   n_stop_words,
+                   (n_words >= 40 AND n_words <= 100000) AS ok_words,
+                   (mean_len >= 3.0 AND mean_len <= 10.0)
+                     AS ok_mean_word_len,
+                   (symbol_ratio < 0.1) AS ok_symbol_ratio,
+                   (bullet_ratio < 0.9) AS ok_bullet_lines,
+                   (ellipsis_ratio < 0.3) AS ok_ellipsis_lines,
+                   (alpha_ratio > 0.8) AS ok_alpha_words,
+                   (n_stop_words >= 1) AS ok_stop_words,
+                   ((n_words >= 40 AND n_words <= 100000)
+                    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                    AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+                    AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+                    AND n_stop_words >= 1) AS keep
+            FROM m
+        """,
+        # survivors-only exact dedup: one group per md5(text) (NULL text
+        # via the engine's \x00null sentinel), min-doc_id canonical
+        "dedup_apply": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents
+            GROUP BY md5(COALESCE(text, chr(0) || 'null'))
+        """,
+        # identical md5 derivation: shard from hex digits 1-8, order key
+        # from digits 9-16, rank per shard (ties broken by doc_id)
+        "epoch_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':3:shuffle-v1') AS h
+              FROM documents),
+            d AS (
+              SELECT doc_id,
+                     CAST(CONCAT('0x', SUBSTR(h, 1, 8)) AS BIGINT) % 8
+                       AS shard,
+                     CAST(CONCAT('0x', SUBSTR(h, 9, 8)) AS BIGINT) AS ord
+              FROM k)
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                        ORDER BY ord, doc_id) AS BIGINT) AS epoch_rank
+            FROM d
         """,
         "decontam": """
             WITH sh AS (

@@ -719,3 +719,48 @@ def decontaminate(
         F.col("n_hits") >= min_overlap
     ).select("doc_id").distinct()
     return documents.join(contaminated, "doc_id", "left_anti")
+
+
+def apply_exact(documents: DataFrame) -> DataFrame:
+    """APPLY exact dedup: one canonical survivor (min doc_id) per exact
+    text group.  Where :func:`exact_dup_counts` measures duplication,
+    this returns the deduplicated corpus membership — (doc_id, n_copies)
+    for survivors only.
+
+    Scale shape: groupBy on md5(text) — a pure 2-phase hash aggregate
+    (map-side partials absorb within-partition dup mass, the canonical
+    C4-style exact-dedup plan); no window, no join, shuffle payload is
+    (hash, min_id, count).  NULL text hashes via a sentinel so NULL-text
+    rows form one group instead of vanishing.
+    """
+    h = F.md5(F.coalesce(F.col("text"), F.lit("\x00null")))
+    return (
+        documents.groupBy(h.alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select("doc_id", "n_copies")
+    )
+
+
+def apply_components(documents: DataFrame, components: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """APPLY near-dedup from resolved components (:func:`dup_components`
+    output): survivors are each component's labelling member (component
+    label == min member id by construction) plus every document absent
+    from ``components``.  Broadcast-joinable when the candidate-pair
+    universe is small relative to the corpus; plain shuffled left join
+    otherwise — either way survivors = one equi-join + filter, no window.
+    """
+    lab = components.select(
+        F.col(id_col).alias("_cid"), F.col("component").alias("_comp")
+    )
+    joined = documents.join(
+        lab, documents[id_col] == lab["_cid"], "left"
+    )
+    return (
+        joined.filter(
+            F.col("_comp").isNull() | (F.col("_comp") == F.col(id_col))
+        ).drop("_cid", "_comp")
+    )

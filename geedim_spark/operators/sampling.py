@@ -91,3 +91,44 @@ def stratified_sample(
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     thresh = thresh if expr is None else expr.otherwise(thresh)
     return df.where(hash_bucket(F.col(key_col), salt) < thresh)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    n_shards: int,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic epoch-seeded training order WITHOUT a global sort:
+    every row gets (shard, epoch_rank) where the global traversal order
+    (shard, epoch_rank) is a pseudorandom permutation that changes with
+    ``epoch`` and reproduces exactly across runs/layouts/engines —
+    membership and order are pure functions of (key, epoch, salt).
+
+    Scale shape: shard from one half of md5(key||epoch||salt), order key
+    from the OTHER half (decorrelated), rank via a window PARTITIONED BY
+    shard — each shard sorts independently (the per-task unit a training
+    reader consumes), so no single-partition global sort exists anywhere.
+    Pick n_shards >= cluster cores; each shard's sort is ~N/n_shards rows.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(key_s, F.lit(f":{int(epoch)}:{salt}")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(n_shards)
+    )
+    order_key = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("_order", key_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("_order", order_key)
+        .withColumn(
+            "epoch_rank",
+            F.row_number().over(w).cast("long"),
+        )
+        .drop("_order")
+    )

@@ -302,3 +302,99 @@ def repetition_stats(documents: DataFrame, n: int = 10) -> DataFrame:
         .cast("long").alias("n_dup_positions"),
         F.max("cnt").cast("long").alias("max_gram_count"),
     )
+
+
+# the Gopher/MassiveText document-level quality rules (Rae et al. 2021,
+# "Scaling Language Models", appendix A1.1): hard bounds on word count,
+# mean word length, symbol-to-word ratio, bullet/ellipsis line shares,
+# alphabetic-word share, and a minimum distinct-stop-word requirement.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule verdicts: one boolean per rule plus the
+    conjunction ``keep``.  Every signal is a pure Catalyst expression
+    (token/line arrays + higher-order functions) — no UDF, no shuffle; the
+    filter costs one codegen'd projection pass however large the corpus.
+
+    Signals (whitespace tokens; tokens are NOT punctuation-stripped —
+    a token is "alphabetic" if it contains any letter, matching the
+    published rule's intent without a second tokenisation):
+
+    - ``n_words`` in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - (count('#') + count('...')) / n_words < max_symbol_ratio
+    - share of lines starting with a bullet (-, *, •) < max_bullet_ratio
+    - share of lines ending with an ellipsis < max_ellipsis_ratio
+    - share of words containing a letter > min_alpha_word_ratio
+    - >= min_stop_words DISTINCT stop words from the 8-word Gopher list
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = whitespace_tokens(text)
+    n_words = F.size(toks).cast("long")
+    nw_d = n_words.cast("double")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+    mean_len = F.when(n_words > 0, sum_len / nw_d).otherwise(F.lit(0.0))
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("double")
+    alpha_ratio = F.when(n_words > 0, alpha_words / nw_d).otherwise(F.lit(0.0))
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+              ).cast("double")
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("double")
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / nw_d
+    ).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast(
+            "double") / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(
+            lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")
+        )).cast("double") / n_lines
+    )
+    stop_distinct = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)),
+        F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+    )).cast("long")
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mean = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    ok_symbol = symbol_ratio < max_symbol_ratio
+    ok_bullet = bullet_ratio < max_bullet_ratio
+    ok_ellipsis = ellipsis_ratio < max_ellipsis_ratio
+    ok_alpha = alpha_ratio > min_alpha_word_ratio
+    ok_stop = stop_distinct >= min_stop_words
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        stop_distinct.alias("n_stop_words"),
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stop_words"),
+        (ok_words & ok_mean & ok_symbol & ok_bullet & ok_ellipsis
+         & ok_alpha & ok_stop).alias("keep"),
+    )

@@ -365,3 +365,29 @@ def test_line_dedup_no_global_window_two_phase_agg(spark):
     plan = dedup.line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec" not in plan or "PartitionBy" in plan
     assert "HashAggregate" in plan
+
+
+def test_apply_exact_survivor_membership(spark):
+    """Survivors = min doc_id per exact text group with copy counts;
+    NULL text forms ONE sentinel group; plan is a 2-phase hash agg."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [5, 3, 9, 1, 7, 2],
+        "text": ["dup", "dup", "dup", "solo", None, None],
+    }))
+    out = {r["doc_id"]: r["n_copies"]
+           for r in dedup.apply_exact(docs).collect()}
+    assert out == {3: 3, 1: 1, 2: 2}
+    plan = dedup.apply_exact(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "WindowExec" not in plan
+
+
+def test_apply_components_keeps_labels_and_singletons(spark):
+    """Near-dedup apply: component-labelling members survive, other
+    members drop, docs absent from the component map survive."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5], "text": list("abcde")}))
+    comps = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 4], "component": [1, 1, 4]}))
+    kept = sorted(r["doc_id"] for r in
+                  dedup.apply_components(docs, comps).collect())
+    assert kept == [1, 3, 4, 5]

@@ -96,3 +96,47 @@ def test_null_keys_are_kept_not_silently_dropped(spark):
         got = sampling.deterministic_sample(df, "k", frac)
         n_null = got.where("k IS NULL").count()
         assert n_null in (0, 2)
+
+
+def test_epoch_shuffle_is_a_permutation_per_shard(spark, docs):
+    out = sampling.epoch_shuffle(docs.select("doc_id"), "doc_id",
+                                 epoch=0, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["epoch_rank"])
+    assert set(by_shard) <= set(range(4)) and len(by_shard) > 1
+    for ranks in by_shard.values():  # dense 1..n per shard
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark, docs):
+    ids = docs.select("doc_id")
+
+    def order(epoch):
+        return tuple(
+            (r["shard"], r["epoch_rank"], r["doc_id"])
+            for r in sampling.epoch_shuffle(ids, "doc_id", epoch, 4)
+            .orderBy("shard", "epoch_rank").collect())
+
+    a, b = order(1), order(1)
+    assert a == b  # reproducible run-to-run
+    assert order(1) != order(2)  # epoch reshuffles
+    # layout-independent: repartitioned input, identical assignment
+    rep = sampling.epoch_shuffle(ids.repartition(13), "doc_id", 1, 4)
+    assert tuple((r["shard"], r["epoch_rank"], r["doc_id"]) for r in
+                 rep.orderBy("shard", "epoch_rank").collect()) == a
+
+
+def test_epoch_shuffle_no_global_sort(spark, docs):
+    """Every window is PARTITIONED BY shard — no single-partition funnel."""
+    out = sampling.epoch_shuffle(docs.select("doc_id"), "doc_id", 0, 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "shard#" in plan
+    import re
+    # the Window operator must carry a partition spec (non-empty list)
+    m = re.search(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert m is None or m.group(1).strip() != ""
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.epoch_shuffle(docs, "doc_id", 0, 0)

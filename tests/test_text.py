@@ -164,3 +164,47 @@ def test_redact_and_repetition_closed_forms(spark):
     assert out[1]["n_grams"] == 6
     assert out[1]["n_dup_positions"] == 0
     assert out[1]["max_gram_count"] == 1
+
+
+def test_gopher_rules_each_rule_isolated(spark):
+    """One constructed doc per Gopher rule (Rae et al. 2021 A1.1), each
+    failing exactly that rule while passing every other."""
+    import pandas as pd
+
+    from geedim_spark.operators import text as text_ops
+
+    good = ("the cat and dog have fun with every ball that they find "
+            "near the house of our kind old friend today again ") * 2
+    rows = [
+        {"doc_id": 0, "text": good},                       # passes all
+        {"doc_id": 1, "text": "the cat and dog have fun"},  # too few words
+        {"doc_id": 2, "text": " ".join(
+            ["extraordinarily"] * 50 + ["the", "of", "and"] * 5)},  # mean len
+        {"doc_id": 3, "text": good + " " + "#" * 60},      # symbol ratio
+        {"doc_id": 4, "text": "\n".join(
+            ["- " + good[:40]] * 9 + [good])},              # bullet lines
+        {"doc_id": 5, "text": "\n".join(
+            [good[:60] + "..."] * 4 + [good] * 6)},         # ellipsis lines
+        {"doc_id": 6, "text": good + " " + " ".join(["123"] * 80)},  # alpha
+        {"doc_id": 7, "text": " ".join(["zq" + str(i) + "word"
+                                        for i in range(50)])},  # stop words
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["doc_id"]: r for r in
+           text_ops.gopher_rules(docs, min_words=40).collect()}
+    flags = ["ok_words", "ok_mean_word_len", "ok_symbol_ratio",
+             "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+             "ok_stop_words"]
+    assert out[0]["keep"] and all(out[0][f] for f in flags)
+    expect_fail = {1: "ok_words", 2: "ok_mean_word_len",
+                   3: "ok_symbol_ratio", 4: "ok_bullet_lines",
+                   5: "ok_ellipsis_lines", 6: "ok_alpha_words",
+                   7: "ok_stop_words"}
+    for d, bad in expect_fail.items():
+        assert not out[d]["keep"], d
+        assert not out[d][bad], (d, bad)
+        assert all(out[d][f] for f in flags if f != bad), (d, bad)
+    # pure projection: no shuffle anywhere in the plan
+    plan = (text_ops.gopher_rules(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
