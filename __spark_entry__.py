@@ -1875,6 +1875,47 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.epoch_shuffle(docs, "doc_id", epoch=3, n_shards=8)
 
 
+def q_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fuzzy-dedup chain APPLIED: shingle -> minhash -> LSH
+    bucket join -> connected components -> survivor membership
+    (operators/dedup.apply_components).  The oracle resolves the same
+    pipeline with a recursive CTE and keeps rows whose component label
+    is their own id."""
+    from geedim_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = dedup_ops.minhash_lsh_pairs(docs, n_hashes=16, bands=4, n=5)
+    comps = dedup_ops.dup_components(docs, pairs)
+    return dedup_ops.apply_components(docs, comps).select(
+        "doc_id", "lang", "n_chars")
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM quality signal (operators/text.token_rarity,
+    the CCNet perplexity-filter analogue): per-doc token-frequency mass
+    (exact BIGINT) + average negative log-likelihood under the corpus
+    unigram distribution.  Explode -> two 2-phase aggs -> token-key
+    equi-join; the oracle replays the identical counts and ln() sums."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text_ops.token_rarity(docs)
+
+
+def q_cdc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection via content-defined
+    chunking (operators/dedup.cdc_dup_spans): Rabin-style boundaries
+    make identical long spans chunk identically at any alignment — the
+    linear-pass answer to the suffix-array ExactSubstr problem (Lee et
+    al. 2022).  modulus=16 targets ~24-char chunks for this corpus's
+    ~300-char docs.  The oracle replays the identical polynomial window
+    hash, boundary rule, and chunk accounting in SQL."""
+    from geedim_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup_ops.cdc_dup_spans(docs, w=8, modulus=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -1997,6 +2038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,                  # NEW r5; windows r6
         "dedup_apply": q_dedup_apply,                    # NEW r5; windows r6
         "epoch_shuffle": q_epoch_shuffle,                # NEW r5; windows r6
+        "near_dedup_apply": q_near_dedup_apply,          # NEW r5; windows r6
+        "token_rarity": q_token_rarity,                  # NEW r5; windows r6
+        "cdc_dup_spans": q_cdc_dup_spans,                # NEW r5; windows r6
     }
 
 
@@ -2051,7 +2095,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
                    "local_supplier_volume"),
     "text-quality": ("doc_quality", "pii_redact", "repetition_stats",
                      "gopher_rules"),
-    "text-tokens": ("doc_token_stats", "top_ngrams"),
+    "text-tokens": ("doc_token_stats", "top_ngrams", "token_rarity"),
     "decontam": ("decontam",),
     "packing": ("pack_sequences",),
     "text-langid": ("lang_id",),
@@ -2059,11 +2103,12 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     # with the fingerprint ops; doc_fingerprint anchors the family in-window
     "text-fingerprint": ("doc_fingerprint", "stratified_sample",
                          "epoch_shuffle"),
-    "dedup-exact": ("doc_dup_counts", "line_dedup", "dedup_apply"),
+    "dedup-exact": ("doc_dup_counts", "line_dedup", "dedup_apply",
+                    "cdc_dup_spans"),
     "dedup-simhash": ("simhash", "phash_near_dup"),  # bit-fingerprint
                                                      # hamming dedup
     "dedup-minhash": ("minhash_sig", "minhash_lsh_pairs", "ngram_jaccard"),
-    "dedup-components": ("dedup_components",),
+    "dedup-components": ("dedup_components", "near_dedup_apply"),
     "ann-exact": ("ann_topk",),
     "ann-lsh": ("ann_lsh",),
     "ann-ivf": ("ann_ivf", "ann_ivf_flat"),
@@ -3156,6 +3201,110 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY shard
                         ORDER BY ord, doc_id) AS BIGINT) AS epoch_rank
             FROM d
+        """,
+        # the dedup_components recursive CTE, then keep self-labelled rows
+        "near_dedup_apply": f"""
+            WITH RECURSIVE {lsh_ctes},
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+              FROM banded a JOIN banded b USING (b, bhash)
+              WHERE a.doc_id < b.doc_id),
+            edges AS (
+              SELECT pa AS a, pb AS bb FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+            reach(id, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.bb, r.comp FROM reach r JOIN edges e ON e.a = r.id
+              WHERE r.comp < e.bb),
+            comps AS (
+              SELECT id AS doc_id, MIN(comp) AS component
+              FROM reach GROUP BY id)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN comps c USING (doc_id)
+            WHERE c.component = d.doc_id
+        """,
+        # identical CDC machinery: codepoints -> 8-char polynomial window
+        # hash (base 31, powers 31^7..31^0) -> boundary where hash % 16
+        # == 0 at window END -> chunks between cuts -> corpus counts
+        "cdc_dup_spans": """
+            WITH base AS (
+              SELECT doc_id, COALESCE(text, '') AS text,
+                     length(COALESCE(text, '')) AS n
+              FROM documents),
+            codes AS (
+              SELECT doc_id, text, n,
+                     [CAST(unicode(substr(text, j, 1)) AS BIGINT)
+                      FOR j IN range(1, n + 1)] AS c
+              FROM base),
+            hashes AS (
+              SELECT doc_id, text, n,
+                     [ (c[i] * 27512614111 + c[i+1] * 887503681
+                        + c[i+2] * 28629151 + c[i+3] * 923521
+                        + c[i+4] * 29791 + c[i+5] * 961
+                        + c[i+6] * 31 + c[i+7]) % 16
+                       FOR i IN range(1, greatest(n - 7, 0) + 1) ] AS hm
+              FROM codes),
+            bounds AS (
+              SELECT doc_id, text, n,
+                     list_filter([CASE WHEN hm[i] = 0 THEN i + 7
+                                  ELSE 0 END
+                                  FOR i IN range(1, len(hm) + 1)],
+                                 p -> p > 0) AS b
+              FROM hashes),
+            cuts AS (
+              SELECT doc_id, text,
+                     list_concat([0], list_concat(b, [n])) AS cut
+              FROM bounds),
+            ex AS (
+              SELECT doc_id, unnest(list_filter(
+                       [substr(text, cut[k] + 1, cut[k+1] - cut[k])
+                        FOR k IN range(1, len(cut))],
+                       ch -> ch <> '')) AS chunk
+              FROM cuts),
+            cnt AS (SELECT chunk, COUNT(*) AS c FROM ex GROUP BY 1),
+            per AS (
+              SELECT e.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                     CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_dup_chunks,
+                     CAST(SUM(CASE WHEN c >= 2 THEN length(chunk)
+                              ELSE 0 END) AS BIGINT) AS dup_chars
+              FROM ex e JOIN cnt USING (chunk) GROUP BY 1)
+            SELECT b.doc_id,
+                   COALESCE(p.n_chunks, 0) AS n_chunks,
+                   COALESCE(p.n_dup_chunks, 0) AS n_dup_chunks,
+                   COALESCE(p.dup_chars, 0) AS dup_chars,
+                   CAST(b.n AS BIGINT) AS n_chars
+            FROM base b LEFT JOIN per p USING (doc_id)
+        """,
+        # identical whitespace-lowercase tokens, within-doc then corpus
+        # counts, ln() likelihood sums rounded to 6
+        "token_rarity": r"""
+            WITH ex AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(COALESCE(text, '')),
+                                             '\s+'), x -> x <> '')) AS token
+              FROM documents),
+            dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS k
+                   FROM ex GROUP BY 1, 2),
+            c AS (SELECT token, CAST(SUM(k) AS BIGINT) AS cnt
+                  FROM dt GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM c),
+            per AS (
+              SELECT doc_id,
+                     CAST(SUM(k) AS BIGINT) AS n_tokens,
+                     CAST(SUM(k * cnt) AS BIGINT) AS sum_freq,
+                     -SUM(k * ln(cnt / n_total)) / SUM(k) AS nll
+              FROM dt JOIN c USING (token), tot GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.sum_freq, 0) AS sum_freq,
+                   CAST(round(CASE WHEN p.n_tokens > 0
+                        THEN CAST(p.sum_freq AS DOUBLE) / p.n_tokens
+                        ELSE 0.0 END, 6) AS DOUBLE) AS avg_freq,
+                   CAST(round(COALESCE(p.nll, 0.0), 6) AS DOUBLE) AS nll
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "decontam": """
             WITH sh AS (

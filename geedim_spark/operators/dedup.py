@@ -764,3 +764,134 @@ def apply_components(documents: DataFrame, components: DataFrame,
             F.col("_comp").isNull() | (F.col("_comp") == F.col(id_col))
         ).drop("_cid", "_comp")
     )
+
+
+# content-defined chunking (Rabin-style): polynomial hash of the w-char
+# window ending at each position; positions where hash % modulus == 0 cut
+# a chunk boundary.  Boundaries depend only on LOCAL content, so a long
+# span duplicated across documents produces byte-identical interior
+# chunks at ANY alignment — the property fixed-stride windows lack and
+# the reason suffix arrays are usually needed (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"); CDC gets
+# the cross-document repeated-span signal with a linear pass instead.
+_CDC_BASE = 31
+
+
+def cdc_chunks(documents: DataFrame, w: int = 8,
+               modulus: int = 64) -> DataFrame:
+    """(doc_id, chunk_idx, chunk) — content-defined chunks of ``text``.
+
+    All Catalyst, with each intermediate array materialised as a REAL
+    column in its own projection: Spark does not share common
+    subexpressions across an interpreted higher-order-function lambda,
+    so an inlined codes array would be re-split once per element_at —
+    O(n^2 * w).  Staged columns keep it O(n * w) JVM ops, no Python.
+    Max term 0xFFFF * 31^7 < 2^51 so the BIGINT sum never overflows in
+    Spark or DuckDB.
+    """
+    if w < 2 or w > 16:
+        raise ValueError(f"w must be in [2, 16], got {w}")
+    if modulus < 2:
+        raise ValueError(f"modulus must be >= 2, got {modulus}")
+    text = F.coalesce(F.col("text"), F.lit(""))
+
+    staged = documents.select(
+        "doc_id", text.alias("_t"), F.length(text).alias("_n"),
+        F.transform(F.split(text, ""), F.ascii).alias("_c"),
+    )
+
+    def _win_hash(i):  # window STARTS at 1-based position i
+        # cast BEFORE multiplying: small powers are int32 literals and
+        # code * power would otherwise overflow the int32 multiply
+        terms = [
+            F.element_at(F.col("_c"), i + j).cast("long")
+            * F.lit(_CDC_BASE ** (w - 1 - j)).cast("long")
+            for j in range(w)
+        ]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s
+
+    # boundary = 1-based END position of a matching window.  Guard the
+    # short-text case explicitly: sequence(1, 0) is DESCENDING in Spark
+    # ([1, 0]), which would index past the codes array under ANSI mode.
+    n = F.col("_n")
+    starts = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)).otherwise(
+        F.array().cast("array<int>"))
+    bounded = staged.select(
+        "doc_id", "_t", "_n",
+        F.filter(
+            F.transform(
+                starts,
+                lambda i: F.when(_win_hash(i) % modulus == 0, i + w - 1)
+                .otherwise(F.lit(0)),
+            ),
+            lambda p: p > 0,
+        ).alias("_b"),
+    )
+    cut = bounded.select(
+        "doc_id", "_t",
+        F.concat(F.array(F.lit(0)), F.col("_b"),
+                 F.array(F.col("_n"))).alias("_cuts"),
+    )
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_cuts")) - 2),
+            lambda k: F.substring(
+                F.col("_t"),
+                F.element_at(F.col("_cuts"), k + 1) + 1,
+                F.element_at(F.col("_cuts"), k + 2)
+                - F.element_at(F.col("_cuts"), k + 1),
+            ),
+        ),
+        lambda c: c != "",
+    )
+    return cut.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+
+
+def cdc_dup_spans(documents: DataFrame, w: int = 8, modulus: int = 64,
+                  min_count: int = 2) -> DataFrame:
+    """Per-document cross-corpus duplicated-span stats via CDC chunks:
+    (doc_id, n_chunks, n_dup_chunks, dup_chars, n_chars) where a chunk
+    is "dup" when its exact text occurs >= ``min_count`` times
+    corpus-wide (including within one document).
+
+    Scale shape (100 TB): chunking is a linear narrow pass; corpus chunk
+    counts are a 2-phase hash agg keyed on a fixed-width md5 (the chunk
+    text itself never shuffles twice); the count join is chunk-key
+    equi-join; per-doc rollup is another 2-phase agg.  No window, no
+    global sort.  Documents with no chunks (empty text) keep a zero row.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    ch = cdc_chunks(documents, w=w, modulus=modulus)
+    keyed = ch.select(
+        "doc_id", F.length("chunk").alias("clen"),
+        F.md5(F.col("chunk")).alias("ck"))
+    counts = keyed.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    per = (
+        keyed.join(counts, "ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") >= min_count, 1).otherwise(0))
+            .cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(F.col("cnt") >= min_count, F.col("clen"))
+                  .otherwise(0)).cast("long").alias("dup_chars"),
+        )
+    )
+    base = documents.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        .alias("n_chars"))
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0).cast("long")).alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0).cast("long"))
+        .alias("n_dup_chunks"),
+        F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
+        "n_chars",
+    )

@@ -398,3 +398,50 @@ def gopher_rules(
         (ok_words & ok_mean & ok_symbol & ok_bullet & ok_ellipsis
          & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+def token_rarity(documents: DataFrame) -> DataFrame:
+    """CCNet-style corpus-language-model quality signal (Wenzek et al.
+    2020 use KenLM perplexity; this is the engine-native analogue): score
+    every document by its tokens' CORPUS frequencies — the per-token
+    unigram negative log-likelihood ``nll`` and the exact integer
+    frequency mass ``sum_freq``.  Low-likelihood (rare-token) documents
+    are gibberish/OCR-noise candidates; the extreme high end is
+    boilerplate.
+
+    Scale shape (100 TB): explode is linear; within-doc counts then
+    corpus counts are both 2-phase hash aggregates (map-side partials
+    absorb the Zipf head before any shuffle); the frequency join is an
+    equi-join on the token key — stop-word keys are hot, which is
+    exactly the shape AQE skew-join splitting handles (one row per token
+    on the build side).  The corpus total is a 1-row broadcast.  No UDF,
+    no window, no global sort.
+
+    Returns (doc_id, n_tokens, sum_freq, avg_freq, nll); empty/NULL-text
+    documents keep a row with zeros (left join back to the corpus).
+    """
+    toks = F.transform(whitespace_tokens(F.coalesce(F.col("text"),
+                                                    F.lit(""))), F.lower)
+    ex = documents.select("doc_id", F.explode(toks).alias("token"))
+    dt = ex.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("k"))
+    counts = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    j = dt.join(counts, "token").crossJoin(F.broadcast(total))
+    per = j.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.sum(F.col("k") * F.col("cnt")).cast("long").alias("sum_freq"),
+        (-F.sum(F.col("k") * F.log(F.col("cnt") / F.col("n_total")))
+         / F.sum("k")).alias("_nll"),
+    )
+    out = documents.select("doc_id").join(per, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("sum_freq", F.lit(0).cast("long")).alias("sum_freq"),
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   F.col("sum_freq").cast("double") / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)), 6).alias("avg_freq"),
+        F.round(F.coalesce("_nll", F.lit(0.0)), 6).alias("nll"),
+    )

@@ -391,3 +391,55 @@ def test_apply_components_keeps_labels_and_singletons(spark):
     kept = sorted(r["doc_id"] for r in
                   dedup.apply_components(docs, comps).collect())
     assert kept == [1, 3, 4, 5]
+
+
+def test_cdc_dup_spans_alignment_robust(spark):
+    """Content-defined chunking: a span duplicated at DIFFERENT offsets
+    in two docs produces identical interior chunks (the property
+    fixed-stride windows lack); unrelated text contributes zero dups."""
+    span = ("the quick brown fox jumps over the lazy dog again and "
+            "again for breakfast today")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["PREFIX-A " + span + " SUFFIX-A",
+                 "completely different preamble here then " + span + " tail",
+                 "unrelated content with no shared spans whatsoever zq"],
+    }))
+    out = {r["doc_id"]: r for r in
+           dedup.cdc_dup_spans(docs, w=8, modulus=16).collect()}
+    assert out[0]["n_dup_chunks"] > 0
+    assert out[0]["n_dup_chunks"] == out[1]["n_dup_chunks"]
+    assert out[0]["dup_chars"] == out[1]["dup_chars"] > 0
+    assert out[2]["n_dup_chunks"] == 0 and out[2]["dup_chars"] == 0
+    # chunks cover the text exactly: concat(chunks) == text per doc
+    ch = dedup.cdc_chunks(docs, w=8, modulus=16).orderBy(
+        "doc_id", "chunk_idx").collect()
+    rebuilt = {}
+    for r in ch:
+        rebuilt[r["doc_id"]] = rebuilt.get(r["doc_id"], "") + r["chunk"]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rebuilt == texts
+
+
+def test_cdc_short_and_empty_text(spark):
+    """Texts shorter than the window form one chunk (no descending-
+    sequence index error under ANSI); empty/NULL text keeps a zero row."""
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["short", "", None, "x" * 7],  # all < w=8
+    }))
+    out = {r["doc_id"]: r for r in dedup.cdc_dup_spans(docs).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_chars"]) == (1, 5)
+    assert (out[1]["n_chunks"], out[1]["n_chars"]) == (0, 0)
+    assert (out[2]["n_chunks"], out[2]["n_chars"]) == (0, 0)
+    assert out[3]["n_chunks"] == 1
+    with pytest.raises(ValueError, match="w must"):
+        dedup.cdc_chunks(docs, w=1)
+    with pytest.raises(ValueError, match="modulus"):
+        dedup.cdc_chunks(docs, modulus=1)
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.cdc_dup_spans(docs, min_count=1)
+    # scale shape: 2-phase aggs + equi-join, no window
+    plan = dedup.cdc_dup_spans(docs)._jdf.queryExecution(
+        ).executedPlan().toString()
+    assert "HashAggregate" in plan and "WindowExec" not in plan

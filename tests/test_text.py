@@ -208,3 +208,31 @@ def test_gopher_rules_each_rule_isolated(spark):
     plan = (text_ops.gopher_rules(docs)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_token_rarity_closed_form(spark):
+    """Corpus 'a a b' / 'b c' / '': counts a=2 b=2 c=1, N=5; exact
+    integer frequency mass + hand-computed unigram NLL; empty doc keeps
+    a zero row."""
+    import math
+
+    import pandas as pd
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2], "text": ["a A b", "b c", ""]}))
+    out = {r["doc_id"]: r for r in text_ops.token_rarity(docs).collect()}
+    assert (out[0]["n_tokens"], out[0]["sum_freq"]) == (3, 6)
+    assert out[0]["avg_freq"] == 2.0
+    assert out[0]["nll"] == round(-math.log(2 / 5), 6)
+    assert (out[1]["n_tokens"], out[1]["sum_freq"]) == (2, 3)
+    assert out[1]["nll"] == round(
+        -(math.log(2 / 5) + math.log(1 / 5)) / 2, 6)
+    assert (out[2]["n_tokens"], out[2]["sum_freq"],
+            out[2]["avg_freq"], out[2]["nll"]) == (0, 0, 0.0, 0.0)
+    # scale shape: hash aggregates + a 1-row broadcast, no window
+    plan = (text_ops.token_rarity(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "HashAggregate" in plan and "WindowExec" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
