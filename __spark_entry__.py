@@ -1916,6 +1916,22 @@ def q_cdc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.cdc_dup_spans(docs, w=8, modulus=16)
 
 
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise detection (operators/similarity.knn_label_noise):
+    each vector's label vs the majority label of its 5 nearest
+    LSH-bucket neighbours — the Confident-Learning curation signal.
+    Integer-quantised buckets + round(cos,6) ranking keep the whole
+    query bit-reproducible in the SQL oracle."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    dim = similarity.embedding_dim(emb)
+    if dim != ORACLE_EMB_DIM:
+        raise ValueError(
+            f"embeddings dim {dim} != {ORACLE_EMB_DIM}: regenerate the "
+            "label_noise oracle planes (_lsh_bucket_sql) to match"
+        )
+    return similarity.knn_label_noise(emb, k=5, n_planes=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2041,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_apply": q_near_dedup_apply,          # NEW r5; windows r6
         "token_rarity": q_token_rarity,                  # NEW r5; windows r6
         "cdc_dup_spans": q_cdc_dup_spans,                # NEW r5; windows r6
+        "label_noise": q_label_noise,                    # NEW r5; windows r6
     }
 
 
@@ -2110,7 +2127,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup-minhash": ("minhash_sig", "minhash_lsh_pairs", "ngram_jaccard"),
     "dedup-components": ("dedup_components", "near_dedup_apply"),
     "ann-exact": ("ann_topk",),
-    "ann-lsh": ("ann_lsh",),
+    "ann-lsh": ("ann_lsh", "label_noise"),
     "ann-ivf": ("ann_ivf", "ann_ivf_flat"),
     "embed-dedup": ("embed_near_dup", "embed_dup_counts"),
 }
@@ -3305,6 +3322,56 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                         ELSE 0.0 END, 6) AS DOUBLE) AS avg_freq,
                    CAST(round(COALESCE(p.nll, 0.0), 6) AS DOUBLE) AS nll
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # same quantised buckets as ann_lsh, round(cos,6) ranking with
+        # nbr_id tiebreak, majority vote ties toward the smallest label
+        "label_noise": f"""
+            WITH emb AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            qemb AS (
+              SELECT vec_id, label, e,
+                     list_transform(e, x -> CAST(FLOOR(x * 4096.0)
+                       AS BIGINT)) AS qv
+              FROM emb),
+            bkt AS (SELECT vec_id, label, e, {_lsh_bucket_sql()} AS bucket
+                    FROM qemb),
+            sims AS (
+              SELECT a.vec_id, b.vec_id AS nbr_id, b.label AS nbr_label,
+                     round(list_dot_product(a.e, b.e)
+                       / NULLIF(sqrt(list_dot_product(a.e, a.e))
+                                * sqrt(list_dot_product(b.e, b.e)), 0),
+                       6) AS sim
+              FROM bkt a JOIN bkt b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+            topk AS (
+              SELECT vec_id, nbr_id, nbr_label FROM (
+                SELECT vec_id, nbr_id, nbr_label,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, nbr_id) AS rank
+                FROM sims WHERE sim IS NOT NULL)
+              WHERE rank <= 5),
+            votes AS (
+              SELECT vec_id, nbr_label,
+                     CAST(COUNT(*) AS BIGINT) AS n_agree
+              FROM topk GROUP BY 1, 2),
+            win AS (
+              SELECT vec_id, nbr_label AS knn_label, n_agree FROM (
+                SELECT vec_id, nbr_label, n_agree,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY n_agree DESC, nbr_label) AS r
+                FROM votes) WHERE r = 1),
+            nn AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs
+                   FROM topk GROUP BY 1)
+            SELECT e.vec_id, e.label,
+                   COALESCE(nn.n_nbrs, 0) AS n_nbrs,
+                   win.knn_label,
+                   COALESCE(win.n_agree, 0) AS n_agree,
+                   (win.knn_label IS NOT NULL
+                    AND win.knn_label <> e.label) AS is_suspect
+            FROM embeddings e
+            LEFT JOIN win USING (vec_id) LEFT JOIN nn USING (vec_id)
         """,
         "decontam": """
             WITH sh AS (

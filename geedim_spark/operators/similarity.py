@@ -426,3 +426,72 @@ def lsh_bucket_topk(
     return _bucket_topk(
         embeddings, lambda e: lsh_bucket(e, planes), n_queries, k
     )
+
+
+def knn_label_noise(
+    embeddings: DataFrame, k: int = 5, n_planes: int = 4
+) -> DataFrame:
+    """Mislabeled-sample detection (Confident-Learning style, cf.
+    Northcutt et al. 2021): every vector's label is compared against the
+    majority label of its k nearest in-bucket neighbours; a mismatch
+    flags the row as a labeling suspect — the curation signal used to
+    prune noisy classification/caption data before training.
+
+    Candidates come from the same integer-quantised LSH buckets as
+    :func:`lsh_bucket_topk_quantised` (exact int64 bucket keys, so the
+    whole query is value-checkable cross-engine); similarity ranks on
+    round(cos, 6) with id tiebreaks.  Majority vote ties break toward
+    the smallest label.
+
+    Scale shape (100 TB): bucket equi-join prunes candidates to
+    ~N/2^n_planes per vector; every window is PARTITIONED BY vec_id
+    (bounded by bucket size); vote counting is a 2-phase hash agg.
+    Vectors whose bucket holds no other member (or zero-norm vectors)
+    report n_nbrs=0, knn_label NULL, is_suspect false.
+
+    Output: (vec_id, label, n_nbrs, knn_label, n_agree, is_suspect).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    planes = lsh_int_planes(embedding_dim(embeddings), n_planes)
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes))
+    left = base.select("vec_id", "label", F.col("e").alias("qe"), "bucket")
+    right = base.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"),
+        "e", "bucket")
+    sims = (
+        left.join(right, "bucket")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select(
+            "vec_id", "nbr_id", "nbr_label",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    topk = sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+    votes = topk.groupBy("vec_id", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_agree"))
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc("n_agree"), F.asc("nbr_label"))
+    win = votes.withColumn("_r", F.row_number().over(wv)).filter(
+        F.col("_r") == 1).select(
+        "vec_id", F.col("nbr_label").alias("knn_label"), "n_agree")
+    nn = topk.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nbrs"))
+    return (
+        embeddings.select("vec_id", "label")
+        .join(win, "vec_id", "left")
+        .join(nn, "vec_id", "left")
+        .select(
+            "vec_id", "label",
+            F.coalesce("n_nbrs", F.lit(0).cast("long")).alias("n_nbrs"),
+            "knn_label",
+            F.coalesce("n_agree", F.lit(0).cast("long")).alias("n_agree"),
+            (F.col("knn_label").isNotNull()
+             & (F.col("knn_label") != F.col("label"))).alias("is_suspect"),
+        )
+    )

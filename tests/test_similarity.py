@@ -197,3 +197,41 @@ def test_ivf_lloyd_value_parity_vs_independent_reimplementation(spark, emb):
         for rank, (_, nid) in enumerate(sims[:k], start=1):
             want.add((q, int(nid), rank))
     assert got == want
+
+
+def test_knn_label_noise_flags_planted_flip(spark):
+    """Two tight clusters with one flipped label: the flip is the only
+    suspect; clean members vote their own label; votes count toward k."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.01, (6, 64)) + np.eye(64)[0] * 5      # cluster A
+    b = rng.normal(0, 0.01, (6, 64)) - np.eye(64)[1] * 5      # cluster B
+    vecs = np.vstack([a, b]).astype(np.float32)
+    labels = [0] * 6 + [1] * 6
+    labels[3] = 1  # planted flip inside cluster A
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(12),
+        "embedding": [v.tolist() for v in vecs],
+        "label": labels,
+    }))
+    out = {r["vec_id"]: r for r in
+           sim.knn_label_noise(df, k=5, n_planes=4).collect()}
+    assert out[3]["is_suspect"] and out[3]["knn_label"] == 0
+    for v in set(range(12)) - {3}:
+        assert not out[v]["is_suspect"], v
+    # the flip's neighbours see ONE wrong vote among their k
+    assert out[0]["n_agree"] >= 4
+    with pytest.raises(ValueError, match="k must"):
+        sim.knn_label_noise(df, k=0)
+
+
+def test_knn_label_noise_singleton_bucket(spark):
+    """A lone vector (no bucket mates) reports zero neighbours and is
+    never flagged."""
+    df = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0],
+        "embedding": [(np.eye(64)[5] * 2).astype(np.float32).tolist()],
+        "label": [3],
+    }))
+    r = sim.knn_label_noise(df, k=5).collect()[0]
+    assert (r["n_nbrs"], r["knn_label"], r["n_agree"],
+            r["is_suspect"]) == (0, None, 0, False)
