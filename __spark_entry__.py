@@ -1932,6 +1932,42 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_noise(emb, k=5, n_planes=4)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/text.dsir_weights, Xie et al.
+    2023): hashed unigram+bigram bucket models (portable md5 bucket,
+    add-1 smoothing) for target (lang='en') vs raw, per-doc log-ratio
+    score.  The oracle replays the full model fit in DuckDB."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text_ops.dsir_weights(
+        docs, F.col("lang") == "en", n_buckets=256, alpha=1.0
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (operators/zonal.zonal_stats): per-(image, zone)
+    count/sum/min/max/mean of band 0 over pixel centres inside each zone
+    polygon, fill-gated.  Zones are the ROI rectangles shifted +0.5 m so
+    no pixel centre ever lies on a zone edge — the SQL oracle replays
+    the centre-grid arithmetic as an exact integer closed form."""
+    from geedim_spark.operators import zonal
+
+    n, m = _sizes(sf_dir)
+    imgs = synth.images_df(spark, min(n, 900), scalar_filter="fmt = 'raw'")
+    half = F.lit(0.5)
+    zones = synth.rois_df(spark, m).select(
+        F.col("roi_id").alias("zone_id"),
+        F.array(
+            F.array(F.col("rx0") + half, F.col("ry0") + half),
+            F.array(F.col("rx1") + half, F.col("ry0") + half),
+            F.array(F.col("rx1") + half, F.col("ry1") + half),
+            F.array(F.col("rx0") + half, F.col("ry1") + half),
+        ).alias("poly"),
+    )
+    return zonal.zonal_stats(imgs, zones, band=0, nodata=0.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2058,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,                  # NEW r5; windows r6
         "cdc_dup_spans": q_cdc_dup_spans,                # NEW r5; windows r6
         "label_noise": q_label_noise,                    # NEW r5; windows r6
+        "dsir_weights": q_dsir_weights,                  # NEW r5; windows r6
+        "zonal_stats": q_zonal_stats,                    # NEW r5; windows r6
     }
 
 
@@ -2073,7 +2111,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "mask-stats": ("mask_portions", "tiled_portions",
                    "landsat_param_portions", "best_effort_portions"),
     "mask-apply": ("mask_clouds",),
-    "geometry": ("mask_polygons",),
+    "geometry": ("mask_polygons", "zonal_stats"),
     "s2-qa": ("s2_qa_portions",),
     "s2-score": ("s2_score_join", "s2_score_thresh"),
     "s2-prob": ("s2_prob_join",),
@@ -2119,7 +2157,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     # content-hash sampling shares the portable-md5-derivation machinery
     # with the fingerprint ops; doc_fingerprint anchors the family in-window
     "text-fingerprint": ("doc_fingerprint", "stratified_sample",
-                         "epoch_shuffle"),
+                         "epoch_shuffle", "dsir_weights"),
     "dedup-exact": ("doc_dup_counts", "line_dedup", "dedup_apply",
                     "cdc_dup_spans"),
     "dedup-simhash": ("simhash", "phash_near_dup"),  # bit-fingerprint
@@ -3372,6 +3410,99 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                     AND win.knn_label <> e.label) AS is_suspect
             FROM embeddings e
             LEFT JOIN win USING (vec_id) LEFT JOIN nn USING (vec_id)
+        """,
+        # zonal closed form: pixel centre x = x0+10c+5 / y = y1-10r-5;
+        # zone bounds are +0.5-shifted so centres never tie an edge; valid
+        # cols additionally >= f_px (band-0 fill strip); n_px = rows*cols
+        "zonal_stats": f"""
+            WITH images AS ({synth.sql_images(min(n, 900))}),
+            z AS (SELECT roi_id AS zone_id,
+                         rx0 + 0.5 AS zx0, ry0 + 0.5 AS zy0,
+                         rx1 + 0.5 AS zx1, ry1 + 0.5 AS zy1
+                  FROM ({synth.sql_rois(m)})),
+            pair AS (
+              SELECT i.image_id, i.v, i.f_px, i.x0, i.y1,
+                     z.zone_id, z.zx0, z.zy0, z.zx1, z.zy1
+              FROM images i JOIN z
+                ON z.zx0 < i.x1 AND i.x0 < z.zx1
+               AND z.zy0 < i.y1 AND i.y0 < z.zy1
+              WHERE i.fmt = 'raw'),
+            g AS (
+              SELECT image_id, zone_id, v,
+                     GREATEST(CAST(FLOOR((zx0 - x0 - 5) / 10) AS BIGINT) + 1,
+                              CAST(f_px AS BIGINT)) AS c_lo,
+                     LEAST(CAST(CEIL((zx1 - x0 - 5) / 10) AS BIGINT) - 1,
+                           39) AS c_hi,
+                     GREATEST(CAST(FLOOR((y1 - zy1 - 5) / 10) AS BIGINT) + 1,
+                              0) AS r_lo,
+                     LEAST(CAST(CEIL((y1 - zy0 - 5) / 10) AS BIGINT) - 1,
+                           39) AS r_hi
+              FROM pair),
+            s AS (
+              SELECT image_id, zone_id, v,
+                     GREATEST(c_hi - c_lo + 1, 0)
+                     * GREATEST(r_hi - r_lo + 1, 0) AS n_px
+              FROM g)
+            SELECT image_id, zone_id, CAST(n_px AS BIGINT) AS n_px,
+                   CAST(v * n_px AS DOUBLE) AS sum_val,
+                   CAST(CASE WHEN n_px > 0 THEN v ELSE 0 END AS DOUBLE)
+                     AS min_val,
+                   CAST(CASE WHEN n_px > 0 THEN v ELSE 0 END AS DOUBLE)
+                     AS max_val,
+                   CAST(CASE WHEN n_px > 0 THEN v ELSE 0 END AS DOUBLE)
+                     AS mean_val
+            FROM s
+        """,
+        # full DSIR model replay: same md5 bucket, add-1 smoothing over
+        # 256 buckets, target = lang='en'; NULL-lang rows train neither
+        # model (CASE falls through to 0 in both engines) but are scored
+        "dsir_weights": r"""
+            WITH base AS (
+              SELECT doc_id, (lang = 'en') AS is_target,
+                     list_filter(regexp_split_to_array(
+                       lower(COALESCE(text, '')), '\s+'),
+                       x -> x <> '') AS t
+              FROM documents),
+            feats AS (
+              SELECT doc_id, is_target,
+                     unnest(list_concat(t,
+                       CASE WHEN len(t) >= 2 THEN list_transform(
+                              range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])
+                            ELSE [] END)) AS feat
+              FROM base),
+            bkt AS (
+              SELECT doc_id, is_target,
+                     CAST(CONCAT('0x', SUBSTR(md5(feat || 'dsir-v1'),
+                          1, 8)) AS BIGINT) % 256 AS bucket
+              FROM feats),
+            k AS (SELECT doc_id, is_target, bucket,
+                         CAST(COUNT(*) AS BIGINT) AS k
+                  FROM bkt GROUP BY 1, 2, 3),
+            model AS (
+              SELECT bucket,
+                     CAST(SUM(CASE WHEN is_target THEN k ELSE 0 END)
+                       AS BIGINT) AS t_cnt,
+                     CAST(SUM(CASE WHEN NOT is_target THEN k ELSE 0 END)
+                       AS BIGINT) AS r_cnt
+              FROM k GROUP BY 1),
+            tot AS (SELECT CAST(SUM(t_cnt) AS DOUBLE) AS t_total,
+                           CAST(SUM(r_cnt) AS DOUBLE) AS r_total
+                    FROM model),
+            ratio AS (
+              SELECT bucket,
+                     ln((t_cnt + 1.0) / (t_total + 256.0))
+                     - ln((r_cnt + 1.0) / (r_total + 256.0)) AS lr
+              FROM model, tot),
+            per AS (
+              SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_feats,
+                     SUM(k * lr) AS lw
+              FROM k JOIN ratio USING (bucket) GROUP BY 1)
+            SELECT d.doc_id, (d.lang = 'en') AS is_target,
+                   COALESCE(p.n_feats, 0) AS n_feats,
+                   CAST(round(COALESCE(p.lw, 0.0), 6) AS DOUBLE)
+                     AS log_weight
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "decontam": """
             WITH sh AS (

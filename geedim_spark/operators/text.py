@@ -400,6 +400,109 @@ def gopher_rules(
     )
 
 
+def dsir_weights(
+    documents: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-like its hashed n-gram bag is.  Features are lowercased
+    whitespace unigrams + bigrams hashed into ``n_buckets`` buckets (the
+    portable md5 bucket used repo-wide, so the DuckDB oracle replays the
+    exact model); two add-``alpha``-smoothed unigram bucket models are
+    fit — ``target`` rows vs the rest — and
+
+        log_weight(doc) = sum_b k_b * (log p_target[b] - log p_raw[b])
+
+    High-weight raw documents are the ones importance resampling keeps.
+    Rows where ``target`` is NULL are scored but train neither model.
+
+    Scale shape (100 TB): the model is <= n_buckets rows — broadcast on
+    the scoring join, so corpus text shuffles only as (doc_id, bucket)
+    count pairs bounded by n_buckets per doc; feature explode is linear;
+    both model fits are 2-phase hash aggregates.  The per-doc bucket
+    frame is persisted once (MEMORY_AND_DISK) because model fit and
+    scoring both consume it.  No UDF, no window, no global sort.
+
+    No reference analog — training-data curation capability, same tier
+    as the dedup/quality block.
+
+    Output: (doc_id, is_target, n_feats, log_weight).
+    """
+    from pyspark import StorageLevel
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    toks = F.transform(
+        whitespace_tokens(F.coalesce(F.col("text"), F.lit(""))), F.lower
+    )
+    # stage the token array as a real column: CollapseProject will not
+    # inline a multiply-referenced alias, so the element_at calls below
+    # read the materialised array instead of re-tokenising per element
+    base = documents.select(
+        "doc_id", target.cast("boolean").alias("is_target"), toks.alias("t")
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.withColumn("bi", bigrams).select(
+        "doc_id", "is_target",
+        F.explode(F.concat(F.col("t"), F.col("bi"))).alias("feat"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("feat"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long") % F.lit(n_buckets)
+    )
+    per_doc = (
+        ex.select("doc_id", "is_target", bucket.alias("bucket"))
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    model = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(F.lit(0)))
+        .cast("long").alias("t_cnt"),
+        F.sum(F.when(~F.col("is_target"), F.col("k")).otherwise(F.lit(0)))
+        .cast("long").alias("r_cnt"),
+    )
+    totals = model.agg(
+        F.sum("t_cnt").cast("double").alias("t_total"),
+        F.sum("r_cnt").cast("double").alias("r_total"),
+    )
+    a, ab = float(alpha), float(alpha) * n_buckets
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.log((F.col("t_cnt") + a) / (F.col("t_total") + ab))
+         - F.log((F.col("r_cnt") + a) / (F.col("r_total") + ab))).alias("lr"),
+    )
+    per = per_doc.join(F.broadcast(ratio), "bucket").groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_feats"),
+        F.sum(F.col("k") * F.col("lr")).alias("_lw"),
+    )
+    out = documents.select(
+        "doc_id", target.cast("boolean").alias("is_target")
+    ).join(per, "doc_id", "left")
+    return out.select(
+        "doc_id", "is_target",
+        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        F.round(F.coalesce("_lw", F.lit(0.0)), 6).alias("log_weight"),
+    )
+
+
 def token_rarity(documents: DataFrame) -> DataFrame:
     """CCNet-style corpus-language-model quality signal (Wenzek et al.
     2020 use KenLM perplexity; this is the engine-native analogue): score

@@ -236,3 +236,89 @@ def test_token_rarity_closed_form(spark):
             .executedPlan().toString())
     assert "HashAggregate" in plan and "WindowExec" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def _dsir_ref(rows, n_buckets, alpha=1.0, salt="dsir-v1"):
+    """Independent pure-Python replication of the DSIR model (hashlib
+    md5, collections.Counter) — no shared code with the operator."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    def feats(t):
+        toks = [w.lower() for w in re.split(r"\s+", t or "") if w != ""]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        h = hashlib.md5((f + salt).encode()).hexdigest()[:8]
+        return int(h, 16) % n_buckets
+
+    per = {d: Counter(bucket(f) for f in feats(t)) for d, t, _ in rows}
+    t_cnt, r_cnt = Counter(), Counter()
+    for d, _, tgt in rows:
+        if tgt is True:
+            t_cnt.update(per[d])
+        elif tgt is False:
+            r_cnt.update(per[d])
+    t_tot, r_tot = sum(t_cnt.values()), sum(r_cnt.values())
+
+    def lr(b):
+        return (math.log((t_cnt[b] + alpha) / (t_tot + alpha * n_buckets))
+                - math.log((r_cnt[b] + alpha) / (r_tot + alpha * n_buckets)))
+
+    return {d: (sum(per[d].values()),
+                round(sum(c * lr(b) for b, c in sorted(per[d].items())), 6))
+            for d, _, _ in rows}
+
+
+def test_dsir_weights_vs_independent_model(spark):
+    """Full model parity vs the hashlib/Counter reimplementation;
+    target-like raw text outscores junk; empty and NULL-target rows."""
+    from pyspark.sql import functions as F
+
+    from geedim_spark.operators import text as text_ops
+
+    rows = [
+        (0, "good clean prose is good", True),
+        (1, "good clean prose is good", True),
+        (2, "zzz qqq xxx junk junk", False),
+        (3, "good clean prose", False),
+        (4, "zzz qqq xxx", False),
+        (5, "", False),
+        (6, "good prose maybe", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {r["doc_id"]: r for r in text_ops.dsir_weights(
+        df, F.col("tgt"), n_buckets=64).collect()}
+    want = _dsir_ref(rows, n_buckets=64)
+    for d, (n_feats, lw) in want.items():
+        assert got[d]["n_feats"] == n_feats, d
+        assert got[d]["log_weight"] == pytest.approx(lw, abs=2e-6), d
+    # the importance-resampling contract: target-like raw > junk raw
+    assert got[3]["log_weight"] > got[4]["log_weight"]
+    assert (got[5]["n_feats"], got[5]["log_weight"]) == (0, 0.0)
+    assert got[6]["is_target"] is None and got[6]["n_feats"] > 0
+    with pytest.raises(ValueError, match="n_buckets"):
+        text_ops.dsir_weights(df, F.col("tgt"), n_buckets=1)
+    with pytest.raises(ValueError, match="alpha"):
+        text_ops.dsir_weights(df, F.col("tgt"), alpha=0.0)
+
+
+def test_dsir_weights_layout_independent_and_broadcast_plan(spark):
+    """Same rows regardless of partitioning; the model join broadcasts
+    (corpus text never shuffles for scoring) and no window exists."""
+    from pyspark.sql import functions as F
+
+    from geedim_spark.operators import text as text_ops
+
+    rows = [(i, f"tok{i % 3} tok{i % 5} filler words here", i % 2 == 0)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = text_ops.dsir_weights(df, F.col("tgt"), n_buckets=32)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, text_ops.dsir_weights(
+        df.repartition(7), F.col("tgt"), n_buckets=32).collect()))
+    assert a == b
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and "WindowExec" not in plan
