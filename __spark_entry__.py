@@ -1945,6 +1945,43 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (streaming/joins.py): views
+    joined to same-user purchases within 1 hour, drained with
+    availableNow — must equal the batch interval join (the DuckDB
+    oracle).  Delays are compared in exact integer microseconds."""
+    from geedim_spark.streaming import joins as sj
+
+    return _drained_events_stream(
+        spark, sf_dir,
+        lambda src, ckpt, sink: sj.stream_event_join(
+            spark, src, ckpt, left_type="view", right_type="purchase",
+            within="1 hour", watermark="90 days", sink_table=sink,
+        ),
+        lambda t: t.select(
+            "user_id",
+            (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("d"),
+        ).groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("d").cast("long").alias("sum_delay_us"),
+            F.max("d").cast("long").alias("max_delay_us"),
+        ),
+        "user_id long, n_pairs long, sum_delay_us long, max_delay_us long",
+    )
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-length quantiles (operators/text.length_quantiles):
+    2-phase histogram agg, window only over the bounded value domain,
+    integer-permille thresholds (no float in the cut rule)."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text_ops.length_quantiles(
+        docs, permille=(100, 250, 500, 750, 900, 990, 1000)
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (operators/zonal.zonal_stats): per-(image, zone)
     count/sum/min/max/mean of band 0 over pixel centres inside each zone
@@ -2096,6 +2133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,                    # NEW r5; windows r6
         "dsir_weights": q_dsir_weights,                  # NEW r5; windows r6
         "zonal_stats": q_zonal_stats,                    # NEW r5; windows r6
+        "length_quantiles": q_length_quantiles,          # NEW r5; windows r6
+        "stream_stream_join": q_stream_stream_join,      # NEW r5; windows r6
     }
 
 
@@ -2140,7 +2179,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "qmosaic": ("qmosaic_halo", "composite_tiled_qmosaic"),
     "multimodal": ("image_features", "dct8_psnr", "aspect_bucket"),
     "streaming-ingest": ("streaming_ingest", "snapshot_commit",
-                         "streaming_score_join"),
+                         "streaming_score_join", "stream_stream_join"),
     "streaming-windows": ("streaming_windows",),
     "streaming-dedup": ("streaming_dedup",),
     "sessionisation": ("events_sessions", "session_windows",
@@ -2150,7 +2189,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
                    "local_supplier_volume"),
     "text-quality": ("doc_quality", "pii_redact", "repetition_stats",
                      "gopher_rules"),
-    "text-tokens": ("doc_token_stats", "top_ngrams", "token_rarity"),
+    "text-tokens": ("doc_token_stats", "top_ngrams", "token_rarity",
+                    "length_quantiles"),
     "decontam": ("decontam",),
     "packing": ("pack_sequences",),
     "text-langid": ("lang_id",),
@@ -3410,6 +3450,48 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                     AND win.knn_label <> e.label) AS is_suspect
             FROM embeddings e
             LEFT JOIN win USING (vec_id) LEFT JOIN nn USING (vec_id)
+        """,
+        # batch interval join = what the drained stream-stream join must
+        # equal; delays in exact integer microseconds (epoch_us)
+        "stream_stream_join": """
+            WITH l AS (SELECT event_id AS l_id, user_id, ts AS l_ts
+                       FROM events WHERE event_type = 'view'),
+            r AS (SELECT event_id AS r_id, user_id, ts AS r_ts
+                  FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT l.user_id,
+                         epoch_us(r.r_ts) - epoch_us(l.l_ts) AS d
+                  FROM l JOIN r ON l.user_id = r.user_id
+                   AND r.r_ts > l.l_ts
+                   AND r.r_ts <= l.l_ts + INTERVAL 1 HOUR)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(d) AS BIGINT) AS sum_delay_us,
+                   CAST(MAX(d) AS BIGINT) AS max_delay_us
+            FROM j GROUP BY 1
+        """,
+        # exact type-1 quantiles replayed over the same histogram; the
+        # threshold (p*N + 999) // 1000 is pure integer in both engines
+        "length_quantiles": r"""
+            WITH lens AS (
+              SELECT CAST(len(list_filter(regexp_split_to_array(
+                       COALESCE(text, ''), '\s+'), x -> x <> ''))
+                     AS BIGINT) AS n_tokens
+              FROM documents),
+            hist AS (SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM lens GROUP BY 1),
+            cum AS (SELECT n_tokens,
+                           SUM(cnt) OVER (ORDER BY n_tokens) AS cum
+                    FROM hist),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM hist),
+            p AS (SELECT unnest([100, 250, 500, 750, 900, 990, 1000])
+                    AS permille),
+            probe AS (SELECT permille, n_docs,
+                             (CAST(permille AS BIGINT) * n_docs + 999)
+                               // 1000 AS thr
+                      FROM p, tot)
+            SELECT CAST(permille AS INT) AS permille, n_docs,
+                   CAST(MIN(n_tokens) AS BIGINT) AS value
+            FROM cum JOIN probe ON cum >= thr
+            GROUP BY 1, 2
         """,
         # zonal closed form: pixel centre x = x0+10c+5 / y = y1-10r-5;
         # zone bounds are +0.5-shifted so centres never tie an edge; valid

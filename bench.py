@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "reproject_export", "s2_shadow_params", "decontam", "pack_sequences",
     "top_ngrams", "line_dedup", "wds_shards", "aspect_bucket",
     "gopher_rules", "token_rarity", "cdc_dup_spans", "near_dedup_apply",
-    "dsir_weights", "zonal_stats",
+    "dsir_weights", "zonal_stats", "length_quantiles",
     # halo_edt is value-checked by the driver but excluded here: at the
     # bench's 40 px synthetic images its cost is pure tiny-group overhead
     # (2,700 applyInPandas groups of 16 px tiles), not kernel throughput

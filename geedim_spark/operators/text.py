@@ -400,6 +400,56 @@ def gopher_rules(
     )
 
 
+def length_quantiles(
+    documents: DataFrame, permille: tuple[int, ...] = (250, 500, 750, 900, 990)
+) -> DataFrame:
+    """EXACT corpus quantiles of per-document token counts — the
+    length-distribution report a curation pipeline cuts thresholds from.
+    Quantiles are requested in integer permille so every threshold is
+    pure integer arithmetic (ceil(p*N/1000) = (p*N + 999) div 1000):
+    no float multiply whose last ulp could differ across engines, unlike
+    percentile_approx (which is also only approximate).
+
+    Definition: value(p) = smallest token count v whose cumulative doc
+    count reaches ceil(p/1000 * n_docs) (percentile_disc, type-1).
+
+    Scale shape (100 TB): the corpus reduces to a (n_tokens, count)
+    HISTOGRAM via a 2-phase hash agg first — the only window runs over
+    that histogram, whose cardinality is bounded by the max document
+    length (~1e6 distinct values worst case), NOT by corpus size; the
+    quantile probe is a broadcast join of the tiny permille frame.  No
+    global sort of corpus rows anywhere.
+
+    Output: (permille, n_docs, value) — one row per requested permille.
+    """
+    for p in permille:
+        if not 1 <= int(p) <= 1000:
+            raise ValueError(f"permille values must be in [1, 1000], got {p}")
+    lens = documents.select(
+        F.size(whitespace_tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long").alias("n_tokens")
+    )
+    hist = lens.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    # bounded window: rows here are DISTINCT LENGTH VALUES, not documents
+    w = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    total = hist.agg(F.sum("cnt").cast("long").alias("n_docs"))
+    ps = F.explode(
+        F.array(*[F.lit(int(p)) for p in sorted(set(int(p) for p in permille))])
+    ).alias("permille")
+    probe = total.select(ps, "n_docs").withColumn(
+        "thr", ((F.col("permille") * F.col("n_docs") + 999) / 1000)
+        .cast("long"))
+    return (
+        cum.join(F.broadcast(probe), F.col("cum") >= F.col("thr"))
+        .groupBy("permille", "n_docs")
+        .agg(F.min("n_tokens").alias("value"))
+        .select("permille", "n_docs", "value")
+    )
+
+
 def dsir_weights(
     documents: DataFrame,
     target: Column,

@@ -279,3 +279,28 @@ def test_stream_static_score_join_matches_batch(spark, tmp_path):
         spark, source, scores, table, ckpt, available_now=True)
     q2.awaitTermination(180)
     assert snapshots.current_snapshot(table)["snapshot_id"] == sid_before
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """availableNow drain of the watermarked stream-stream inner join ==
+    the batch interval join, pair-for-pair (micro-batch replay is not
+    time-ordered, so equality proves buffering on BOTH sides works)."""
+    from geedim_spark.streaming import joins as sj
+
+    src = str(tmp_path / "ssj_src")
+    ckpt = str(tmp_path / "ssj_ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.coalesce(4).write.parquet(src)
+
+    q = sj.stream_event_join(
+        spark, src, ckpt, left_type="view", right_type="click",
+        within="2 hours", sink_table="ssj_test")
+    assert q.awaitTermination(180)
+    got = sorted(map(tuple, spark.table("ssj_test").collect()))
+    want = sorted(map(tuple, sj.event_join_batch(
+        events, left_type="view", right_type="click",
+        within="2 hours").collect()))
+    assert got == want and len(want) > 0
+    # the time bound is real: every pair is strictly ordered and inside it
+    for _, _, _, l_ts, r_ts in got:
+        assert l_ts < r_ts <= l_ts + __import__("datetime").timedelta(hours=2)

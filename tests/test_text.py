@@ -322,3 +322,34 @@ def test_dsir_weights_layout_independent_and_broadcast_plan(spark):
     assert a == b
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan and "WindowExec" not in plan
+
+
+def test_length_quantiles_exact_type1(spark):
+    """Lengths [1,2,2,3,100], N=5: type-1 quantiles at known cut points;
+    permille=1000 is the max, permille=1 the min; empty corpus -> no
+    rows; validation on out-of-range permille."""
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a b"), (2, "x  y"), (3, "a b c"),
+         (4, " ".join(["t"] * 100))],
+        "doc_id long, text string")
+    got = {r["permille"]: r for r in text_ops.length_quantiles(
+        docs, permille=(1, 200, 500, 800, 1000)).collect()}
+    assert all(r["n_docs"] == 5 for r in got.values())
+    assert {p: r["value"] for p, r in got.items()} == {
+        1: 1, 200: 1, 500: 2, 800: 3, 1000: 100}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert text_ops.length_quantiles(empty).count() == 0
+    with pytest.raises(ValueError, match="permille"):
+        text_ops.length_quantiles(docs, permille=(0,))
+    with pytest.raises(ValueError, match="permille"):
+        text_ops.length_quantiles(docs, permille=(1001,))
+    # the only window runs AFTER the histogram agg (bounded value domain):
+    # HashAggregate must appear below Window in the plan tree
+    plan = (text_ops.length_quantiles(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Window" in plan and "HashAggregate" in plan
+    # plans print top-down: the histogram agg (deepest HashAggregate)
+    # must sit BELOW the window, i.e. later in the printed tree
+    assert plan.rindex("HashAggregate") > plan.index("Window")
