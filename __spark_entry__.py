@@ -1945,6 +1945,37 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_composite_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month median composites (composite.composite_by_period):
+    the synthetic epoch advances 1 h per image, so months partition the
+    MOCK family at exactly-known boundaries; per-(month, column) medians
+    have the same closed form as composite_profile, grouped by month."""
+    import math
+
+    n, _ = _sizes(sf_dir)
+    imgs = _staged_images(spark, sf_dir).filter(
+        "i % 3 = 0 AND fmt = 'raw' AND i < 900"
+    )
+    comp = composite.composite_by_period(imgs, period="month",
+                                         method="median")
+
+    def _profile(it):
+        for pdf in it:
+            rows = []
+            for gid, buf in zip(pdf["group_id"], pdf["bytes"]):
+                px = codecs.decode(bytes(buf))
+                for xl in range(px.shape[2]):
+                    v = float(px[0, 0, xl])
+                    if math.isnan(v):
+                        continue
+                    rows.append({"period": gid, "x": xl, "median_v": v})
+            yield pd.DataFrame(rows, columns=["period", "x", "median_v"])
+
+    return comp.mapInPandas(
+        _profile, schema="period string, x int, median_v double"
+    )
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join (streaming/joins.py): views
     joined to same-user purchases within 1 hour, drained with
@@ -2135,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,                    # NEW r5; windows r6
         "length_quantiles": q_length_quantiles,          # NEW r5; windows r6
         "stream_stream_join": q_stream_stream_join,      # NEW r5; windows r6
+        "composite_monthly": q_composite_monthly,        # NEW r5; windows r6
     }
 
 
@@ -2174,7 +2206,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "union": ("union_compat",),
     "sort": ("sort_portion", "sort_date_dist"),
     "collection-agg": ("collection_minmax",),
-    "composite": ("composite_profile", "composite_tiled_profile"),
+    "composite": ("composite_profile", "composite_tiled_profile",
+                  "composite_monthly"),
     "medoid": ("medoid_profile",),
     "qmosaic": ("qmosaic_halo", "composite_tiled_qmosaic"),
     "multimodal": ("image_features", "dct8_psnr", "aspect_bucket"),
@@ -2806,6 +2839,17 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(MEDIAN(v) AS DOUBLE) AS median_v,
                    CAST(max_by(v, i) AS DOUBLE) AS mosaic_v
             FROM vals GROUP BY x
+        """,
+        "composite_monthly": f"""
+            WITH images AS ({synth.sql_images(min(n, 900))}),
+            mock AS (SELECT * FROM images
+                     WHERE collection = 'MOCK/CONST' AND fmt = 'raw'),
+            vals AS (SELECT strftime(date_trunc('month', time_start),
+                                     '%Y-%m') AS period, x, v
+                     FROM mock, range(40) t(x) WHERE x >= f_px)
+            SELECT period, CAST(x AS INT) AS x,
+                   CAST(MEDIAN(v) AS DOUBLE) AS median_v
+            FROM vals GROUP BY 1, 2
         """,
         "composite_tiled_profile": f"""
             WITH images AS ({synth.sql_images(min(n, 900))}),

@@ -279,6 +279,40 @@ def composite_collection(
     return src.groupBy("group_id").applyInPandas(_comp, schema=_COMP_SCHEMA)
 
 
+_PERIOD_FMT = {
+    "year": "yyyy", "month": "yyyy-MM", "week": "yyyy-MM-dd",
+    "day": "yyyy-MM-dd",
+}
+
+
+def composite_by_period(
+    images: DataFrame, period: str = "month", method: str = "median",
+    **kwargs,
+) -> DataFrame:
+    """Calendar-period composites (monthly/seasonal rollups — the classic
+    EO time-series product): one composite per ``date_trunc(period)`` of
+    each image's time_start, labelled with a sortable string key
+    (e.g. '2024-01' for month).
+
+    Scale shape: identical to :func:`composite_collection` — periods
+    PARTITION the collection, so each applyInPandas group holds only that
+    period's images and different periods composite in parallel; no
+    global state.  For per-period stacks larger than a task, use
+    :func:`composite_tiled` with the period key added to the tile key.
+    """
+    if period not in _PERIOD_FMT:
+        raise ValueError(
+            f"period must be one of {sorted(_PERIOD_FMT)}, got {period!r}"
+        )
+    src = masks._with_time_start(images).withColumn(
+        "_period",
+        F.date_format(
+            F.date_trunc(period, F.col("time_start")), _PERIOD_FMT[period]
+        ),
+    )
+    return composite_collection(src, method, group_col="_period", **kwargs)
+
+
 def _cap_medoid_stack(
     pdf: pd.DataFrame, method: str, medoid_max_stack: int, unit: str
 ) -> pd.DataFrame:

@@ -532,3 +532,31 @@ def test_medoid_half_triangle_matches_full_loop():
         sd = np.where(valid, sd, np.inf)
         fin = np.isfinite(want_sd)
         np.testing.assert_allclose(sd[fin], want_sd[fin], atol=1e-6)
+
+
+def test_composite_by_period_groups_months(spark):
+    """Four MOCK images, two per calendar month: each month's median is
+    the mean of its two values; labels are sortable 'yyyy-MM' strings."""
+    rows = []
+    for i, (v, ts) in enumerate([
+        (10, "2024-01-05"), (20, "2024-01-20"),
+        (40, "2024-02-03"), (80, "2024-02-25"),
+    ]):
+        px = np.full((2, 6, 8), v, np.uint16)
+        rows.append({
+            "image_id": f"IMG/{i:08d}", "bytes": codecs.encode_raw(px),
+            "collection": "MOCK/CONST", "time_start": pd.Timestamp(ts),
+        })
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["group_id"]: r for r in
+           comp.composite_by_period(images, "month", "median").collect()}
+    assert set(out) == {"2024-01", "2024-02"}
+    assert all(r["n_inputs"] == 2 for r in out.values())
+    assert (codecs.decode(bytes(out["2024-01"]["bytes"]))[0] == 15).all()
+    assert (codecs.decode(bytes(out["2024-02"]["bytes"]))[0] == 60).all()
+    # yearly rollup folds both months into one group
+    year = comp.composite_by_period(images, "year", "median").collect()
+    assert [r["group_id"] for r in year] == ["2024"] and \
+        year[0]["n_inputs"] == 4
+    with pytest.raises(ValueError, match="period must"):
+        comp.composite_by_period(images, "fortnight")
