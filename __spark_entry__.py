@@ -1945,6 +1945,43 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup (streaming/neardup.py): banded
+    signatures as keyed bucket STATE across micro-batches; the drained
+    availableNow emissions, counted per pair, must equal the batch LSH
+    join — the oracle IS the batch minhash_lsh_pairs SQL (same params,
+    cap never hit at these scales)."""
+    import shutil
+    import tempfile
+
+    from geedim_spark.streaming import neardup as snd
+
+    base = tempfile.mkdtemp(prefix="geedim_stream_nd_")
+    _STREAM_Q_SEQ[0] += 1
+    sink = f"q_stream_nd_sink_{_STREAM_Q_SEQ[0]}"
+    try:
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
+        q = snd.stream_near_dup(
+            spark, f"{base}/in", f"{base}/ckpt",
+            n_hashes=16, bands=4, n=5, sink_table=sink,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream did not drain within 300 s")
+        agg = (
+            spark.table(sink)
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+        )
+        return spark.createDataFrame(
+            agg.collect(),
+            "doc_id_a long, doc_id_b long, n_shared_bands long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_composite_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month median composites (composite.composite_by_period):
     the synthetic epoch advances 1 h per image, so months partition the
@@ -2167,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,          # NEW r5; windows r6
         "stream_stream_join": q_stream_stream_join,      # NEW r5; windows r6
         "composite_monthly": q_composite_monthly,        # NEW r5; windows r6
+        "stream_near_dup": q_stream_near_dup,            # NEW r5; windows r6
     }
 
 
@@ -2214,7 +2252,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming-ingest": ("streaming_ingest", "snapshot_commit",
                          "streaming_score_join", "stream_stream_join"),
     "streaming-windows": ("streaming_windows",),
-    "streaming-dedup": ("streaming_dedup",),
+    "streaming-dedup": ("streaming_dedup", "stream_near_dup"),
     "sessionisation": ("events_sessions", "session_windows",
                        "streaming_sessions"),
     "events-agg": ("events_type_stats", "events_recent"),
@@ -2395,7 +2433,7 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             f" t -> list_contains({wl}, t)))"
         )
 
-    return {
+    sql = {
         "spatial_join": f"""
             WITH images AS ({images}), rois AS ({rois})
             SELECT image_id, roi_id FROM images JOIN rois
@@ -3984,3 +4022,8 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             FROM pairs WHERE hd <= 2
         """,
     }
+    # the streaming near-dup drain must equal the batch LSH join exactly
+    # (same signature/band hashes via dedup.banded_sigs; cap never hit at
+    # oracle scales) — one SQL text, two execution models under test
+    sql["stream_near_dup"] = sql["minhash_lsh_pairs"]
+    return sql

@@ -335,6 +335,31 @@ def _drop_oversized_buckets(
     return capped, report
 
 
+def banded_sigs(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, sig) -> exploded (doc_id, band, bhash) band-bucket keys —
+    the shared banding step of the batch LSH join and the streaming
+    near-dup operator (identical hashes, so the two are value-comparable)."""
+    rows_per_band = n_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.slice(F.col("sig"), b * rows_per_band + 1,
+                                    rows_per_band),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bhash")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n_hashes: int = 16,
@@ -364,24 +389,8 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     _check_n_hashes(n_hashes, bands)
-    rows_per_band = n_hashes // bands
     sigs = minhash_sig_df(documents, n_hashes, n)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        )
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bhash")
+    banded = banded_sigs(sigs, n_hashes, bands)
     # persist BEFORE the cap: the signature kernel is the expensive stage
     # and is consumed by the cap's size aggregate plus both self-join
     # sides — one kernel pass total.  Lazy — the cache fills on the first

@@ -304,3 +304,51 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     # the time bound is real: every pair is strictly ordered and inside it
     for _, _, _, l_ts, r_ts in got:
         assert l_ts < r_ts <= l_ts + __import__("datetime").timedelta(hours=2)
+
+
+def test_stream_near_dup_matches_batch_lsh(spark, tmp_path):
+    """Drained streaming MinHash-LSH pairs, counted per pair, equal the
+    batch minhash_lsh_pairs output value-for-value — bucket state
+    accumulates correctly across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from geedim_spark.operators import dedup
+    from geedim_spark.streaming import neardup as snd
+
+    src = str(tmp_path / "nd_src")
+    ckpt = str(tmp_path / "nd_ckpt")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.coalesce(4).write.parquet(src)
+
+    q = snd.stream_near_dup(spark, src, ckpt, sink_table="snd_test")
+    assert q.awaitTermination(180)
+    got = sorted(map(tuple, (
+        spark.table("snd_test").groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+        .collect())))
+    want = sorted(map(tuple, dedup.minhash_lsh_pairs(docs).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_stream_near_dup_bucket_cap_suppresses_overflow(spark, tmp_path):
+    """A bucket exceeding max_bucket_size within a batch suppresses that
+    batch's pairs and freezes the bucket (prospective cap — the streaming
+    analogue of the batch retroactive drop); validation rejects cap < 2."""
+    import pandas as pd
+
+    from geedim_spark.streaming import neardup as snd
+
+    src = str(tmp_path / "cap_src")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(5), "text": ["same boilerplate text here"] * 5,
+        "lang": ["en"] * 5, "source": ["s"] * 5, "n_chars": [26] * 5,
+    }))
+    docs.coalesce(1).write.parquet(src)
+    q = snd.stream_near_dup(
+        spark, src, str(tmp_path / "cap_ckpt"), max_bucket_size=3,
+        sink_table="snd_cap_test")
+    assert q.awaitTermination(180)
+    assert spark.table("snd_cap_test").count() == 0  # overflowed in-batch
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        snd.stream_near_dup(spark, src, str(tmp_path / "x"),
+                            max_bucket_size=1)
