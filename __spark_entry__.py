@@ -2073,6 +2073,66 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal.zonal_stats(imgs, zones, band=0, nodata=0.0)
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health table (operators/text.domain_stats):
+    RefinedWeb-style per-domain counts / size / exact-dup ratio /
+    language spread.  Dup counting shuffles md5(text), never the text."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.domain_stats(docs)
+
+
+def q_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-grid-cell revisit gaps (operators/collection_ops.revisit_stats):
+    exact integer cell keys + integer-second gaps; the only window is
+    PARTITIONED BY the cell."""
+    n, _ = _sizes(sf_dir)
+    images = synth.images_meta_df(spark, n)
+    return collection_ops.revisit_stats(images, cell_size=10000.0)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.
+    hard_negatives): top-3 most-similar OTHER-label vectors per vector
+    from the quantised LSH buckets; round(cos,6) + id tiebreaks keep the
+    ranking reproducible cross-engine."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return similarity.hard_negatives(emb, k=3, n_planes=4)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc tf-idf keywords (operators/text.tfidf_top_terms): ranking
+    on exact integer keys (tf DESC, df ASC, term ASC); the rounded float
+    score is informational only."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.tfidf_top_terms(docs, k=3)
+
+
+def q_image_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style metadata admission gate (operators/multimodal.
+    quality_gate) over the synthetic image+caption table with derived
+    varied dims (the synth table is constant 40x40, so the gate query
+    derives per-row test dims from ``i`` — replayed identically in the
+    oracle); funnel counts per format."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_meta_df(spark, n).select(
+        "fmt", "caption",
+        (F.lit(16) + F.col("i") % 48).cast("long").alias("w"),
+        (F.lit(16) + (F.col("i") * 7) % 48).cast("long").alias("h"),
+    )
+    g = multimodal.quality_gate(
+        imgs, min_dim=24, max_aspect=(2, 1), min_caption_chars=5,
+        fmts=("raw",))
+    flag = lambda c: F.sum(F.col(c).cast("long")).cast("long")  # noqa: E731
+    return g.groupBy("fmt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        flag("ok_dim").alias("n_ok_dim"),
+        flag("ok_aspect").alias("n_ok_aspect"),
+        flag("ok_caption").alias("n_ok_caption"),
+        flag("ok_fmt").alias("n_ok_fmt"),
+        flag("keep").alias("n_keep"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2205,6 +2265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,      # NEW r5; windows r6
         "composite_monthly": q_composite_monthly,        # NEW r5; windows r6
         "stream_near_dup": q_stream_near_dup,            # NEW r5; windows r6
+        "domain_stats": q_domain_stats,                  # NEW r5; windows r6
+        "revisit_stats": q_revisit_stats,                # NEW r5; windows r6
+        "hard_negatives": q_hard_negatives,              # NEW r5; windows r6
+        "tfidf_terms": q_tfidf_terms,                    # NEW r5; windows r6
+        "image_gate": q_image_gate,                      # NEW r5; windows r6
     }
 
 
@@ -2243,12 +2308,13 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "date-filter": ("date_filter_1ms",),
     "union": ("union_compat",),
     "sort": ("sort_portion", "sort_date_dist"),
-    "collection-agg": ("collection_minmax",),
+    "collection-agg": ("collection_minmax", "revisit_stats"),
     "composite": ("composite_profile", "composite_tiled_profile",
                   "composite_monthly"),
     "medoid": ("medoid_profile",),
     "qmosaic": ("qmosaic_halo", "composite_tiled_qmosaic"),
-    "multimodal": ("image_features", "dct8_psnr", "aspect_bucket"),
+    "multimodal": ("image_features", "dct8_psnr", "aspect_bucket",
+                   "image_gate"),
     "streaming-ingest": ("streaming_ingest", "snapshot_commit",
                          "streaming_score_join", "stream_stream_join"),
     "streaming-windows": ("streaming_windows",),
@@ -2259,9 +2325,9 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "relational": ("pricing_summary", "top_customers", "shipping_priority",
                    "local_supplier_volume"),
     "text-quality": ("doc_quality", "pii_redact", "repetition_stats",
-                     "gopher_rules"),
+                     "gopher_rules", "domain_stats"),
     "text-tokens": ("doc_token_stats", "top_ngrams", "token_rarity",
-                    "length_quantiles"),
+                    "length_quantiles", "tfidf_terms"),
     "decontam": ("decontam",),
     "packing": ("pack_sequences",),
     "text-langid": ("lang_id",),
@@ -2276,7 +2342,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup-minhash": ("minhash_sig", "minhash_lsh_pairs", "ngram_jaccard"),
     "dedup-components": ("dedup_components", "near_dedup_apply"),
     "ann-exact": ("ann_topk",),
-    "ann-lsh": ("ann_lsh", "label_noise"),
+    "ann-lsh": ("ann_lsh", "label_noise", "hard_negatives"),
     "ann-ivf": ("ann_ivf", "ann_ivf_flat"),
     "embed-dedup": ("embed_near_dup", "embed_dup_counts"),
 }
@@ -4020,6 +4086,135 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      AS BIGINT) AS n_shared_bands,
                    CAST(hd AS BIGINT) AS hamming
             FROM pairs WHERE hd <= 2
+        """,
+        # identical md5(text) dup keys (NULL text -> the same \x00NULL
+        # sentinel) and double divisions; per-source 2-phase agg replay
+        "domain_stats": """
+            SELECT COALESCE(source, '') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CAST(COUNT(DISTINCT md5(COALESCE(text, chr(0) || 'NULL')))
+                        AS BIGINT) AS n_unique_texts,
+                   CAST(round(1.0
+                        - COUNT(DISTINCT md5(COALESCE(text, chr(0) || 'NULL')))
+                          / CAST(COUNT(*) AS DOUBLE), 6)
+                        AS DOUBLE) AS dup_ratio,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(round(AVG(n_chars), 6) AS DOUBLE) AS mean_chars
+            FROM documents GROUP BY 1
+        """,
+        # exact integer cell keys + integer-second lag gaps; the window
+        # is partitioned by the cell in both engines
+        "revisit_stats": f"""
+            WITH img AS ({synth.sql_images(n)}),
+            base AS (
+              SELECT CAST(FLOOR(x0 / 10000.0) AS BIGINT) AS cell_x,
+                     CAST(FLOOR(y0 / 10000.0) AS BIGINT) AS cell_y,
+                     image_id,
+                     CAST(epoch(time_start) AS BIGINT) AS ts_s
+              FROM img),
+            g AS (
+              SELECT cell_x, cell_y,
+                     ts_s - lag(ts_s) OVER (PARTITION BY cell_x, cell_y
+                                            ORDER BY ts_s, image_id) AS gap_s
+              FROM base)
+            SELECT cell_x, cell_y,
+                   CAST(COUNT(*) AS BIGINT) AS n_images,
+                   CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+                   CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+                   CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS sum_gap_s,
+                   CAST(round(CASE WHEN COUNT(gap_s) > 0
+                        THEN CAST(SUM(gap_s) AS DOUBLE) / COUNT(gap_s)
+                        ELSE 0.0 END, 6) AS DOUBLE) AS mean_gap_s
+            FROM g GROUP BY 1, 2
+        """,
+        # same quantised buckets as label_noise; label-mismatch filter
+        # BEFORE the rank; round(cos,6) + nbr_id tiebreak
+        "hard_negatives": f"""
+            WITH emb AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            qemb AS (
+              SELECT vec_id, label, e,
+                     list_transform(e, x -> CAST(FLOOR(x * 4096.0)
+                       AS BIGINT)) AS qv
+              FROM emb),
+            bkt AS (SELECT vec_id, label, e, {_lsh_bucket_sql()} AS bucket
+                    FROM qemb),
+            sims AS (
+              SELECT a.vec_id, a.label,
+                     b.vec_id AS nbr_id, b.label AS nbr_label,
+                     round(list_dot_product(a.e, b.e)
+                       / NULLIF(sqrt(list_dot_product(a.e, a.e))
+                                * sqrt(list_dot_product(b.e, b.e)), 0),
+                       6) AS sim
+              FROM bkt a JOIN bkt b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+                   AND a.label <> b.label)
+            SELECT vec_id, label, CAST(rank AS INT) AS rank,
+                   nbr_id, nbr_label, sim
+            FROM (
+              SELECT vec_id, label, nbr_id, nbr_label, sim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, nbr_id) AS rank
+              FROM sims WHERE sim IS NOT NULL)
+            WHERE rank <= 3
+        """,
+        # identical lowercase-alpha terms; the rank uses only exact
+        # integer keys (tf DESC, df ASC, term ASC) — the rounded ln()
+        # score is a value column, never a sort key
+        "tfidf_terms": r"""
+            WITH ex AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(COALESCE(text, '')),
+                                             '[^a-z]+'), x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM ex GROUP BY 1, 2),
+            dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM tf GROUP BY 1),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+                   CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6)
+                        AS DOUBLE) AS score
+            FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, dfx.df, nd.n_docs,
+                     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfx.df ASC, tf.term ASC) AS rank
+              FROM tf JOIN dfx USING (term), nd)
+            WHERE rank <= 3
+        """,
+        # same derived test dims (pure functions of i) and exact
+        # integer cross-multiplied aspect rule; funnel counts per fmt
+        "image_gate": f"""
+            WITH img AS ({synth.sql_images(n)}),
+            v AS (
+              SELECT fmt, caption,
+                     CAST(16 + i % 48 AS BIGINT) AS w,
+                     CAST(16 + (i * 7) % 48 AS BIGINT) AS h
+              FROM img),
+            g AS (
+              SELECT fmt,
+                     (LEAST(w, h) >= 24) AS ok_dim,
+                     (GREATEST(w, h) * 1 <= LEAST(w, h) * 2) AS ok_aspect,
+                     (length(COALESCE(caption, '')) >= 5) AS ok_caption,
+                     (fmt IN ('raw')) AS ok_fmt
+              FROM v)
+            SELECT fmt,
+                   CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN ok_dim THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_ok_dim,
+                   CAST(SUM(CASE WHEN ok_aspect THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_ok_aspect,
+                   CAST(SUM(CASE WHEN ok_caption THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_ok_caption,
+                   CAST(SUM(CASE WHEN ok_fmt THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_ok_fmt,
+                   CAST(SUM(CASE WHEN ok_dim AND ok_aspect AND ok_caption
+                                      AND ok_fmt THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_keep
+            FROM g GROUP BY 1
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly

@@ -235,3 +235,47 @@ def check_compatible_collections(images: DataFrame) -> list[str]:
         elif name != ids[0]:
             raise ValueError(f"Incompatible collections: {ids}")
     return ids
+
+
+def revisit_stats(images: DataFrame, cell_size: float = 10000.0) -> DataFrame:
+    """Per-grid-cell revisit statistics: how often is each spatial cell
+    re-observed?  The collection-planning statistic behind "does this
+    AOI have a usable time series" — gaps between consecutive
+    acquisitions whose footprint ORIGIN falls in the same square cell.
+
+    The cell key is the footprint origin's integer cell
+    (floor(x0 / cell_size), floor(y0 / cell_size)) — exact integer
+    arithmetic, so the grouping is reproducible cross-engine.  Gaps are
+    exact integer seconds between consecutive ``time_start`` values
+    within a cell (ordered by time, image_id tiebreak).
+
+    Scale shape (100 TB): one narrow projection, then a window
+    PARTITIONED BY the cell key — bounded by images-per-cell, never
+    global — and a 2-phase hash aggregate per cell.  No UDF, no
+    global sort; cells shard the collection evenly by construction.
+
+    Returns one row per cell holding >= 1 image:
+    (cell_x, cell_y, n_images, n_gaps, max_gap_s, sum_gap_s, mean_gap_s).
+    """
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be > 0, got {cell_size}")
+    from pyspark.sql.window import Window
+
+    base = images.select(
+        F.floor(F.col("x0") / cell_size).cast("long").alias("cell_x"),
+        F.floor(F.col("y0") / cell_size).cast("long").alias("cell_y"),
+        "image_id",
+        F.unix_timestamp("time_start").alias("ts_s"),
+    )
+    w = Window.partitionBy("cell_x", "cell_y").orderBy("ts_s", "image_id")
+    gaps = base.withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w))
+    return gaps.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.coalesce(F.sum("gap_s"), F.lit(0)).cast("long").alias("sum_gap_s"),
+        F.round(
+            F.when(F.count("gap_s") > 0,
+                   F.sum("gap_s").cast("double") / F.count("gap_s"))
+            .otherwise(F.lit(0.0)), 6).alias("mean_gap_s"),
+    )

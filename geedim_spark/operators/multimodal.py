@@ -221,3 +221,55 @@ def aspect_bucket(
         "bucket_h": best["bh"],
         "n_vit_tokens": n_tok,
     })
+
+
+def quality_gate(
+    images: DataFrame,
+    min_dim: int = 32,
+    max_aspect: tuple[int, int] = (3, 1),
+    min_caption_chars: int = 5,
+    fmts: tuple[str, ...] = ("raw", "dct8"),
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """LAION-style image+caption admission gate (cf. Schuhmann et al.
+    2022 §3.1: resolution / aspect / caption-length / format filters
+    before any pixel is decoded): per-row booleans for each rule plus
+    the ``keep`` conjunction, evaluated on METADATA ONLY.
+
+    The aspect rule compares exactly by integer cross-multiplication —
+    ``max(w,h) * den <= min(w,h) * num`` for a ``num/den`` cap — never a
+    float ratio, so every verdict is reproducible cross-engine.
+
+    Scale shape (100 TB): pure Catalyst column expressions over the
+    metadata columns — zero shuffle, zero UDF, and (critically) zero
+    byte-column touch: the gate prunes BEFORE decode, so rejected images
+    never cost a pixel.  Parquet column pruning drops ``bytes`` from the
+    scan entirely.
+
+    Output: input key columns + ok_dim / ok_aspect / ok_caption /
+    ok_fmt / keep booleans.
+    """
+    from pyspark.sql import functions as F
+
+    num, den = max_aspect
+    if min_dim < 1 or num < 1 or den < 1:
+        raise ValueError("min_dim and max_aspect parts must be >= 1")
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    ok_dim = (F.least(w, h) >= min_dim).alias("ok_dim")
+    ok_aspect = (
+        F.greatest(w, h) * den <= F.least(w, h) * num).alias("ok_aspect")
+    ok_caption = (
+        F.length(F.coalesce(F.col("caption"), F.lit("")))
+        >= min_caption_chars).alias("ok_caption")
+    ok_fmt = F.col("fmt").isin(*fmts).alias("ok_fmt")
+    out = images.withColumns({
+        "ok_dim": ok_dim, "ok_aspect": ok_aspect,
+        "ok_caption": ok_caption, "ok_fmt": ok_fmt,
+    })
+    return out.withColumn(
+        "keep",
+        F.col("ok_dim") & F.col("ok_aspect")
+        & F.col("ok_caption") & F.col("ok_fmt"),
+    )

@@ -495,3 +495,54 @@ def knn_label_noise(
              & (F.col("knn_label") != F.col("label"))).alias("is_suspect"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame, k: int = 3, n_planes: int = 4
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every vector, the k most
+    similar vectors carrying a DIFFERENT label — the negatives that
+    matter for metric-learning / CLIP-style contrastive training
+    (cf. Robinson et al. 2021, "Contrastive Learning with Hard Negative
+    Samples").
+
+    Candidates come from the same integer-quantised LSH buckets as
+    :func:`lsh_bucket_topk_quantised` (exact int64 bucket keys), so the
+    whole query is value-checkable cross-engine; similarity ranks on
+    round(cos, 6) with id tiebreaks.  A vector whose bucket holds no
+    other-label member emits no rows (it has no mined negatives).
+
+    Scale shape (100 TB): bucket equi-join prunes candidates to
+    ~N/2^n_planes per vector; the label-mismatch filter applies BEFORE
+    the rank; the only window is PARTITIONED BY vec_id (bounded by
+    bucket size).  No UDF, no global sort, no cross join.
+
+    Output: (vec_id, label, rank, nbr_id, nbr_label, sim).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    planes = lsh_int_planes(embedding_dim(embeddings), n_planes)
+    base = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes))
+    left = base.select("vec_id", "label", F.col("e").alias("qe"), "bucket")
+    right = base.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"),
+        "e", "bucket")
+    sims = (
+        left.join(right, "bucket")
+        .filter((F.col("vec_id") != F.col("nbr_id"))
+                & (F.col("label") != F.col("nbr_label")))
+        .select(
+            "vec_id", "label", "nbr_id", "nbr_label",
+            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "label", F.col("rank").cast("int").alias("rank"),
+                "nbr_id", "nbr_label", "sim")
+    )

@@ -598,3 +598,88 @@ def token_rarity(documents: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0)), 6).alias("avg_freq"),
         F.round(F.coalesce("_nll", F.lit(0.0)), 6).alias("nll"),
     )
+
+
+def domain_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus health aggregates — the RefinedWeb/C4 style
+    per-domain curation table (Penedo et al. 2023 filter web data per
+    registered domain): document counts, size, exact-duplicate ratio and
+    language spread for every ``source``.
+
+    Exact-dup counting shuffles md5(text) (32 bytes/row), never the text
+    itself; everything else is a 2-phase hash aggregate on the ``source``
+    key.  At 100 TB the distinct-count pre-aggregates per (source, hash)
+    map-side before the per-source merge — no text bytes cross the wire,
+    no window, no UDF.
+
+    Returns one row per source:
+    (source, n_docs, n_chars, n_unique_texts, dup_ratio, n_langs,
+    mean_chars).
+    """
+    h = F.md5(F.coalesce(F.col("text"), F.lit("\x00NULL")))
+    per = documents.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "lang", h.alias("th"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("th").cast("long").alias("n_unique_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("th").cast("double") / F.count(F.lit(1)),
+            6).alias("dup_ratio"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k keyword extraction by tf-idf (Salton & Buckley
+    1988) — the classic relevance signal for corpus exploration and
+    topic-balanced sampling.
+
+    Terms are lowercase alpha runs.  ``tf`` is the within-doc count,
+    ``df`` the number of documents containing the term, and the emitted
+    score ``tf * ln(n_docs / df)`` is informational (rounded to 6 dp);
+    the RANKING uses only exact integer keys (tf DESC, df ASC, term ASC)
+    so the selected rows are reproducible cross-engine regardless of
+    float ulps.
+
+    Scale shape (100 TB): explode -> two 2-phase hash aggs (per-doc tf,
+    corpus df); the df join is an equi-join on the term key (AQE
+    skew-split absorbs stop-word heat); the corpus size is a 1-row
+    broadcast; the ONLY window is PARTITIONED BY doc_id — bounded by a
+    document's distinct vocabulary, never corpus-global.
+
+    Returns (doc_id, rank, term, tf, df, score), ``k`` rows per
+    non-empty document.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+"),
+        lambda x: x != "")
+    ex = documents.select("doc_id", F.explode(terms).alias("term"))
+    # tf is already one row per (doc, term), so df derives from it
+    # directly — one corpus explode feeds both aggregates, and the frame
+    # both sides consume is persisted once (far smaller than the corpus).
+    tf = ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")).persist()
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = documents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    j = tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term"))
+    ranked = j.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+    return ranked.select(
+        "doc_id", F.col("rank").cast("int").alias("rank"), "term",
+        "tf", "df",
+        F.round(F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6).alias("score"),
+    )

@@ -164,3 +164,41 @@ def test_schema_filter_string_props_not_cast():
     )
     assert "props['RADIOMETRIC_QUALITY'] = 'PASSED'" in out
     assert "cast(props['MEAN_SOLAR_AZIMUTH_ANGLE'] as double)" in out
+
+
+def test_revisit_stats_closed_form(spark):
+    """Cell (0,0): images at t0, +1h, +3h -> gaps 3600/7200 s; a lone
+    image in cell (1,0) reports zero gaps with NULL max."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from geedim_spark.operators import collection_ops as co
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (100.0, 200.0, "A", t0),
+        (900.0, 300.0, "B", t0 + dt.timedelta(hours=1)),
+        (400.0, 800.0, "C", t0 + dt.timedelta(hours=3)),
+        (10000.0, 0.0, "D", t0),
+    ]
+    images = spark.createDataFrame(
+        rows, "x0 double, y0 double, image_id string, time_start timestamp")
+    out = {(r["cell_x"], r["cell_y"]): r
+           for r in co.revisit_stats(images, cell_size=10000.0).collect()}
+    c0 = out[(0, 0)]
+    assert (c0["n_images"], c0["n_gaps"], c0["max_gap_s"],
+            c0["sum_gap_s"]) == (3, 2, 7200, 10800)
+    assert c0["mean_gap_s"] == 5400.0
+    c1 = out[(1, 0)]
+    assert (c1["n_images"], c1["n_gaps"], c1["sum_gap_s"],
+            c1["mean_gap_s"]) == (1, 0, 0, 0.0)
+    assert c1["max_gap_s"] is None
+    with _pytest.raises(ValueError, match="cell_size"):
+        co.revisit_stats(images, cell_size=0.0)
+    # scale shape: the lag window is PARTITIONED BY the cell key — the
+    # windowspecdefinition must name cell_x (a global window would not)
+    plan = (co.revisit_stats(images)._jdf.queryExecution()
+            .executedPlan().toString())
+    spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert spec and all("cell_x" in ln for ln in spec)

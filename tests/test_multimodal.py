@@ -94,3 +94,37 @@ def test_aspect_bucket_no_shuffle_no_udf(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_quality_gate_rules(spark):
+    """Each rule isolated + the exact cross-multiplied aspect boundary
+    (20x40 vs cap 2/1 is an exact tie -> passes)."""
+    import pytest as _pytest
+
+    from geedim_spark.operators import multimodal as mm
+
+    rows = [
+        (0, 40, 40, "a caption", "raw"),    # all pass
+        (1, 20, 40, "a caption", "raw"),    # dim fails; aspect exact tie
+        (2, 100, 30, "a caption", "raw"),   # aspect fails (100 > 2*30)
+        (3, 40, 40, "hi", "raw"),           # caption fails
+        (4, 40, 40, "a caption", "gif"),    # fmt fails
+    ]
+    imgs = spark.createDataFrame(
+        rows, "i long, w int, h int, caption string, fmt string")
+    out = {r["i"]: r for r in mm.quality_gate(
+        imgs, min_dim=32, max_aspect=(2, 1), min_caption_chars=5,
+        fmts=("raw", "dct8")).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["ok_dim"] and out[1]["ok_aspect"]  # exact tie passes
+    assert not out[2]["ok_aspect"] and not out[2]["keep"]
+    assert not out[3]["ok_caption"]
+    assert not out[4]["ok_fmt"]
+    assert [out[i]["keep"] for i in range(5)] == [
+        True, False, False, False, False]
+    with _pytest.raises(ValueError, match="min_dim"):
+        mm.quality_gate(imgs, min_dim=0)
+    # scale shape: metadata-only narrow plan — no shuffle, no UDF eval
+    plan = (mm.quality_gate(imgs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan

@@ -235,3 +235,37 @@ def test_knn_label_noise_singleton_bucket(spark):
     r = sim.knn_label_noise(df, k=5).collect()[0]
     assert (r["n_nbrs"], r["knn_label"], r["n_agree"],
             r["is_suspect"]) == (0, None, 0, False)
+
+
+def test_hard_negatives_planted(spark):
+    """Near-parallel positive vectors share a quantised bucket; the
+    closest SAME-label vector is excluded, the two other-label vectors
+    rank by cosine, and a lone-label bucket emits nothing."""
+    import pytest as _pytest
+
+    from geedim_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [1.0, 0.10, 0.0, 0.0], "b"),   # cos ~ 0.995037
+        (2, [1.0, 0.20, 0.0, 0.0], "b"),   # cos ~ 0.980581
+        (3, [1.0, 0.05, 0.0, 0.0], "a"),   # closer than 1 but same label
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    out = sim.hard_negatives(emb, k=2, n_planes=4).collect()
+    mine = sorted([(r["rank"], r["nbr_id"]) for r in out
+                   if r["vec_id"] == 0])
+    assert mine == [(1, 1), (2, 2)]
+    # no same-label rows anywhere
+    assert all(r["label"] != r["nbr_label"] for r in out)
+    # k caps the per-vector output
+    k1 = sim.hard_negatives(emb, k=1, n_planes=4).collect()
+    assert max(r["rank"] for r in k1) == 1
+    with _pytest.raises(ValueError, match="k must be"):
+        sim.hard_negatives(emb, k=0)
+    # a corpus with one label mines no negatives at all
+    solo = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], "a"), (1, [1.0, 0.1, 0.0, 0.0], "a")],
+        "vec_id long, embedding array<double>, label string")
+    assert sim.hard_negatives(solo, k=2).count() == 0

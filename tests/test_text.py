@@ -353,3 +353,58 @@ def test_length_quantiles_exact_type1(spark):
     # plans print top-down: the histogram agg (deepest HashAggregate)
     # must sit BELOW the window, i.e. later in the printed tree
     assert plan.rindex("HashAggregate") > plan.index("Window")
+
+
+def test_domain_stats_closed_form(spark):
+    """Source A: 3 docs, one exact dup pair, two langs; source B: one
+    NULL-text doc; NULL source groups under ''."""
+    import pandas as pd
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "A", 1), (1, "x", "en", "A", 1),
+         (2, "y", "de", "A", 1), (3, None, "en", "B", 0),
+         (4, "z", "en", None, 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["source"]: r for r in text_ops.domain_stats(docs).collect()}
+    a = out["A"]
+    assert (a["n_docs"], a["n_chars"], a["n_unique_texts"],
+            a["n_langs"]) == (3, 3, 2, 2)
+    assert a["dup_ratio"] == round(1.0 - 2.0 / 3.0, 6)
+    assert a["mean_chars"] == 1.0
+    b = out["B"]
+    assert (b["n_docs"], b["n_unique_texts"], b["dup_ratio"]) == (1, 1, 0.0)
+    assert (out[""]["n_docs"], out[""]["n_unique_texts"]) == (1, 1)
+    # scale shape: 2-phase hash agg only — no window, no sort
+    plan = (text_ops.domain_stats(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "HashAggregate" in plan and "WindowExec" not in plan
+
+
+def test_tfidf_top_terms_closed_form(spark):
+    """Corpus 'apple apple banana' / 'banana cherry' / '': hand-computed
+    tf/df/score; rank keys are exact integers (tf DESC, df ASC, term)."""
+    import math
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["Apple apple banana", "banana cherry", ""]}))
+    rows = text_ops.tfidf_top_terms(docs, k=3).collect()
+    got = {(r["doc_id"], r["rank"]): r for r in rows}
+    assert len(rows) == 4  # 2 + 2 + 0
+    r01 = got[(0, 1)]
+    assert (r01["term"], r01["tf"], r01["df"]) == ("apple", 2, 1)
+    assert r01["score"] == round(2 * math.log(3.0 / 1), 6)
+    assert got[(0, 2)]["term"] == "banana"
+    # d1: equal tf=1 -> df ASC puts cherry (df=1) above banana (df=2)
+    assert got[(1, 1)]["term"] == "cherry"
+    assert got[(1, 1)]["score"] == round(math.log(3.0), 6)
+    assert got[(1, 2)]["term"] == "banana"
+    with _pytest.raises(ValueError, match="k must be"):
+        text_ops.tfidf_top_terms(docs, k=0)
