@@ -1,0 +1,84 @@
+"""As-of join: backward/forward, inclusive match, tolerance, right-side
+NULL-payload survival, and the one-shuffle plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from geedim_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, "u1", _ts(20)), (3, "u1", _ts(5)),
+         (4, "u2", _ts(10)), (5, "u3", _ts(10))],
+        "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 100), ("u1", _ts(15), 150), ("u2", _ts(1), 201),
+         ("u2", _ts(30), 230)],
+        "user_id string, ts timestamp, view_id long")
+    return left, right
+
+
+def test_backward_inclusive(spark, frames):
+    left, right = frames
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, on="ts", by=("user_id",), payload=("view_id",)
+    ).collect()}
+    assert out[1]["view_id_right"] == 100      # equal ts matches (inclusive)
+    assert out[2]["view_id_right"] == 150      # latest predecessor
+    assert out[3]["view_id_right"] is None     # nothing before t=5
+    assert out[3]["ts_right"] is None
+    assert out[4]["view_id_right"] == 201
+    assert out[5]["view_id_right"] is None     # key never seen on right
+    assert len(out) == 5                       # every left row survives
+
+
+def test_forward_direction(spark, frames):
+    left, right = frames
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, on="ts", by=("user_id",), payload=("view_id",),
+        direction="forward").collect()}
+    assert out[1]["view_id_right"] == 100      # inclusive at equal ts
+    assert out[2]["view_id_right"] is None     # nothing at/after t=20
+    assert out[3]["view_id_right"] == 100      # next at t=10
+    assert out[4]["view_id_right"] == 230
+
+
+def test_tolerance(spark, frames):
+    left, right = frames
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, on="ts", by=("user_id",), payload=("view_id",),
+        tolerance_us=5_000_000).collect()}
+    assert out[2]["view_id_right"] == 150      # 5 s away: within bound
+    assert out[4]["view_id_right"] is None     # 9 s away: nulled
+    assert out[4]["ts_right"] is None
+
+
+def test_validation(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, direction="nearest")
+    with pytest.raises(ValueError, match="tolerance_us"):
+        asof_join(left, right, tolerance_us=-1)
+    with pytest.raises(ValueError, match="payload overlaps"):
+        asof_join(left, right, payload=("user_id",))
+
+
+def test_plan_shape(spark, frames):
+    """One hash exchange per side feeding a KEY-partitioned window —
+    no cartesian/range join, no global window."""
+    left, right = frames
+    plan = (asof_join(left, right, payload=("view_id",))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert spec and all("user_id" in ln for ln in spec)
