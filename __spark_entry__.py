@@ -2165,6 +2165,54 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multimodal dedup — the LAION 'same image, different
+    alt-text' rule: group by md5 of the ENCODED PIXEL BYTES, count
+    images and distinct captions per content group.  The Spark side
+    hashes real bytes (shuffle key = 32-char md5, never the blob); the
+    oracle regenerates the SAME partition analytically — pixels are a
+    pure function of (v, f_px, c_px, w, h, fmt, qa-bit kind), all
+    available in the synth SQL twin — so a value match proves the
+    byte-level hash path groups exactly like the recipe says it must."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n)
+    keyed = imgs.select(
+        F.md5(F.col("bytes")).alias("content_key"), "caption", "image_id")
+    return keyed.groupBy("content_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.countDistinct("caption").cast("long").alias("n_captions"),
+        F.min("image_id").alias("rep_image_id"),
+    ).select("n_images", "n_captions", "rep_image_id")
+
+
+def q_roi_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROI temporal coverage completeness: months with >= 1
+    intersecting acquisition vs the collection's total month span —
+    the 'is this AOI's time series usable' planning table.  Pairs come
+    from the cell-cover join + exact bbox refine (operators/
+    spatial_join.filter_bounds, ROIs broadcast); months via date_trunc;
+    coverage as exact integer permille (no float in the ratio)."""
+    n, m = _sizes(sf_dir)
+    images = synth.images_meta_df(spark, n)
+    rois = synth.rois_df(spark, m)
+    pairs = sj.filter_bounds(images, rois)
+    dated = pairs.join(
+        images.select("image_id",
+                      F.date_trunc("month", "time_start").alias("month")),
+        "image_id")
+    total = images.agg(F.countDistinct(
+        F.date_trunc("month", "time_start")).cast("long").alias("total_months"))
+    per = dated.groupBy("roi_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.countDistinct("month").cast("long").alias("n_months"),
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "roi_id", "n_images", "n_months", "total_months",
+        F.expr("CAST(n_months * 1000 DIV total_months AS BIGINT)")
+        .alias("coverage_permille"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2305,6 +2353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,              # NEW r5; windows r6
         "tfidf_terms": q_tfidf_terms,                    # NEW r5; windows r6
         "image_gate": q_image_gate,                      # NEW r5; windows r6
+        "image_exact_dup": q_image_exact_dup,            # NEW r5; windows r6
+        "roi_coverage": q_roi_coverage,                  # NEW r5; windows r6
     }
 
 
@@ -2315,7 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 PRIORITY_WINDOW = 50
 
 QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
-    "spatial-join": ("spatial_join", "geo_spatial_join"),
+    "spatial-join": ("spatial_join", "geo_spatial_join", "roi_coverage"),
     "skew-join": ("skew_join",),
     "mask-stats": ("mask_portions", "tiled_portions",
                    "landsat_param_portions", "best_effort_portions"),
@@ -2372,7 +2422,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "text-fingerprint": ("doc_fingerprint", "stratified_sample",
                          "epoch_shuffle", "dsir_weights"),
     "dedup-exact": ("doc_dup_counts", "line_dedup", "dedup_apply",
-                    "cdc_dup_spans"),
+                    "cdc_dup_spans", "image_exact_dup"),
     "dedup-simhash": ("simhash", "phash_near_dup"),  # bit-fingerprint
                                                      # hamming dedup
     "dedup-minhash": ("minhash_sig", "minhash_lsh_pairs", "ngram_jaccard"),
@@ -4269,6 +4319,46 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        # the analytic recipe partition: pixels are a pure function of
+        # (v, f_px, c_px, w, h, fmt) plus WHICH QA bit fires (i%3==2 ->
+        # QA60 bit 10, else QA_PIXEL bit 9 — only when c_px > 0, synth.py
+        # _gen_bytes_batch); Spark groups by md5(real bytes) — the value
+        # match proves the byte path realises exactly this partition
+        "image_exact_dup": f"""
+            WITH img AS ({synth.sql_images(n)})
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+                   CAST(COUNT(DISTINCT caption) AS BIGINT) AS n_captions,
+                   MIN(image_id) AS rep_image_id
+            FROM img
+            GROUP BY v, f_px, c_px, w, h, fmt,
+                     CASE WHEN c_px > 0 THEN CAST(i % 3 = 2 AS INT)
+                          ELSE -1 END
+        """,
+        # exact bbox-intersect join (the cover join's refine makes the
+        # engine result res-independent) + month distinct counts;
+        # coverage as exact integer permille
+        "roi_coverage": f"""
+            WITH img AS ({synth.sql_images(n)}),
+            roi AS ({synth.sql_rois(m)}),
+            pairs AS (
+              SELECT DISTINCT img.image_id, roi.roi_id
+              FROM img JOIN roi
+                ON img.x0 <= roi.rx1 AND roi.rx0 <= img.x1
+               AND img.y0 <= roi.ry1 AND roi.ry0 <= img.y1),
+            dated AS (
+              SELECT p.roi_id, date_trunc('month', i.time_start) AS month
+              FROM pairs p JOIN img i USING (image_id)),
+            tot AS (
+              SELECT CAST(COUNT(DISTINCT date_trunc('month', time_start))
+                          AS BIGINT) AS total_months FROM img)
+            SELECT roi_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_images,
+                   CAST(COUNT(DISTINCT month) AS BIGINT) AS n_months,
+                   total_months,
+                   CAST(COUNT(DISTINCT month) * 1000 // total_months
+                        AS BIGINT) AS coverage_permille
+            FROM dated, tot GROUP BY roi_id, total_months
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly
