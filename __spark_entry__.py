@@ -2213,6 +2213,15 @@ def q_roi_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality pruning (operators/text.quality_prune): keep
+    the top 400‰ per language by exact integer alpha-permille; the cut
+    comes from the bounded-domain histogram (the corpus never sorts),
+    ties at the cut kept."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.quality_prune(docs, permille=400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2355,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_gate": q_image_gate,                      # NEW r5; windows r6
         "image_exact_dup": q_image_exact_dup,            # NEW r5; windows r6
         "roi_coverage": q_roi_coverage,                  # NEW r5; windows r6
+        "quality_prune": q_quality_prune,                # NEW r5; windows r6
     }
 
 
@@ -2411,7 +2421,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "relational": ("pricing_summary", "top_customers", "shipping_priority",
                    "local_supplier_volume"),
     "text-quality": ("doc_quality", "pii_redact", "repetition_stats",
-                     "gopher_rules", "domain_stats"),
+                     "gopher_rules", "domain_stats", "quality_prune"),
     "text-tokens": ("doc_token_stats", "top_ngrams", "token_rarity",
                     "length_quantiles", "tfidf_terms"),
     "decontam": ("decontam",),
@@ -4359,6 +4369,39 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(COUNT(DISTINCT month) * 1000 // total_months
                         AS BIGINT) AS coverage_permille
             FROM dated, tot GROUP BY roi_id, total_months
+        """,
+        # identical integer alpha-permille score, k = (p*n+999) DIV 1000
+        # per group, cut = max score whose desc-cumulative count >= k,
+        # ties at the cut kept — a pure filter in both engines
+        "quality_prune": r"""
+            WITH scored AS (
+              SELECT doc_id, lang AS grp,
+                     CAST(CASE WHEN length(COALESCE(text, '')) > 0
+                          THEN CAST(length(regexp_replace(
+                                 COALESCE(text, ''), '[^a-zA-Z]', '', 'g'))
+                               AS BIGINT) * 1000
+                               // length(COALESCE(text, ''))
+                          ELSE 0 END AS BIGINT) AS score
+              FROM documents),
+            hist AS (SELECT grp, score, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM scored GROUP BY 1, 2),
+            cum AS (
+              SELECT grp, score, c,
+                     SUM(c) OVER (PARTITION BY grp ORDER BY score DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM hist),
+            tot AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_grp
+                    FROM hist GROUP BY 1),
+            cuts AS (
+              SELECT cum.grp, tot.n_grp,
+                     CAST(MAX(score) AS BIGINT) AS cut
+              FROM cum JOIN tot USING (grp)
+              WHERE cum.cum >= (400 * tot.n_grp + 999) // 1000
+              GROUP BY 1, 2)
+            SELECT s.doc_id, s.grp AS lang, s.score, c.cut,
+                   c.n_grp AS n_group_docs
+            FROM scored s JOIN cuts c ON s.grp = c.grp
+            WHERE s.score >= c.cut
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly

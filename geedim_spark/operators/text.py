@@ -683,3 +683,66 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
                 * F.log(F.col("n_docs").cast("double") / F.col("df")),
                 6).alias("score"),
     )
+
+
+def quality_prune(
+    documents: DataFrame, permille: int = 500, by: str = "lang"
+) -> DataFrame:
+    """Keep the top ``permille``/1000 of documents per group (default:
+    per language) by an EXACT integer quality score — the percentile
+    pruning step of corpus curation (C4 keeps the 'cleanest' fraction
+    per language rather than a fixed absolute threshold).
+
+    The score is integer alpha-permille (``n_alpha * 1000 DIV n_chars``,
+    0 for empty docs) so ranking can never be flipped by float ulps.
+    The cut is chosen so ``count(score > cut) <= k <= count(score >= cut)``
+    with ``k = (permille * n + 999) DIV 1000`` per group; TIES AT THE
+    CUT ARE KEPT (the result is a pure score filter, deterministic and
+    engine-independent).
+
+    Scale shape (100 TB): a per-group window over ROWS would funnel each
+    language through one task — instead this is the bounded-domain
+    histogram pattern: 2-phase hash agg to (group, score) counts (at
+    most 1001 rows per group), a window over that BOUNDED domain to find
+    the cut, then a broadcast join back and a filter.  The corpus itself
+    never sorts and never windows.
+
+    Returns the kept documents: (doc_id, group col, score, cut,
+    n_group_docs).
+    """
+    if not 1 <= permille <= 1000:
+        raise ValueError(f"permille must be in [1, 1000], got {permille}")
+    text_col = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(text_col).cast("long")
+    n_alpha = F.length(
+        F.regexp_replace(text_col, "[^a-zA-Z]", "")).cast("long")
+    scored = documents.select(
+        "doc_id", F.col(by).alias("_grp"),
+        F.when(n > 0, (n_alpha * 1000).cast("long"))
+        .otherwise(F.lit(0)).alias("_num"),
+        F.greatest(n, F.lit(1)).alias("_den"),
+    ).select(
+        "doc_id", "_grp",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("score"),
+    )
+    hist = scored.groupBy("_grp", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = (Window.partitionBy("_grp").orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    totals = hist.groupBy("_grp").agg(F.sum("c").cast("long").alias("n_grp"))
+    k = totals.withColumn(
+        "k", F.expr("CAST((%d * n_grp + 999) DIV 1000 AS BIGINT)"
+                    % permille))
+    cuts = (
+        cum.join(k, "_grp")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("_grp", "n_grp")
+        .agg(F.max("score").cast("long").alias("cut"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), "_grp")
+        .filter(F.col("score") >= F.col("cut"))
+        .select("doc_id", F.col("_grp").alias(by), "score", "cut",
+                F.col("n_grp").alias("n_group_docs"))
+    )

