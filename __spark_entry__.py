@@ -2222,6 +2222,21 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_prune(docs, permille=400)
 
 
+def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination (operators/dedup.
+    fuzzy_decontam): MinHash-LSH candidates BETWEEN corpus and a
+    planted benchmark (every 50th doc with its last 3 chars cut — a
+    light edit exact n-gram decontam would miss), verified with exact
+    shingle Jaccard; the verdict is integer cross-multiplied."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    bench = docs.filter("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 900000).alias("bench_id"),
+        F.expr("substr(text, 1, greatest(length(text) - 3, 1))")
+        .alias("text"),
+    )
+    return dedup.fuzzy_decontam(docs, bench, threshold_permille=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2365,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exact_dup": q_image_exact_dup,            # NEW r5; windows r6
         "roi_coverage": q_roi_coverage,                  # NEW r5; windows r6
         "quality_prune": q_quality_prune,                # NEW r5; windows r6
+        "fuzzy_decontam": q_fuzzy_decontam,              # NEW r5; windows r6
     }
 
 
@@ -2424,7 +2440,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
                      "gopher_rules", "domain_stats", "quality_prune"),
     "text-tokens": ("doc_token_stats", "top_ngrams", "token_rarity",
                     "length_quantiles", "tfidf_terms"),
-    "decontam": ("decontam",),
+    "decontam": ("decontam", "fuzzy_decontam"),
     "packing": ("pack_sequences",),
     "text-langid": ("lang_id",),
     # content-hash sampling shares the portable-md5-derivation machinery
@@ -4402,6 +4418,60 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    c.n_grp AS n_group_docs
             FROM scored s JOIN cuts c ON s.grp = c.grp
             WHERE s.score >= c.cut
+        """,
+        # full cross-table MinHash-LSH replay: same shingle hash / A,B
+        # rows / band md5 as lsh_ctes on BOTH chains, exact Jaccard
+        # verify, integer cross-multiplied verdict
+        "fuzzy_decontam": f"""
+            WITH bench AS (
+              SELECT doc_id + 900000 AS bench_id,
+                     substr(text, 1, greatest(length(text) - 3, 1)) AS text
+              FROM documents WHERE doc_id % 50 = 0),
+            dsh AS (SELECT doc_id, {minhash_shingle} AS sh FROM documents),
+            dsig AS (
+              SELECT doc_id, [{', '.join(
+                  f'list_min(list_transform(sh, h -> ({dedup._A[i]} * h '
+                  f'+ {dedup._B[i]}) % 2147483647))' for i in range(16))}] AS sig
+              FROM dsh),
+            dband AS (
+              SELECT doc_id, b,
+                     md5(array_to_string(sig[b*4 + 1 : b*4 + 4], ',')) AS bhash
+              FROM dsig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+            bsh AS (SELECT bench_id, {minhash_shingle} AS sh FROM bench),
+            bsig AS (
+              SELECT bench_id, [{', '.join(
+                  f'list_min(list_transform(sh, h -> ({dedup._A[i]} * h '
+                  f'+ {dedup._B[i]}) % 2147483647))' for i in range(16))}] AS sig
+              FROM bsh),
+            bband AS (
+              SELECT bench_id, b,
+                     md5(array_to_string(sig[b*4 + 1 : b*4 + 4], ',')) AS bhash
+              FROM bsig, (SELECT unnest([0, 1, 2, 3]) AS b)),
+            cand AS (
+              SELECT DISTINCT d.doc_id, bb.bench_id
+              FROM dband d JOIN bband bb USING (b, bhash)),
+            dsets AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                       FOR i IN range(1, greatest(length(text)-4, 1) + 1)]) AS s
+              FROM documents),
+            bsets AS (
+              SELECT bench_id,
+                     list_distinct([substr(text, i, 5)
+                       FOR i IN range(1, greatest(length(text)-4, 1) + 1)]) AS s
+              FROM bench)
+            SELECT c.doc_id, c.bench_id,
+                   CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+                        AS BIGINT) AS n_intersect,
+                   CAST(len(sa.s) + len(sb.s)
+                        - len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+                        AS BIGINT) AS n_union,
+                   (1000 * len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+                    >= 500 * (len(sa.s) + len(sb.s)
+                       - len(list_filter(sa.s, x -> list_contains(sb.s, x)))))
+                     AS contaminated
+            FROM cand c JOIN dsets sa USING (doc_id)
+                        JOIN bsets sb USING (bench_id)
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly

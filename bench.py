@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "top_ngrams", "line_dedup", "wds_shards", "aspect_bucket",
     "gopher_rules", "token_rarity", "cdc_dup_spans", "near_dedup_apply",
     "dsir_weights", "zonal_stats", "length_quantiles",
+    # late-r5 capabilities
+    "asof_join", "quality_prune", "roi_coverage", "domain_stats",
+    "hard_negatives", "tfidf_terms", "image_exact_dup",
     # halo_edt is value-checked by the driver but excluded here: at the
     # bench's 40 px synthetic images its cost is pure tiny-group overhead
     # (2,700 applyInPandas groups of 16 px tiles), not kernel throughput

@@ -904,3 +904,68 @@ def cdc_dup_spans(documents: DataFrame, w: int = 8, modulus: int = 64,
         F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
         "n_chars",
     )
+
+
+def fuzzy_decontam(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 5,
+    threshold_permille: int = 500,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination — the fuzzy counterpart
+    of :func:`benchmark_overlap` (exact n-gram decontamination misses
+    lightly-edited eval items; frontier-model data cards decontaminate
+    with MinHash-LSH between corpus and benchmark for exactly this
+    reason).
+
+    Candidates come from the SAME banded-MinHash machinery as
+    :func:`minhash_lsh_pairs` (shared :func:`banded_sigs`, so batch
+    dedup / streaming dedup / decontamination are value-consistent),
+    joined ACROSS the two tables; every candidate is then verified with
+    the exact shingle-set Jaccard and flagged against
+    ``threshold_permille`` by pure integer cross-multiplication
+    (1000 * |A∩B| >= p * |A∪B| — no float in the verdict).
+
+    Scale shape (100 TB corpus, small benchmark): the benchmark side —
+    banded keys AND shingle sets — is broadcast; candidate doc_ids are
+    broadcast back as a semi-join so corpus text is scanned linearly and
+    NEVER shuffled (shingle sets are computed only for candidate rows);
+    there is no corpus self-join anywhere.
+
+    ``benchmark``: (bench_id, text).  Output: one row per candidate pair
+    (doc_id, bench_id, n_intersect, n_union, contaminated).
+    """
+    if not 1 <= threshold_permille <= 1000:
+        raise ValueError(
+            f"threshold_permille must be in [1, 1000], got {threshold_permille}")
+    _check_n_hashes(n_hashes, bands)
+    bench_docs = benchmark.select(
+        F.col("bench_id").alias("doc_id"), "text")
+    d_banded = banded_sigs(
+        minhash_sig_df(documents, n_hashes, n), n_hashes, bands)
+    b_banded = banded_sigs(
+        minhash_sig_df(bench_docs, n_hashes, n), n_hashes, bands
+    ).withColumnRenamed("doc_id", "bench_id")
+    cand = (
+        d_banded.join(F.broadcast(b_banded), ["band", "bhash"])
+        .select("doc_id", "bench_id").distinct()
+    )
+    sh_d = (
+        documents.join(F.broadcast(cand.select("doc_id").distinct()),
+                       "doc_id")
+        .select("doc_id", shingles(F.col("text"), n).alias("sh_a"))
+    )
+    sh_b = bench_docs.select(
+        F.col("doc_id").alias("bench_id"),
+        shingles(F.col("text"), n).alias("sh_b"))
+    j = cand.join(sh_d, "doc_id").join(F.broadcast(sh_b), "bench_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    return j.select(
+        "doc_id", "bench_id",
+        inter.alias("n_intersect"), union.alias("n_union"),
+        (inter * 1000 >= F.lit(threshold_permille) * union)
+        .alias("contaminated"),
+    )

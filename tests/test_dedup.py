@@ -443,3 +443,36 @@ def test_cdc_short_and_empty_text(spark):
     plan = dedup.cdc_dup_spans(docs)._jdf.queryExecution(
         ).executedPlan().toString()
     assert "HashAggregate" in plan and "WindowExec" not in plan
+
+
+def test_fuzzy_decontam_planted(spark):
+    """A lightly-edited copy (one word changed) is caught as a NEAR-dup
+    candidate and flagged contaminated; an unrelated doc is not flagged
+    against it; the benchmark side broadcasts and corpus text never
+    shuffles (no Exchange above the corpus scan besides the candidate
+    semi-join's broadcast)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from geedim_spark.operators import dedup as dd
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [base, "completely different content about spark plans"],
+    }))
+    bench = spark.createDataFrame(pd.DataFrame({
+        "bench_id": [100],
+        "text": [base.replace("tonight", "today")],
+    }))
+    out = dd.fuzzy_decontam(docs, bench, threshold_permille=500).collect()
+    flagged = {(r["doc_id"], r["bench_id"]): r["contaminated"] for r in out}
+    assert flagged.get((0, 100)) is True
+    assert (1, 100) not in flagged or flagged[(1, 100)] is False
+    with _pytest.raises(ValueError, match="threshold_permille"):
+        dd.fuzzy_decontam(docs, bench, threshold_permille=0)
+    plan = (dd.fuzzy_decontam(docs, bench)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
