@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "dsir_weights", "zonal_stats", "length_quantiles",
     # late-r5 capabilities
     "asof_join", "quality_prune", "roi_coverage", "domain_stats",
-    "hard_negatives", "tfidf_terms", "image_exact_dup",
+    "hard_negatives", "tfidf_terms", "image_exact_dup", "fuzzy_decontam",
     # halo_edt is value-checked by the driver but excluded here: at the
     # bench's 40 px synthetic images its cost is pure tiny-group overhead
     # (2,700 applyInPandas groups of 16 px tiles), not kernel throughput
@@ -208,8 +208,11 @@ def skew_bench(spark: SparkSession) -> dict:
         # one steal epoch slow exactly one side (observed: salted "0.75x"
         # on a run whose salted block caught the load) — alternating
         # samples the same environment for both plans
+        # 3 reps: a full-bench run heats the host enough that one 2-rep
+        # pair can still catch a steal epoch on BOTH salted legs (observed
+        # r5: isolated 2.16x vs in-run 0.58x) — the third rep re-samples
         t_plain = t_salted = None
-        for _ in range(2):
+        for _ in range(3):
             tp = timed(lambda: agg(big.join(dim, "cell")))
             ts = timed(lambda: agg(
                 sj.adaptive_salted_join(big, dim, "cell",

@@ -35,6 +35,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(denom, F.lit(0.0))
 
 
+def norm(a: Column) -> Column:
+    """sqrt(a·a) — staged per ROW before a pair join so the O(pairs) side
+    pays one dot product per pair instead of three.  ``cosine_prenormed``
+    over staged norms is value-IDENTICAL to :func:`cosine`: same
+    ``sqrt(dot(x,x))`` doubles, same product, same NULL-on-zero rule —
+    Spark does not share subexpressions inside interpreted higher-order
+    lambdas, so the inline form recomputed both norms for every pair
+    (measured 2.5x slower on the hard_negatives bucket join at sf0.1)."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    return dot(a, b) / F.nullif(na * nb, F.lit(0.0))
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10
 ) -> DataFrame:
@@ -45,19 +60,28 @@ def cosine_topk(
     """
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
+    ).withColumn("nrm", norm(F.col("e")))
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     return _rank_topk(sims_with(pairs), k)
 
 
 def sims_with(pairs: DataFrame) -> DataFrame:
+    """Pair similarities; uses staged per-row norms (``qnrm``/``nrm``
+    columns) when the caller provides them — value-identical, one dot
+    product per pair instead of three."""
+    if "qnrm" in pairs.columns and "nrm" in pairs.columns:
+        sim = cosine_prenormed(F.col("qe"), F.col("e"),
+                               F.col("qnrm"), F.col("nrm"))
+    else:
+        sim = cosine(F.col("qe"), F.col("e"))
     return pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qe"), F.col("e")).alias("sim"),
+        sim.alias("sim"),
     )
 
 
@@ -146,10 +170,11 @@ def _bucket_topk(
     exact cosine within same-bucket candidates."""
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", bucket_fn(F.col("e")))
+    ).withColumn("bucket", bucket_fn(F.col("e"))) \
+     .withColumn("nrm", norm(F.col("e")))
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"),
+        F.col("bucket").alias("qbucket"), F.col("nrm").alias("qnrm"),
     )
     pairs = emb.join(
         F.broadcast(q),
@@ -186,18 +211,21 @@ def ivf_flat_topk(
     exact top-k oracle."""
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
-    )
+    ).withColumn("nrm", norm(F.col("e")))
     cent = emb.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "e", "cid",
-        F.round(cosine(F.col("e"), F.col("ce")), 6).alias("csim"),
+        "vec_id", "e", "nrm", "cid",
+        F.round(cosine_prenormed(F.col("e"), F.col("ce"),
+                                 F.col("nrm"), F.col("cnrm")), 6)
+        .alias("csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     ranked = scored.withColumn("crank", F.row_number().over(w))
     assigned = ranked.filter(F.col("crank") == 1).select(
-        "vec_id", "e", F.col("cid").alias("cluster")
+        "vec_id", "e", "nrm", F.col("cid").alias("cluster")
     )
     probes = (
         ranked.filter(
@@ -205,7 +233,7 @@ def ivf_flat_topk(
         )
         .select(
             F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
-            F.col("cid").alias("cluster"),
+            F.col("nrm").alias("qnrm"), F.col("cid").alias("cluster"),
         )
     )
     cand = assigned.join(F.broadcast(probes), "cluster").where(
@@ -251,7 +279,8 @@ def near_dup_pairs(
     planes = lsh_signature(embedding_dim(embeddings), n_planes)
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", lsh_bucket(F.col("e"), planes))
+    ).withColumn("bucket", lsh_bucket(F.col("e"), planes)) \
+     .withColumn("nrm", norm(F.col("e")))
     report = None
     if max_bucket_size is not None:
         # persist BEFORE the cap: the n_planes sign-fold expressions are
@@ -261,12 +290,14 @@ def near_dup_pairs(
             emb, ["bucket"], max_bucket_size, "near_dup_pairs"
         )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
-                   F.col("bucket").alias("ba"))
+                   F.col("bucket").alias("ba"), F.col("nrm").alias("na"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
-                   F.col("bucket").alias("bb"))
+                   F.col("bucket").alias("bb"), F.col("nrm").alias("nb"))
     cand = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
     out = (
-        cand.where(cosine(F.col("ea"), F.col("eb")) >= threshold)
+        cand.where(
+            cosine_prenormed(F.col("ea"), F.col("eb"),
+                             F.col("na"), F.col("nb")) >= threshold)
         .select("id_a", "id_b")
     )
     out._bucket_cap_report = report
@@ -366,13 +397,14 @@ def ivf_topk(
             probe.append((int(r["vec_id"]), [float(x) for x in r["e"]], int(c)))
     q = spark.createDataFrame(
         probe, "query_id long, qe array<double>, cluster int"
-    )
-    cand = emb.join(F.broadcast(q), "cluster").where(
-        F.col("vec_id") != F.col("query_id")
-    )
+    ).withColumn("qnrm", norm(F.col("qe")))
+    cand = emb.withColumn("nrm", norm(F.col("e"))).join(
+        F.broadcast(q), "cluster"
+    ).where(F.col("vec_id") != F.col("query_id"))
     sims = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
-        cosine(F.col("qe"), F.col("e")).alias("sim"),
+        cosine_prenormed(F.col("qe"), F.col("e"),
+                         F.col("qnrm"), F.col("nrm")).alias("sim"),
     )
     return _rank_topk(sims, k)
 
@@ -456,17 +488,21 @@ def knn_label_noise(
     planes = lsh_int_planes(embedding_dim(embeddings), n_planes)
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes))
-    left = base.select("vec_id", "label", F.col("e").alias("qe"), "bucket")
+    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes)) \
+     .withColumn("nrm", norm(F.col("e")))
+    left = base.select("vec_id", "label", F.col("e").alias("qe"), "bucket",
+                       F.col("nrm").alias("qnrm"))
     right = base.select(
         F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"),
-        "e", "bucket")
+        "e", "bucket", "nrm")
     sims = (
         left.join(right, "bucket")
         .filter(F.col("vec_id") != F.col("nbr_id"))
         .select(
             "vec_id", "nbr_id", "nbr_label",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("sim"),
+            F.round(cosine_prenormed(F.col("qe"), F.col("e"),
+                                      F.col("qnrm"), F.col("nrm")), 6)
+            .alias("sim"),
         )
         .where(F.col("sim").isNotNull())
     )
@@ -524,18 +560,22 @@ def hard_negatives(
     planes = lsh_int_planes(embedding_dim(embeddings), n_planes)
     base = embeddings.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes))
-    left = base.select("vec_id", "label", F.col("e").alias("qe"), "bucket")
+    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes)) \
+     .withColumn("nrm", norm(F.col("e")))
+    left = base.select("vec_id", "label", F.col("e").alias("qe"), "bucket",
+                       F.col("nrm").alias("qnrm"))
     right = base.select(
         F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"),
-        "e", "bucket")
+        "e", "bucket", "nrm")
     sims = (
         left.join(right, "bucket")
         .filter((F.col("vec_id") != F.col("nbr_id"))
                 & (F.col("label") != F.col("nbr_label")))
         .select(
             "vec_id", "label", "nbr_id", "nbr_label",
-            F.round(cosine(F.col("qe"), F.col("e")), 6).alias("sim"),
+            F.round(cosine_prenormed(F.col("qe"), F.col("e"),
+                                      F.col("qnrm"), F.col("nrm")), 6)
+            .alias("sim"),
         )
         .where(F.col("sim").isNotNull())
     )
