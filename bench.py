@@ -279,6 +279,12 @@ def run_once(master: str | None, with_queries: bool = True, repeats: int = 1,
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             qtimes[name] = round(time.time() - t0, 3)
+            # several operators persist intermediates (minhash banding,
+            # tf-idf tf frame, dsir buckets) for intra-query reuse; left
+            # cached they stack up across the section and later
+            # Arrow-heavy queries pay eviction/GC instead of their plan.
+            # Each query is timed as its own job, so drop the cache.
+            spark.catalog.clearCache()
         skew = skew_bench(spark)
         spark.stop()
     return {

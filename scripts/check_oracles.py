@@ -70,6 +70,9 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
+        # persist-once intermediates (minhash banding, tf-idf tf, dsir
+        # buckets) stack up over a 100+-query session otherwise
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"  {name:<22} rows={len(sdf):>7}  (rows-only, {t_spark:.1f}s)")
             continue
