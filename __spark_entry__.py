@@ -2237,6 +2237,15 @@ def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_decontam(docs, bench, threshold_permille=500)
 
 
+def q_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators/similarity.quantize_int8
+    + _stats): exact IEEE floor(x*127/max_abs) per component — the
+    oracle replays every step; outputs are the hashable per-vector
+    summary (the driver canonicalizer cannot hash array columns)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return similarity.quantize_int8_stats(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2381,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roi_coverage": q_roi_coverage,                  # NEW r5; windows r6
         "quality_prune": q_quality_prune,                # NEW r5; windows r6
         "fuzzy_decontam": q_fuzzy_decontam,              # NEW r5; windows r6
+        "quantize_embed": q_quantize_embed,              # NEW r5; windows r6
     }
 
 
@@ -2456,7 +2466,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "ann-exact": ("ann_topk",),
     "ann-lsh": ("ann_lsh", "label_noise", "hard_negatives"),
     "ann-ivf": ("ann_ivf", "ann_ivf_flat"),
-    "embed-dedup": ("embed_near_dup", "embed_dup_counts"),
+    "embed-dedup": ("embed_near_dup", "embed_dup_counts",
+                    "quantize_embed"),
 }
 
 
@@ -4472,6 +4483,37 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      AS contaminated
             FROM cand c JOIN dsets sa USING (doc_id)
                         JOIN bsets sb USING (bench_id)
+        """,
+        # exact IEEE replay: x*127 exact for float32 inputs, correctly
+        # rounded division, unambiguous floor; errors in 1e-9 integer
+        # units via the same correctly-rounded ops
+        "quantize_embed": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS mx
+                  FROM e),
+            q AS (
+              SELECT vec_id, e, mx,
+                     CASE WHEN mx > 0
+                          THEN list_transform(e,
+                                 x -> CAST(floor(x * 127.0 / mx) AS BIGINT))
+                          ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                     END AS qv,
+                     CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale
+              FROM m)
+            SELECT vec_id,
+                   CAST(len(qv) AS BIGINT) AS n_dims,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_min(qv) AS BIGINT) AS q_min,
+                   CAST(list_max(qv) AS BIGINT) AS q_max,
+                   CAST(len(list_filter(qv, x -> x <> 0)) AS BIGINT) AS nnz,
+                   CAST(floor(list_max(
+                     [abs(e[i] - qv[i] * scale) FOR i IN range(1, len(e) + 1)]
+                   ) * 1e9) AS BIGINT) AS max_err_1e9
+            FROM q
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly

@@ -586,3 +586,58 @@ def hard_negatives(
         .select("vec_id", "label", F.col("rank").cast("int").alias("rank"),
                 "nbr_id", "nbr_label", "sim")
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/transport
+    compression step of an embedding pipeline (4x smaller than float32;
+    the form ANN indexes and vector stores ingest).
+
+    ``q_i = floor(x_i * 127 / max_abs)`` with exact IEEE arithmetic at
+    every step (x*127 is exact for float32 inputs, the division is
+    correctly rounded, floor is unambiguous), so the quantized vector is
+    bit-identical across engines.  Zero vectors quantize to zeros with
+    scale 0.
+
+    Pure Catalyst transforms — no UDF, no shuffle.  Returns
+    (vec_id, qvec array<int>, scale double) where
+    ``dequantized = q * scale`` and ``scale = max_abs / 127``.
+    """
+    e = _as_double(F.col("embedding"))
+    mx = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    q = F.when(
+        mx > 0,
+        F.transform(e, lambda x: F.floor(x * F.lit(127.0) / mx).cast("int")),
+    ).otherwise(F.transform(e, lambda x: F.lit(0)))
+    return embeddings.select(
+        "vec_id",
+        q.alias("qvec"),
+        F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+        .alias("scale"),
+    )
+
+
+def quantize_int8_stats(embeddings: DataFrame) -> DataFrame:
+    """Hashable per-vector summary of :func:`quantize_int8` (the driver
+    canonicalizer cannot hash array columns): dimension count, exact
+    integer sum/min/max of the quantized values, non-zero count, and the
+    worst per-component dequantization error in exact 1e-9 integer units
+    — the contract a storage engineer checks before switching the fleet
+    to int8."""
+    qf = quantize_int8(embeddings)
+    joined = embeddings.select("vec_id", "embedding").join(qf, "vec_id")
+    err = F.zip_with(
+        _as_double(F.col("embedding")), F.col("qvec"),
+        lambda x, qv: F.abs(x - qv.cast("double") * F.col("scale")),
+    )
+    return joined.select(
+        "vec_id",
+        F.size("qvec").cast("long").alias("n_dims"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.array_min("qvec").cast("long").alias("q_min"),
+        F.array_max("qvec").cast("long").alias("q_max"),
+        F.size(F.filter("qvec", lambda x: x != 0)).cast("long").alias("nnz"),
+        F.floor(F.array_max(err) * F.lit(1e9)).cast("long")
+        .alias("max_err_1e9"),
+    )

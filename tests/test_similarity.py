@@ -269,3 +269,30 @@ def test_hard_negatives_planted(spark):
         [(0, [1.0, 0.0, 0.0, 0.0], "a"), (1, [1.0, 0.1, 0.0, 0.0], "a")],
         "vec_id long, embedding array<double>, label string")
     assert sim.hard_negatives(solo, k=2).count() == 0
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    """Quantized values lie in [-127, 127], dequantization error is
+    bounded by one quantum (floor error < scale), zero vectors quantize
+    to zeros with scale 0, and the negative extreme hits exactly -127."""
+    from geedim_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]),
+         (1, [0.0, 0.0, 0.0, 0.0]),
+         (2, [-2.0, 1.0, 0.5, -1.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r["vec_id"]: r for r in sim.quantize_int8(emb).collect()}
+    assert rows[0]["qvec"] == [127, -64, 31, 0]   # floor(-63.5) = -64
+    assert rows[0]["scale"] == 1.0 / 127.0
+    assert rows[1]["qvec"] == [0, 0, 0, 0] and rows[1]["scale"] == 0.0
+    assert rows[2]["qvec"][0] == -127             # the max-abs component
+    for r in rows.values():
+        if r["scale"] > 0:
+            assert all(-127 <= q <= 127 for q in r["qvec"])
+    stats = {r["vec_id"]: r for r in
+             sim.quantize_int8_stats(emb).collect()}
+    # error bound: one quantum = scale = max_abs/127
+    assert stats[0]["max_err_1e9"] <= int(1e9 / 127) + 1
+    assert stats[1]["max_err_1e9"] == 0
+    assert (stats[2]["q_min"], stats[2]["q_max"]) == (-127, 63)
