@@ -2271,6 +2271,15 @@ def q_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_components(allr.select("doc_id"), pairs)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (operators/text.chunk_documents,
+    the RAG splitter): size 200 / overlap 50 character chunks with exact
+    start arithmetic; the oracle replays the ceil/stride math and every
+    substring."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.chunk_documents(docs, size=200, overlap=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2417,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontam": q_fuzzy_decontam,              # NEW r5; windows r6
         "quantize_embed": q_quantize_embed,              # NEW r5; windows r6
         "phash_components": q_phash_components,          # NEW r5; windows r6
+        "chunk_documents": q_chunk_documents,            # NEW r5; windows r6
     }
 
 
@@ -2477,7 +2487,7 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "text-tokens": ("doc_token_stats", "top_ngrams", "token_rarity",
                     "length_quantiles", "tfidf_terms"),
     "decontam": ("decontam", "fuzzy_decontam"),
-    "packing": ("pack_sequences",),
+    "packing": ("pack_sequences", "chunk_documents"),
     "text-langid": ("lang_id",),
     # content-hash sampling shares the portable-md5-derivation machinery
     # with the fingerprint ops; doc_fingerprint anchors the family in-window
@@ -4572,6 +4582,32 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
               WHERE r.comp < e.bb)
             SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
             FROM reach GROUP BY id
+        """,
+        # identical stride/ceil arithmetic and substring slices;
+        # empty docs emit no chunks in both engines
+        "chunk_documents": """
+            WITH base AS (
+              SELECT doc_id, COALESCE(text, '') AS t,
+                     length(COALESCE(text, '')) AS n
+              FROM documents),
+            counted AS (
+              SELECT doc_id, t,
+                     CASE WHEN n > 0
+                          THEN CAST(ceil(CAST(greatest(n - 50, 0) AS DOUBLE)
+                                         / 150) AS INT)
+                          ELSE 0 END AS n_chunks
+              FROM base),
+            ex AS (
+              SELECT doc_id, t,
+                     unnest([i FOR i IN range(0, n_chunks)]) AS chunk_idx
+              FROM counted WHERE n_chunks > 0)
+            SELECT doc_id,
+                   CAST(chunk_idx AS INT) AS chunk_idx,
+                   substr(t, chunk_idx * 150 + 1, 200) AS chunk_text,
+                   CAST(chunk_idx * 150 AS BIGINT) AS chunk_start,
+                   CAST(length(substr(t, chunk_idx * 150 + 1, 200))
+                        AS BIGINT) AS chunk_chars
+            FROM ex
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly

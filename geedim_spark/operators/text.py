@@ -746,3 +746,51 @@ def quality_prune(
         .select("doc_id", F.col("_grp").alias(by), "score", "cut",
                 F.col("n_grp").alias("n_group_docs"))
     )
+
+
+def chunk_documents(
+    documents: DataFrame, size: int = 512, overlap: int = 64
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — the RAG / context-window
+    ingestion primitive (LangChain's CharacterTextSplitter semantics):
+    chunk ``i`` covers ``[i*stride, i*stride + size)`` with
+    ``stride = size - overlap``; the last chunk may be short; an empty
+    document yields no chunks.
+
+    Pure Catalyst: ``sequence`` over chunk starts + ``substring`` slices,
+    exploded — no UDF, no shuffle, linear in corpus size.  The start
+    sequence is guarded with ``when(n > 0)`` because Spark's
+    ``sequence(a, b)`` DESCENDS when b < a (an empty doc would emit a
+    bogus chunk).
+
+    Returns (doc_id, chunk_idx, chunk_text, chunk_start, chunk_chars).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must be in [0, size), got {overlap} for size {size}")
+    stride = size - overlap
+    text_col = F.coalesce(F.col("text"), F.lit(""))
+    n = F.length(text_col)
+    # number of chunks: ceil(max(n - overlap, 0) / stride), >= 1 iff n > 0
+    n_chunks = F.when(
+        n > 0, F.ceil((F.greatest(n - overlap, F.lit(0)))
+                      / F.lit(stride)).cast("int")
+    ).otherwise(F.lit(0))
+    starts = F.when(
+        n_chunks > 0,
+        F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    ex = documents.select(
+        "doc_id", text_col.alias("_t"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.substring(F.col("_t"), F.col("chunk_start") + 1, size)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_chars"),
+    )

@@ -442,3 +442,33 @@ def test_quality_prune_closed_form(spark):
     spec = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
     assert spec and all("_grp" in ln for ln in spec)
     assert "BroadcastExchange" in plan
+
+
+def test_chunk_documents_closed_form(spark):
+    """9-char doc, size 4 / overlap 1 (stride 3): chunks at 0,3,6 with
+    the last one short; exact reconstruction property: stripping the
+    overlap from every chunk after the first rebuilds the text; empty
+    doc yields no chunks."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from geedim_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["abcdefghi", ""]}))
+    rows = sorted(
+        text_ops.chunk_documents(docs, size=4, overlap=1).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    assert [(r["chunk_idx"], r["chunk_text"], r["chunk_start"]) for r in rows] == [
+        (0, "abcd", 0), (1, "defg", 3), (2, "ghi", 6)]
+    rebuilt = rows[0]["chunk_text"] + "".join(
+        r["chunk_text"][1:] for r in rows[1:])
+    assert rebuilt == "abcdefghi"
+    assert all(r["doc_id"] == 0 for r in rows)  # empty doc: nothing
+    with _pytest.raises(ValueError, match="overlap"):
+        text_ops.chunk_documents(docs, size=4, overlap=4)
+    with _pytest.raises(ValueError, match="size"):
+        text_ops.chunk_documents(docs, size=0)
+    # exact-cover boundary: len == size -> exactly one chunk
+    one = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["abcd"]}))
+    assert text_ops.chunk_documents(one, size=4, overlap=1).count() == 1
