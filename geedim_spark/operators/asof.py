@@ -23,9 +23,10 @@ sort, the same skew profile as any keyed window; salting cannot apply
 keys should be range-bucketed by time upstream if a single key exceeds a
 task.  No UDF anywhere.
 
-The forward direction mirrors with a descending order.  Ties WITHIN the
-right side at one (key, ts) are resolved by ``right_order`` (the max
-wins), keeping the result deterministic cross-engine.
+The forward direction mirrors with a descending order.  Duplicate right
+rows at one (key, ts) are resolved deterministically: the row with the
+MAXIMUM payload tuple wins (last in the window's tie order), regardless
+of partitioning or input order.
 """
 
 from __future__ import annotations
@@ -84,10 +85,17 @@ def asof_join(
     )
     merged = l_tag.unionByName(r_tag)
 
+    # Tie policy: right rows sort before left at equal ts (inclusive
+    # match, tag 0 < 1); among DUPLICATE right rows at one (key, ts) the
+    # payload-tuple order makes last-wins deterministic — the maximum
+    # (matched-ts, payload...) tuple is what the left row sees, in both
+    # directions, regardless of partitioning or input order.
+    tie = [F.asc_nulls_first(m_ts)] + [
+        F.asc_nulls_first(f"{c}{suffix}") for c in pay]
     if direction == "backward":
-        order = [F.asc(on), F.asc("_asof_tag")]
+        order = [F.asc(on), F.asc("_asof_tag"), *tie]
     else:
-        order = [F.desc(on), F.asc("_asof_tag")]
+        order = [F.desc(on), F.asc("_asof_tag"), *tie]
     w = (
         Window.partitionBy(*byl).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

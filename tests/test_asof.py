@@ -135,3 +135,22 @@ def test_asof_matches_pandas_merge_asof(spark):
     exp_v = exp["view_id"].astype("Float64")
     assert got_v.equals(exp_v), (
         got_v[got_v != exp_v].head(), exp_v[got_v != exp_v].head())
+
+
+def test_right_duplicate_ts_deterministic(spark):
+    """Two right rows at one (key, ts) with different payloads: the
+    maximum payload wins, in both directions, and the result is stable
+    under repartitioning."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(20))], "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 5), ("u1", _ts(10), 9), ("u1", _ts(10), 7)],
+        "user_id string, ts timestamp, view_id long")
+    for rep in (right, right.repartition(3)):
+        out = asof_join(left, rep, on="ts", by=("user_id",),
+                        payload=("view_id",)).collect()
+        assert len(out) == 1 and out[0]["view_id_right"] == 9
+    fwd = asof_join(left.withColumn("ts", left.ts), right, on="ts",
+                    by=("user_id",), payload=("view_id",),
+                    direction="forward").collect()
+    assert fwd[0]["view_id_right"] is None  # nothing at/after t=20
