@@ -2280,6 +2280,18 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, size=200, overlap=50)
 
 
+def q_nearest_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-ROI assignment (operators/spatial_join.nearest_roi):
+    every image to its closest ROI by footprint-centre distance —
+    bounded dim collect folded as a constant array, struct-min argmin
+    with roi_id tiebreak, zero shuffle.  The oracle replays the same
+    centre/d² doubles with a cross join + rank."""
+    n, m = _sizes(sf_dir)
+    images = synth.images_meta_df(spark, n)
+    rois = synth.rois_df(spark, m)
+    return sj.nearest_roi(images, rois)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2427,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embed": q_quantize_embed,              # NEW r5; windows r6
         "phash_components": q_phash_components,          # NEW r5; windows r6
         "chunk_documents": q_chunk_documents,            # NEW r5; windows r6
+        "nearest_roi": q_nearest_roi,                    # NEW r5; windows r6
     }
 
 
@@ -2437,7 +2450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 PRIORITY_WINDOW = 50
 
 QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
-    "spatial-join": ("spatial_join", "geo_spatial_join", "roi_coverage"),
+    "spatial-join": ("spatial_join", "geo_spatial_join", "roi_coverage",
+                     "nearest_roi"),
     "skew-join": ("skew_join",),
     "mask-stats": ("mask_portions", "tiled_portions",
                    "landsat_param_portions", "best_effort_portions"),
@@ -4608,6 +4622,27 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                    CAST(length(substr(t, chunk_idx * 150 + 1, 200))
                         AS BIGINT) AS chunk_chars
             FROM ex
+        """,
+        # same centre/d2 doubles (each step correctly rounded, fixed
+        # order), same (d2, roi_id) tie rule via rank
+        "nearest_roi": f"""
+            WITH img AS ({synth.sql_images(n)}),
+            roi AS ({synth.sql_rois(m)}),
+            d AS (
+              SELECT img.image_id, roi.roi_id,
+                     ((img.x0 + img.x1)/2 - (roi.rx0 + roi.rx1)/2)
+                       * ((img.x0 + img.x1)/2 - (roi.rx0 + roi.rx1)/2)
+                     + ((img.y0 + img.y1)/2 - (roi.ry0 + roi.ry1)/2)
+                       * ((img.y0 + img.y1)/2 - (roi.ry0 + roi.ry1)/2)
+                       AS d2
+              FROM img, roi)
+            SELECT image_id, roi_id,
+                   CAST(round(d2, 6) AS DOUBLE) AS d2
+            FROM (
+              SELECT image_id, roi_id, d2,
+                     ROW_NUMBER() OVER (PARTITION BY image_id
+                       ORDER BY d2, roi_id) AS r
+              FROM d) WHERE r = 1
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly

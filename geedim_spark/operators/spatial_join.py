@@ -244,3 +244,52 @@ def adaptive_salted_join(
     # materialised / no longer needed
     out._salt_factors = factors
     return out
+
+
+def nearest_roi(images: DataFrame, rois: DataFrame) -> DataFrame:
+    """Assign every image to its NEAREST ROI by footprint-centre
+    distance — the facility-assignment / nearest-ground-station shape
+    (distinct from the intersects join: every image gets exactly one
+    ROI even when nothing overlaps).
+
+    The ROI table is a dim table even at 10^12 images, so it is
+    collected (bounded, same contract as the IVF centroid collect and
+    the zonal-stats zone closure) and folded as a CONSTANT array: per
+    image one ``transform`` computes (d², roi_id) structs and
+    ``array_min`` takes the lexicographic minimum — exact double
+    arithmetic (every step correctly rounded, fixed order), ties broken
+    by roi_id ASC via the struct compare.  Zero shuffle, zero UDF, no
+    m-fold row blowup from a cross join.
+
+    Output: (image_id, roi_id, d2) with d2 rounded to 6 dp.
+    """
+    roi_rows = sorted(
+        rois.select("roi_id", "rx0", "ry0", "rx1", "ry1").collect(),
+        key=lambda r: r["roi_id"],
+    )
+    if not roi_rows:
+        raise ValueError("rois is empty — nothing to assign to")
+    cx = (F.col("x0") + F.col("x1")) / 2
+    cy = (F.col("y0") + F.col("y1")) / 2
+    arr = F.array(*[
+        F.struct(
+            F.lit((r["rx0"] + r["rx1"]) / 2).alias("ecx"),
+            F.lit((r["ry0"] + r["ry1"]) / 2).alias("ecy"),
+            F.lit(r["roi_id"]).alias("roi_id"),
+        )
+        for r in roi_rows
+    ])
+    scored = F.transform(
+        arr,
+        lambda e: F.struct(
+            ((cx - e["ecx"]) * (cx - e["ecx"])
+             + (cy - e["ecy"]) * (cy - e["ecy"])).alias("d2"),
+            e["roi_id"].alias("roi_id"),
+        ),
+    )
+    best = F.array_min(scored)
+    return images.select(
+        "image_id",
+        best["roi_id"].alias("roi_id"),
+        F.round(best["d2"], 6).alias("d2"),
+    )

@@ -128,3 +128,31 @@ def test_geo_filter_bounds_across_antimeridian(spark):
         ).collect()
     ]
     assert got_col == want.tolist()
+
+
+def test_nearest_roi_assignment(spark):
+    """Known geometry: image centred at (5,5) is closest to ROI A
+    (centre 0,0) over B (centre 20,0); an exact-tie image picks the
+    lexicographically smaller roi_id; empty ROI table raises; plan has
+    no join/exchange (constant-array fold)."""
+    import pytest as _pytest
+
+    from geedim_spark.operators import spatial_join as sj
+
+    images = spark.createDataFrame(
+        [("I1", 0.0, 0.0, 10.0, 10.0),     # centre (5,5): A
+         ("I2", 15.0, -5.0, 25.0, 5.0),    # centre (20,0): B exactly
+         ("I3", 5.0, -5.0, 15.0, 5.0)],    # centre (10,0): tie A vs B
+        "image_id string, x0 double, y0 double, x1 double, y1 double")
+    rois = spark.createDataFrame(
+        [("B", 15.0, -5.0, 25.0, 5.0), ("A", -5.0, -5.0, 5.0, 5.0)],
+        "roi_id string, rx0 double, ry0 double, rx1 double, ry1 double")
+    out = {r["image_id"]: r for r in sj.nearest_roi(images, rois).collect()}
+    assert out["I1"]["roi_id"] == "A" and out["I1"]["d2"] == 50.0
+    assert out["I2"]["roi_id"] == "B" and out["I2"]["d2"] == 0.0
+    assert out["I3"]["roi_id"] == "A"   # exact tie -> smaller id
+    with _pytest.raises(ValueError, match="empty"):
+        sj.nearest_roi(images, rois.filter("roi_id = 'Z'"))
+    plan = (sj.nearest_roi(images, rois)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
