@@ -2292,6 +2292,17 @@ def q_nearest_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sj.nearest_roi(images, rois)
 
 
+def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image pixel-value frequency histogram of band 0
+    (operators/export_ops.pixel_histogram — the frequencyHistogram
+    region reduce): the Arrow kernel np.unique's REAL decoded pixels;
+    the oracle is the strip world's closed form (value 0 x f_px*h fill
+    columns, value v x (w-f_px)*h)."""
+    n, _ = _sizes(sf_dir)
+    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    return export_ops.pixel_histogram(imgs, band=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2440,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_components": q_phash_components,          # NEW r5; windows r6
         "chunk_documents": q_chunk_documents,            # NEW r5; windows r6
         "nearest_roi": q_nearest_roi,                    # NEW r5; windows r6
+        "band_histogram": q_band_histogram,              # NEW r5; windows r6
     }
 
 
@@ -2454,7 +2466,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
                      "nearest_roi"),
     "skew-join": ("skew_join",),
     "mask-stats": ("mask_portions", "tiled_portions",
-                   "landsat_param_portions", "best_effort_portions"),
+                   "landsat_param_portions", "best_effort_portions",
+                   "band_histogram"),
     "mask-apply": ("mask_clouds",),
     "geometry": ("mask_polygons", "zonal_stats"),
     "s2-qa": ("s2_qa_portions",),
@@ -4643,6 +4656,20 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY image_id
                        ORDER BY d2, roi_id) AS r
               FROM d) WHERE r = 1
+        """,
+        # strip-world closed form: band 0 is v everywhere except the
+        # f_px fill columns (0); a value match proves the decode +
+        # np.unique path against the recipe
+        "band_histogram": f"""
+            WITH img AS ({synth.sql_images(n)}),
+            raw AS (SELECT * FROM img WHERE fmt = 'raw')
+            SELECT image_id, CAST(0 AS BIGINT) AS value,
+                   CAST(f_px * h AS BIGINT) AS n_px
+            FROM raw WHERE f_px > 0
+            UNION ALL
+            SELECT image_id, CAST(v AS BIGINT) AS value,
+                   CAST((w - f_px) * h AS BIGINT) AS n_px
+            FROM raw
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly

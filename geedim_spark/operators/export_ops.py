@@ -158,3 +158,42 @@ def prepare_for_export(
         lambda it: (_batch(p) for p in it),
         schema="image_id string, caption string, bytes binary",
     )
+
+
+def pixel_histogram(images: DataFrame, band: int = 0) -> DataFrame:
+    """Per-image frequency histogram of one band's pixel VALUES — the
+    region-reduce the reference's service exposes as
+    ``reducer=frequencyHistogram`` (geedim drives it through
+    ``reduceRegion``-style stats): one row per (image, distinct value)
+    with its exact pixel count.
+
+    Scale shape (100 TB): the Arrow kernel runs ``np.unique`` per image
+    (already-grouped data, no shuffle to form groups); the output is the
+    HISTOGRAM, not pixels — rows out ~ distinct values per image, so a
+    downstream corpus-level rollup is a 2-phase agg over tiny rows.  No
+    shuffle in this operator at all; the caller's groupBy (if any) is
+    the only exchange.
+
+    Output: (image_id, value, n_px) with value as long.
+    """
+    if band < 0:
+        raise ValueError(f"band must be >= 0, got {band}")
+
+    def _batch(pdf: pd.DataFrame):
+        ids, vals, counts = [], [], []
+        for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+            px = codecs.decode(bytes(buf))
+            if band >= px.shape[0]:
+                raise ValueError(
+                    f"band {band} out of range for {px.shape[0]}-band image")
+            v, c = np.unique(px[band], return_counts=True)
+            ids.extend([image_id] * len(v))
+            vals.extend(int(x) for x in v)
+            counts.extend(int(x) for x in c)
+        yield pd.DataFrame(
+            {"image_id": ids, "value": vals, "n_px": counts})
+
+    return images.select("image_id", "bytes").mapInPandas(
+        lambda it: (df for pdf in it for df in _batch(pdf)),
+        schema="image_id string, value long, n_px long",
+    )

@@ -176,3 +176,25 @@ def test_cast_pixels_unsupported_dtype_raises():
         with pytest.raises(ValueError, match="Unsupported dtype"):
             cast_pixels(px, bad)
     assert cast_pixels(px, "uint8").dtype == np.uint8  # supported path OK
+
+
+def test_pixel_histogram_bands_and_errors(spark):
+    """Band 1 (QA) histogram on a known strip image + out-of-range band
+    raises inside the kernel."""
+    import pytest as _pytest
+
+    from geedim_spark import synth
+    from geedim_spark.operators import export_ops
+
+    imgs = synth.images_df(spark, 8, scalar_filter="fmt = 'raw'")
+    # i=2: c_px=(2%7)*2=4, qa bit 10 (i%3==2) -> band1 has 0 and 1024
+    rows = {(r["image_id"], r["value"]): r["n_px"]
+            for r in export_ops.pixel_histogram(imgs, band=1).collect()}
+    assert rows[("IMG/00000002", 1024)] == 4 * 40
+    assert rows[("IMG/00000002", 0)] == (40 - 4) * 40
+    # i=0: c_px=0 -> all zeros
+    assert rows[("IMG/00000000", 0)] == 40 * 40
+    with _pytest.raises(ValueError, match="band must be"):
+        export_ops.pixel_histogram(imgs, band=-1)
+    with _pytest.raises(Exception, match="out of range"):
+        export_ops.pixel_histogram(imgs, band=7).collect()
