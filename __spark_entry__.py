@@ -2303,6 +2303,29 @@ def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_ops.pixel_histogram(imgs, band=0)
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table: users grouped by
+    their FIRST event's ISO week, counted in every later week they were
+    active — the classic activation/retention matrix.  Week offsets are
+    exact integer arithmetic on epoch seconds (both engines truncate
+    weeks to ISO Monday)."""
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .alias("week"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.select("user_id", "week").distinct()
+    j = active.join(first, "user_id")
+    return (
+        j.groupBy("cohort_week",
+                  ((F.unix_timestamp("week")
+                    - F.unix_timestamp("cohort_week"))
+                   / F.lit(604800)).cast("long").alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(F.unix_timestamp("cohort_week").alias("cohort_week_s"),
+                "week_offset", "n_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry.  The driver's CORRECTNESS gate checks the FIRST
     ``PRIORITY_WINDOW`` entries, so the prefix is curated to hold at least
@@ -2452,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,            # NEW r5; windows r6
         "nearest_roi": q_nearest_roi,                    # NEW r5; windows r6
         "band_histogram": q_band_histogram,              # NEW r5; windows r6
+        "cohort_retention": q_cohort_retention,          # NEW r5; windows r6
     }
 
 
@@ -2505,7 +2529,8 @@ QUERY_FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming-dedup": ("streaming_dedup", "stream_near_dup"),
     "sessionisation": ("events_sessions", "session_windows",
                        "streaming_sessions"),
-    "events-agg": ("events_type_stats", "events_recent"),
+    "events-agg": ("events_type_stats", "events_recent",
+                   "cohort_retention"),
     "asof-join": ("asof_join",),
     "relational": ("pricing_summary", "top_customers", "shipping_priority",
                    "local_supplier_volume"),
@@ -4670,6 +4695,22 @@ def oracle_sql(sf: float = 0.01) -> dict[str, str]:
             SELECT image_id, CAST(v AS BIGINT) AS value,
                    CAST((w - f_px) * h AS BIGINT) AS n_px
             FROM raw
+        """,
+        # ISO-Monday week truncation in both engines; offsets as exact
+        # integer epoch-second arithmetic
+        "cohort_retention": """
+            WITH ev AS (
+              SELECT user_id, date_trunc('week', ts) AS week FROM events),
+            first AS (
+              SELECT user_id, MIN(week) AS cohort_week
+              FROM ev GROUP BY 1),
+            active AS (SELECT DISTINCT user_id, week FROM ev)
+            SELECT CAST(epoch(cohort_week) AS BIGINT) AS cohort_week_s,
+                   CAST((epoch(week) - epoch(cohort_week)) // 604800
+                        AS BIGINT) AS week_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2
         """,
     }
     # the streaming near-dup drain must equal the batch LSH join exactly

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     # late-r5 capabilities
     "asof_join", "quality_prune", "roi_coverage", "domain_stats",
     "hard_negatives", "tfidf_terms", "image_exact_dup", "fuzzy_decontam",
+    "quantize_embed", "phash_components", "chunk_documents", "nearest_roi",
+    "band_histogram",
     # halo_edt is value-checked by the driver but excluded here: at the
     # bench's 40 px synthetic images its cost is pure tiny-group overhead
     # (2,700 applyInPandas groups of 16 px tiles), not kernel throughput

@@ -253,7 +253,7 @@ def test_registry_count_is_exact():
     query AND update NOTES_r{N}.md with the same number."""
     import __spark_entry__ as entry
 
-    EXPECTED = 111
+    EXPECTED = 112
     assert len(entry.queries()) == EXPECTED
     # every oracle key must name a registered query
     assert set(entry.oracle_sql()) <= set(entry.queries())
