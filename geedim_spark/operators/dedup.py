@@ -17,8 +17,6 @@ All shingle work is Catalyst (sequence/transform/substring) — no Python.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -147,6 +145,71 @@ def minhash_signature(text: Column, n_hashes: int = 16, n: int = 5) -> Column:
     return F.array(*sig)
 
 
+# --- vectorised single-block MD5 (guide §4.2: batch native compute) --------
+# The shingle kernels used to call hashlib.md5 once per shingle in a Python
+# loop — ~1.5M interpreter round-trips per 5k-doc corpus, the dominant cost
+# of every MinHash query.  Shingles are <= n UTF-8 chars (<= 4n bytes), so
+# every message fits ONE 64-byte MD5 block and the full MD5 round function
+# vectorises over the whole batch as uint32 numpy ops.  Bit-identical to
+# int(hashlib.md5(m).hexdigest()[:8], 16) — pinned by
+# tests/test_dedup.py::test_md5_u32_batch_matches_hashlib.
+_MD5_S = np.array(
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+    + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4, dtype=np.uint32)
+_MD5_K = np.floor(
+    np.abs(np.sin(np.arange(1, 65, dtype=np.float64))) * (2.0 ** 32)
+).astype(np.uint64).astype(np.uint32)
+_MD5_G = np.array(
+    [i for i in range(16)] + [(5 * i + 1) % 16 for i in range(16, 32)]
+    + [(3 * i + 5) % 16 for i in range(32, 48)]
+    + [(7 * i) % 16 for i in range(48, 64)], dtype=np.int64)
+
+
+def _md5_u32_batch(msgs: list[bytes]) -> np.ndarray:
+    """int(md5(m).hexdigest()[:8], 16) for a batch of messages, each
+    <= 55 bytes (single MD5 block), as an int64 array."""
+    nmsg = len(msgs)
+    if nmsg == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter(map(len, msgs), dtype=np.int64, count=nmsg)
+    if lens.max() > 55:
+        raise ValueError("message longer than 55 bytes: not single-block")
+    flat = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    block = np.zeros((nmsg, 64), dtype=np.uint8)
+    rows = np.repeat(np.arange(nmsg), lens)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    cols = np.arange(len(flat)) - np.repeat(starts, lens)
+    block[rows, cols] = flat
+    block[np.arange(nmsg), lens] = 0x80
+    block[:, 56:64] = (
+        (lens.astype(np.uint64) * 8).astype("<u8").view(np.uint8)
+        .reshape(nmsg, 8)
+    )
+    m = block.view("<u4")  # (nmsg, 16) little-endian words
+    a = np.full(nmsg, 0x67452301, np.uint32)
+    b = np.full(nmsg, 0xEFCDAB89, np.uint32)
+    c = np.full(nmsg, 0x98BADCFE, np.uint32)
+    d = np.full(nmsg, 0x10325476, np.uint32)
+    with np.errstate(over="ignore"):
+        for i in range(64):
+            if i < 16:
+                f = (b & c) | (~b & d)
+            elif i < 32:
+                f = (d & b) | (~d & c)
+            elif i < 48:
+                f = b ^ c ^ d
+            else:
+                f = c ^ (b | ~d)
+            x = a + f + _MD5_K[i] + m[:, _MD5_G[i]]
+            s = int(_MD5_S[i])
+            rot = (x << np.uint32(s)) | (x >> np.uint32(32 - s))
+            a, d, c, b = d, c, b, b + rot
+        a = a + np.uint32(0x67452301)
+    # hexdigest()[:8] reads the first 4 DIGEST bytes = A little-endian,
+    # then parses them big-endian -> byteswap
+    return a.byteswap().astype(np.int64)
+
+
 def _np_shingle_hashes(text: str, n: int = 5) -> np.ndarray:
     """Distinct shingle hashes — value-identical to shingle_hash()%P
     (md5 prefix), but computed kernel-side (the Catalyst expression tree is
@@ -154,10 +217,7 @@ def _np_shingle_hashes(text: str, n: int = 5) -> np.ndarray:
     if text is None:
         text = ""
     sh = {text[i: i + n] for i in range(max(len(text) - (n - 1), 1))}
-    return np.fromiter(
-        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % _P for s in sh),
-        dtype=np.int64, count=len(sh),
-    )
+    return _md5_u32_batch([s.encode("utf-8") for s in sh]) % _P
 
 
 def minhash_sig_df(
@@ -174,11 +234,39 @@ def minhash_sig_df(
     b = np.array(_B[:n_hashes], dtype=np.int64)[:, None]
 
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
+        # one vectorised MD5 pass over the batch's UNIQUE shingles (dup
+        # shingles across near-identical docs — the dedup signal itself —
+        # hash once), then per-doc permutation minima via minimum.reduceat
+        # over the concatenated unique-index segments.  Value-identical to
+        # the per-doc form: same md5-prefix hash, same (a*h+b)%P int64
+        # arithmetic, same minima.
+        uniq: dict[str, int] = {}
+        doc_idx = []
         for text in pdf["text"]:
-            hs = _np_shingle_hashes(text, n)[None, :]
-            sigs.append(((a * hs + b) % _P).min(axis=1))
-        return pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            t = text if text is not None else ""
+            sh = {t[i: i + n] for i in range(max(len(t) - (n - 1), 1))}
+            idx = np.empty(len(sh), dtype=np.int64)
+            for j, s in enumerate(sh):
+                k = uniq.get(s)
+                if k is None:
+                    k = len(uniq)
+                    uniq[s] = k
+                idx[j] = k
+            doc_idx.append(idx)
+        if not doc_idx:
+            return pd.DataFrame({"doc_id": pdf["doc_id"], "sig": []})
+        hs = _md5_u32_batch([s.encode("utf-8") for s in uniq]) % _P
+        counts = np.fromiter(map(len, doc_idx), dtype=np.int64,
+                             count=len(doc_idx))
+        concat = (np.concatenate(doc_idx) if doc_idx
+                  else np.empty(0, np.int64))
+        perms = (a * hs[concat][None, :] + b) % _P  # (n_hashes, total)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        mins = np.minimum.reduceat(perms, starts, axis=1)
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "sig": [mins[:, i] for i in range(len(doc_idx))],
+        })
 
     return documents.select("doc_id", "text").mapInPandas(
         lambda it: (_batch(p) for p in it), schema="doc_id long, sig array<long>"
@@ -442,10 +530,19 @@ def dup_components(
     flagged — at one extra (self-)join per round, while near-clique LSH
     dup clusters still converge in ~2 rounds.  ``shortcut=False`` restores
     plain propagation.  Each round is one shuffle (edge-label join) + one
-    min-aggregate (+ the jump join); lineage is cut with localCheckpoint
-    so the plan stays O(1) per round.  Deterministic: labels are pure
-    min() folds, independent of partitioning.  ``_stats`` (diagnostic):
-    a dict that receives {"rounds": n}.
+    min-aggregate (+ the jump join); lineage is cut with LAZY
+    localCheckpoints — the plan stays O(1) per round, but the round's only
+    JOB is the fixpoint aggregate (the eager form paid two extra
+    materialisation jobs per round: pure driver-barrier latency at any
+    data size).  For numeric ids the fixpoint is additionally probed only
+    every 2nd round: labels are monotonically non-increasing, so an
+    unchanged sum across TWO rounds still certifies the fixpoint exactly,
+    at half the action count.  The loop runs over the EDGE-NODE subgraph
+    only (labels seeded with min({self} ∪ neighbours)); singleton nodes
+    join back after the loop — at corpus scale the rounds shuffle the
+    duplicate-pair node set, not the whole corpus.  Deterministic: labels
+    are pure min() folds, independent of partitioning.  ``_stats``
+    (diagnostic): a dict that receives {"rounds": n}.
     """
     from pyspark.sql.types import NumericType
 
@@ -453,11 +550,28 @@ def dup_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        # EAGER: the candidate-pair chain above (LSH banding, signature
+        # kernels) is the expensive part — materialise it exactly once
+        # before the loop.  The per-round folds below are lazy
+        # checkpoints whose two jump-join consumers may race and compute
+        # a fold twice; with edges already materialised that race costs
+        # only the small fold itself, never the upstream chain.
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).persist()
+    # SUBGRAPH restriction: only nodes on an edge can ever change label —
+    # singletons label themselves and are unioned back after the loop, so
+    # every round's shuffles are O(|edge nodes|), not O(corpus).  At real
+    # scale the duplicate-pair node set is a small fraction of the corpus;
+    # iterating the full node table shuffled the (unchanging) singleton
+    # majority every round.  The initial label is min({self} ∪ neighbours)
+    # — the first propagation round fused into one aggregate over the
+    # symmetric edge list.
+    labels = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_nmin"))
+        .select("id", F.least(F.col("id"), F.col("_nmin")).alias("comp"))
+        .localCheckpoint(eager=False)
+    )
     # Fixpoint test is type-dispatched: for NUMERIC ids labels only ever
     # DECREASE, so an unchanged exact decimal(38,0) sum means a fixpoint —
     # one scalar aggregate per round.  For non-numeric (e.g. string) ids
@@ -472,9 +586,14 @@ def dup_components(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
-    prev_sum = _label_sum(labels) if numeric else None
+    # numeric path: no upfront sum job — the first probe's sum is compared
+    # against the NEXT probe's (labels only decrease, so two equal probes
+    # two rounds apart certify that neither round changed anything)
+    _UNSET = object()
+    prev_sum = _UNSET
     rounds = 0
-    for _ in range(max_iters):
+    check_every = 2 if numeric else 1
+    for it in range(max_iters):
         rounds += 1
         prop = (
             edges.join(labels, edges.src == labels.id)
@@ -483,10 +602,11 @@ def dup_components(
         new = (
             labels.unionByName(prop)
             .groupBy("id").agg(F.min("comp").alias("comp"))
-            # checkpoint the fold BEFORE the jump join: lk below consumes
-            # the fold twice, and without materialisation the aggregate
-            # stage would execute on both sides of the self-join
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: truncates lineage immediately (the plan
+            # wraps a LogicalRDD) and materialises/caches within the
+            # fixpoint-probe job, so the jump join's two consumers share
+            # one computation without a dedicated eager job
+            .localCheckpoint(eager=False)
         )
         if shortcut:
             # comp <- comp[comp]: a label is itself a node id, so join the
@@ -499,18 +619,21 @@ def dup_components(
             new = (
                 new.join(lk, new.comp == lk._lid, "left")
                 .select("id", F.coalesce("_lcomp", "comp").alias("comp"))
-                # the jump output is consumed by the NEXT round's edge
-                # join + union + this round's convergence check —
-                # materialise it too or the jump join re-executes ~3x
-                .localCheckpoint(eager=True)
+                # lazy too: cached when the probe job below first runs it,
+                # reused by the next round's edge join + union
+                .localCheckpoint(eager=False)
             )
-        if numeric:
-            new_sum = _label_sum(new)
-            converged = new_sum == prev_sum
-            prev_sum = new_sum
-        else:
-            converged = new.join(labels, ["id", "comp"], "left_anti").isEmpty()
-        labels.unpersist()
+        converged = False
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            if numeric:
+                new_sum = _label_sum(new)
+                # None == empty subgraph (no edges): trivially a fixpoint
+                converged = new_sum is None or (
+                    prev_sum is not _UNSET and new_sum == prev_sum)
+                prev_sum = new_sum
+            else:
+                converged = new.join(
+                    labels, ["id", "comp"], "left_anti").isEmpty()
         labels = new
         if converged:
             break
@@ -522,9 +645,16 @@ def dup_components(
             "returning the current labels (a pathological chain longer "
             "than max_iters; raise max_iters)", RuntimeWarning,
         )
-    edges.unpersist()
     if _stats is not None:
         _stats["rounds"] = rounds
+    # singletons (no incident edge) label themselves — one anti-join
+    # against the (tiny) edge-node id set, outside the loop
+    singles = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(edges.select(F.col("src").alias("id")), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    labels = labels.unionByName(singles)
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 
@@ -553,19 +683,36 @@ def simhash_df(documents: DataFrame, bits: int = 16, n: int = 5) -> DataFrame:
     """(doc_id, simhash) via the Arrow kernel — value-identical to
     :func:`simhash` (raw md5-prefix hashes, per-bit majority vote)."""
     def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
+        # batch-unique shingles -> one vectorised MD5 pass (see
+        # minhash_sig_df); per-bit majority votes via add.reduceat over
+        # the concatenated unique-index segments — value-identical
+        uniq: dict[str, int] = {}
+        doc_idx = []
         for text in pdf["text"]:
             t = text or ""
             sh = {t[i: i + n] for i in range(max(len(t) - (n - 1), 1))}
-            hs = np.fromiter(
-                (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh),
-                dtype=np.int64, count=len(sh),
-            )
-            ones = ((hs[:, None] >> np.arange(bits)[None, :]) & 1).sum(axis=0)
-            val = int(((ones * 2 > len(hs)).astype(np.int64)
-                       << np.arange(bits)).sum())
-            out.append(val)
-        return pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+            idx = np.empty(len(sh), dtype=np.int64)
+            for j, s in enumerate(sh):
+                k = uniq.get(s)
+                if k is None:
+                    k = len(uniq)
+                    uniq[s] = k
+                idx[j] = k
+            doc_idx.append(idx)
+        if not doc_idx:
+            return pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": []})
+        hs = _md5_u32_batch([s.encode("utf-8") for s in uniq])
+        bitmat = (hs[:, None] >> np.arange(bits)[None, :]) & 1  # (uniq, bits)
+        counts = np.fromiter(map(len, doc_idx), dtype=np.int64,
+                             count=len(doc_idx))
+        concat = np.concatenate(doc_idx)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ones = np.add.reduceat(bitmat[concat], starts, axis=0)  # (docs, bits)
+        vals = (
+            ((ones * 2 > counts[:, None]).astype(np.int64)
+             << np.arange(bits)[None, :]).sum(axis=1)
+        )
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": vals})
 
     return documents.select("doc_id", "text").mapInPandas(
         lambda it: (_batch(p) for p in it), schema="doc_id long, simhash long"

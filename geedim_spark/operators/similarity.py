@@ -460,8 +460,175 @@ def lsh_bucket_topk(
     )
 
 
+def _np_fold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Pairwise dot products A(r,d) x B(c,d) -> (r,c), accumulated one
+    DIMENSION at a time (acc = acc + a_j*b_j, j ascending) — the exact
+    IEEE operation sequence of the Catalyst ``aggregate(zip_with(...))``
+    left fold, vectorised across all pairs.  np.dot/np.einsum would be
+    faster but use pairwise/SIMD summation whose last ulp can differ;
+    this form is bit-identical to the JVM fold by construction."""
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc += A[:, j][:, None] * B[:, j][None, :]
+    return acc
+
+
+def _np_fold_norm(V: np.ndarray) -> np.ndarray:
+    """sqrt of the same left-fold self-dot — bit-identical to
+    :func:`norm` (F.sqrt of the Catalyst fold)."""
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for j in range(V.shape[1]):
+        acc += V[:, j] * V[:, j]
+    return np.sqrt(acc)
+
+
+def _np_quantised_buckets(V64: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Integer-quantised LSH bucket ids, bit-identical to
+    :func:`lsh_bucket_quantised`: floor(x*4096) int64 components, exact
+    int64 left-fold projections (|terms| << 2^53 — no wraparound), sign
+    bits OR-ed."""
+    q = np.floor(V64 * QUANT_SCALE).astype(np.int64)
+    p = planes.astype(np.int64)
+    buckets = np.zeros(V64.shape[0], dtype=np.int64)
+    for i in range(p.shape[0]):
+        proj = np.zeros(V64.shape[0], dtype=np.int64)
+        for j in range(V64.shape[1]):
+            proj += q[:, j] * p[i, j]
+        buckets += np.where(proj > 0, np.int64(1 << i), np.int64(0))
+    return buckets
+
+
+# raw-sim cushion for the in-kernel top-k prune: two round-6 quanta.  A
+# candidate more than 2e-6 BELOW the k-th largest raw sim cannot reach the
+# k-th largest round(sim, 6) (|round6(x) - x| <= 5e-7 and rounding is
+# monotone), so pruning at (kth_raw - 2e-6) keeps a guaranteed superset of
+# the final round-6 top-k for Catalyst to rank.
+_TOPK_PRUNE_CUSHION = 2e-6
+
+
+def _bucket_pair_sims(
+    base: DataFrame, k: int, mismatch_only: bool
+) -> DataFrame:
+    """Same-bucket pair similarities via a per-bucket Arrow kernel.
+
+    Value-identical to the r5 bucket self-join + higher-order-function
+    form: dots/norms replay the exact Catalyst fold order
+    (:func:`_np_fold_dot`), the zero-norm NULL rule becomes a skip, and
+    rounding + ranking stay in Catalyst.  Per query row only the
+    guaranteed round-6 top-k superset survives (``_TOPK_PRUNE_CUSHION``),
+    so the downstream rank window sees ~k rows per vec instead of the
+    whole bucket — the join form shuffled every candidate pair.
+
+    ``base``: (vec_id, label, e array<double>, bucket).  Output:
+    (vec_id, label, nbr_id, nbr_label, sim RAW double).
+    """
+    label_type = base.schema["label"].dataType.simpleString()
+    schema = (f"vec_id long, label {label_type}, nbr_id long, "
+              f"nbr_label {label_type}, sim double")
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        nrows = len(pdf)
+        out = {c: [] for c in
+               ("vec_id", "label", "nbr_id", "nbr_label", "sim")}
+        if nrows >= 2:
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["e"]])
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            nrm = _np_fold_norm(V)
+            # chunk the query rows so the pair matrix stays bounded even
+            # at the bucket-cap size (cap rows x cap cols doubles)
+            for c0 in range(0, nrows, 1024):
+                c1 = min(c0 + 1024, nrows)
+                sims = _np_fold_dot(V[c0:c1], V)
+                denom = nrm[c0:c1][:, None] * nrm[None, :]
+                valid = denom != 0.0
+                valid &= ids[c0:c1][:, None] != ids[None, :]
+                if mismatch_only:
+                    valid &= labels[c0:c1][:, None] != labels[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = sims / denom
+                # non-finite sims (NaN/inf embeddings) carry no usable
+                # ordering — excluded, like the zero-norm NULL rule
+                valid &= np.isfinite(sims)
+                for r in range(c1 - c0):
+                    vm = valid[r]
+                    if not vm.any():
+                        continue
+                    sv = sims[r][vm]
+                    if len(sv) > k:
+                        kth = np.partition(sv, len(sv) - k)[len(sv) - k]
+                        keep = sv >= kth - _TOPK_PRUNE_CUSHION
+                    else:
+                        keep = np.ones(len(sv), dtype=bool)
+                    nb_ids = ids[vm][keep]
+                    out["vec_id"].append(
+                        np.full(len(nb_ids), ids[c0 + r]))
+                    out["label"].append(
+                        np.full(len(nb_ids), labels[c0 + r]))
+                    out["nbr_id"].append(nb_ids)
+                    out["nbr_label"].append(labels[vm][keep])
+                    out["sim"].append(sv[keep])
+        if not out["vec_id"]:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in out})
+        return pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
+
+    return base.groupBy("bucket").applyInPandas(_group, schema=schema)
+
+
+def _quantised_base(
+    embeddings: DataFrame, n_planes: int, max_bucket_size: int | None,
+    op: str,
+):
+    """Shared prep for the kernel-scored bucket ops: one narrow Arrow
+    pass computes (vec_id, label, e float64, bucket) — the quantised
+    bucket via exact int64 numpy folds (:func:`_np_quantised_buckets`,
+    bit-identical to the Catalyst form) instead of ~n_planes*dim
+    interpreted HOF ops per vector — then the standard lazy oversized-
+    bucket cap.  Returns (base, BucketCapReport | None)."""
+    from pyspark import StorageLevel
+
+    from geedim_spark.operators.dedup import _drop_oversized_buckets
+
+    label_type = embeddings.schema["label"].dataType.simpleString()
+    schema = (f"vec_id long, label {label_type}, e array<double>, "
+              f"bucket long")
+
+    def _prep(it):
+        # planes derived from the first batch's vector width (seeded rng:
+        # every task builds the identical matrix) — no embedding_dim()
+        # .first() job at plan-construction time
+        planes = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            if planes is None:
+                planes = lsh_int_planes(V.shape[1], n_planes)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "e": list(V),
+                "bucket": _np_quantised_buckets(V, planes),
+            })
+
+    base = embeddings.select("vec_id", "label", "embedding").mapInPandas(
+        _prep, schema=schema)
+    report = None
+    if max_bucket_size is not None:
+        # persist BEFORE the cap: consumed by the cap's size aggregate
+        # plus the pair kernel (lazy — no job at plan time)
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base, report = _drop_oversized_buckets(
+            base, ["bucket"], max_bucket_size, op)
+    return base, report
+
+
 def knn_label_noise(
-    embeddings: DataFrame, k: int = 5, n_planes: int = 4
+    embeddings: DataFrame, k: int = 5, n_planes: int = 4,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Mislabeled-sample detection (Confident-Learning style, cf.
     Northcutt et al. 2021): every vector's label is compared against the
@@ -475,9 +642,19 @@ def knn_label_noise(
     round(cos, 6) with id tiebreaks.  Majority vote ties break toward
     the smallest label.
 
-    Scale shape (100 TB): bucket equi-join prunes candidates to
-    ~N/2^n_planes per vector; every window is PARTITIONED BY vec_id
-    (bounded by bucket size); vote counting is a 2-phase hash agg.
+    Scale shape (100 TB): one bucket shuffle, then candidates are scored
+    inside a per-bucket Arrow kernel (:func:`_bucket_pair_sims` — exact
+    Catalyst-fold doubles; only the guaranteed round-6 top-k superset is
+    emitted per vec, so the vec_id rank window sees ~k rows, not the
+    whole bucket); vote counting is a 2-phase hash agg.
+    ``max_bucket_size`` bounds the quadratic blowup of a degenerate
+    bucket (e.g. a mass-duplicated embedding): larger buckets are
+    filtered inside the lazy plan with the standard loud
+    ``BucketCapReport`` (``_bucket_cap_report`` on the result, same
+    contract as :func:`near_dup_pairs`); ``None`` disables.  Size
+    ``n_planes ~ log2(N / target_bucket_size)`` so the expected bucket
+    N/2^n_planes stays well under the cap (4 fits the test corpus; a
+    10^9-vector corpus wants ~20).
     Vectors whose bucket holds no other member (or zero-norm vectors)
     report n_nbrs=0, knn_label NULL, is_suspect false.
 
@@ -485,26 +662,11 @@ def knn_label_noise(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    planes = lsh_int_planes(embedding_dim(embeddings), n_planes)
-    base = embeddings.select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes)) \
-     .withColumn("nrm", norm(F.col("e")))
-    left = base.select("vec_id", "label", F.col("e").alias("qe"), "bucket",
-                       F.col("nrm").alias("qnrm"))
-    right = base.select(
-        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"),
-        "e", "bucket", "nrm")
-    sims = (
-        left.join(right, "bucket")
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .select(
-            "vec_id", "nbr_id", "nbr_label",
-            F.round(cosine_prenormed(F.col("qe"), F.col("e"),
-                                      F.col("qnrm"), F.col("nrm")), 6)
-            .alias("sim"),
-        )
-        .where(F.col("sim").isNotNull())
+    base, report = _quantised_base(embeddings, n_planes, max_bucket_size,
+                                   "knn_label_noise")
+    sims = _bucket_pair_sims(base, k, mismatch_only=False).select(
+        "vec_id", "nbr_id", "nbr_label",
+        F.round(F.col("sim"), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     topk = sims.withColumn("rank", F.row_number().over(w)).filter(
@@ -518,7 +680,7 @@ def knn_label_noise(
         "vec_id", F.col("nbr_label").alias("knn_label"), "n_agree")
     nn = topk.groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_nbrs"))
-    return (
+    out = (
         embeddings.select("vec_id", "label")
         .join(win, "vec_id", "left")
         .join(nn, "vec_id", "left")
@@ -531,10 +693,13 @@ def knn_label_noise(
              & (F.col("knn_label") != F.col("label"))).alias("is_suspect"),
         )
     )
+    out._bucket_cap_report = report
+    return out
 
 
 def hard_negatives(
-    embeddings: DataFrame, k: int = 3, n_planes: int = 4
+    embeddings: DataFrame, k: int = 3, n_planes: int = 4,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for every vector, the k most
     similar vectors carrying a DIFFERENT label — the negatives that
@@ -548,44 +713,36 @@ def hard_negatives(
     round(cos, 6) with id tiebreaks.  A vector whose bucket holds no
     other-label member emits no rows (it has no mined negatives).
 
-    Scale shape (100 TB): bucket equi-join prunes candidates to
-    ~N/2^n_planes per vector; the label-mismatch filter applies BEFORE
-    the rank; the only window is PARTITIONED BY vec_id (bounded by
-    bucket size).  No UDF, no global sort, no cross join.
+    Scale shape (100 TB): one bucket shuffle, then the label-mismatch
+    filter and the pair scoring run inside a per-bucket Arrow kernel
+    (:func:`_bucket_pair_sims` — exact Catalyst-fold doubles; only the
+    guaranteed round-6 top-k superset is emitted per vec, so the vec_id
+    rank window sees ~k rows, not the whole bucket).  No global sort, no
+    cross join.  ``max_bucket_size`` bounds the quadratic blowup of a
+    degenerate bucket with the standard lazy cap + loud
+    ``BucketCapReport`` (``_bucket_cap_report`` on the result); ``None``
+    disables.  Size ``n_planes ~ log2(N / target_bucket_size)`` (4 fits
+    the test corpus; a 10^9-vector corpus wants ~20).
 
     Output: (vec_id, label, rank, nbr_id, nbr_label, sim).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    planes = lsh_int_planes(embedding_dim(embeddings), n_planes)
-    base = embeddings.select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", lsh_bucket_quantised(F.col("e"), planes)) \
-     .withColumn("nrm", norm(F.col("e")))
-    left = base.select("vec_id", "label", F.col("e").alias("qe"), "bucket",
-                       F.col("nrm").alias("qnrm"))
-    right = base.select(
-        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"),
-        "e", "bucket", "nrm")
-    sims = (
-        left.join(right, "bucket")
-        .filter((F.col("vec_id") != F.col("nbr_id"))
-                & (F.col("label") != F.col("nbr_label")))
-        .select(
-            "vec_id", "label", "nbr_id", "nbr_label",
-            F.round(cosine_prenormed(F.col("qe"), F.col("e"),
-                                      F.col("qnrm"), F.col("nrm")), 6)
-            .alias("sim"),
-        )
-        .where(F.col("sim").isNotNull())
+    base, report = _quantised_base(embeddings, n_planes, max_bucket_size,
+                                   "hard_negatives")
+    sims = _bucket_pair_sims(base, k, mismatch_only=True).select(
+        "vec_id", "label", "nbr_id", "nbr_label",
+        F.round(F.col("sim"), 6).alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
-    return (
+    out = (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", "label", F.col("rank").cast("int").alias("rank"),
                 "nbr_id", "nbr_label", "sim")
     )
+    out._bucket_cap_report = report
+    return out
 
 
 def quantize_int8(embeddings: DataFrame) -> DataFrame:

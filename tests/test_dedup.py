@@ -476,3 +476,25 @@ def test_fuzzy_decontam_planted(spark):
             .executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_md5_u32_batch_matches_hashlib():
+    """The vectorised single-block MD5 behind the shingle kernels must be
+    bit-identical to int(hashlib.md5(m).hexdigest()[:8], 16) for every
+    message length it accepts (0..55 bytes, incl. multi-byte UTF-8)."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    random.seed(7)
+    msgs = [b"", b"a", b"hello", "héllo¡\U0001d11e".encode(),
+            b"x" * 55]
+    msgs += [bytes(random.randrange(256) for _ in range(random.randrange(56)))
+             for _ in range(2000)]
+    ref = np.array([int(hashlib.md5(m).hexdigest()[:8], 16) for m in msgs],
+                   dtype=np.int64)
+    got = dedup._md5_u32_batch(msgs)
+    assert (ref == got).all()
+    with pytest.raises(ValueError, match="single-block"):
+        dedup._md5_u32_batch([b"y" * 56])

@@ -296,3 +296,42 @@ def test_quantize_int8_roundtrip_bound(spark):
     assert stats[0]["max_err_1e9"] <= int(1e9 / 127) + 1
     assert stats[1]["max_err_1e9"] == 0
     assert (stats[2]["q_min"], stats[2]["q_max"]) == (-127, 63)
+
+
+def test_label_noise_and_hard_negatives_mega_bucket_cap(spark):
+    """A planted mega-bucket (2000 copies of one embedding) must be
+    filtered by max_bucket_size with a loud drop report, leaving the
+    untouched vectors' output intact — and plan construction must stay
+    job-free (mirrors test_lsh_bucket_cap_plan_construction_is_lazy)."""
+    n_dup = 2000
+    base_vec = (np.eye(8)[0] * 3).astype(np.float32).tolist()
+    other = [(n_dup, (-np.eye(8)[1] * 2).astype(np.float32).tolist(), 0),
+             (n_dup + 1, (-np.eye(8)[1] * 2.1).astype(np.float32).tolist(), 1)]
+    rows = [(i, base_vec, i % 2) for i in range(n_dup)] + other
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("sim_cap_lazy", "plan construction only")
+    try:
+        capped = sim.hard_negatives(df, k=3, max_bucket_size=100)
+        assert list(
+            sc.statusTracker().getJobIdsForGroup("sim_cap_lazy")) == []
+        assert capped._bucket_cap_report is not None
+    finally:
+        sc.setJobGroup("", "")
+    got = capped.collect()
+    rep = capped._bucket_cap_report.wait()
+    assert rep["rows_dropped"] == n_dup
+    assert rep["largest_bucket"] == n_dup
+    # the mega-cluster emits nothing; the small bucket's pair survives
+    ids = {r["vec_id"] for r in got}
+    assert ids == {n_dup, n_dup + 1}
+
+    noise = sim.knn_label_noise(df, k=3, max_bucket_size=100)
+    out = {r["vec_id"]: r for r in noise.collect()}
+    rep2 = noise._bucket_cap_report.wait()
+    assert rep2["rows_dropped"] == n_dup
+    # capped vectors fall back to the no-neighbour row, never a pair scan
+    assert out[0]["n_nbrs"] == 0 and not out[0]["is_suspect"]
+    assert out[n_dup]["n_nbrs"] == 1
