@@ -48,6 +48,24 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table, widening a NARROW scan to the session parallelism
+    (guide §2.5: one unsplittable input file -> repartition right after
+    the read).  The oracle tables ship as a single parquet file, so every
+    kernel / higher-order-function map stage otherwise runs in ONE task
+    regardless of core count.  Scale-adaptive, not a local[32] constant:
+    at production scale the scan already has >= defaultParallelism splits
+    and this is a no-op; the round-robin shuffle it adds here moves well
+    under a megabyte.  Results are partition-independent (every consumer
+    is an aggregate / content-hash / per-row map), so the oracle hashes
+    are unchanged."""
+    df = spark.read.parquet(_t(sf_dir, name))
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: collection search (date + bounds + portions + custom filter)
     over the synthetic table at sf0.001 — the geedim `search` lifecycle."""
@@ -117,8 +135,10 @@ def q_geo_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mask_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    # staged parquet (identical rows to the generator): the timed plan is a
+    # pruned blob scan -> mask kernel, not re-synthesis + encode + phash of
+    # every image (the production shape; see _staged_images)
+    imgs = _staged_images(spark, sf_dir).filter("fmt = 'raw'")
     return masks.mask_stats(imgs)
 
 
@@ -254,8 +274,8 @@ def q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cloud_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    # staged parquet: pruned blob scan -> EDT kernel (see q_mask_portions)
+    imgs = _staged_images(spark, sf_dir).filter("fmt = 'raw'")
     return masks.cloud_dist_stats(imgs, scale=synth.SCALE, max_cloud_dist=5000.0)
 
 
@@ -666,8 +686,7 @@ def q_s2_qa_portions(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic rows i <= 744 fall inside it), and the qa pipeline's
     open(20 m)+dilate(50 m) morphology (mask.py:466-472) — all exact strip
     closed forms."""
-    n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw' AND i % 3 = 2")
+    imgs = _staged_images(spark, sf_dir).filter("fmt = 'raw' AND i % 3 = 2")
     return masks.mask_stats(imgs)
 
 
@@ -677,7 +696,7 @@ def q_s2_score_thresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.5 / 0.9) are clear, so matched rows go fully cloudless while
     unmatched rows still hit the fully-masked default."""
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    imgs = _staged_images(spark, sf_dir).filter("fmt = 'raw'")
     scores = synth.scores_df(spark, n)
     return masks.s2_score_mask_stats(imgs, scores, score_thresh=0.4)
 
@@ -688,7 +707,7 @@ def q_s2_prob_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     466-472); the left prob strip erodes 2 px then dilates 5 px, giving a
     closed-form cloudless width."""
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    imgs = _staged_images(spark, sf_dir).filter("fmt = 'raw'")
     probs = synth.probs_df(spark, n)
     return masks.s2_prob_mask_stats(imgs, probs, prob_thresh=60.0)
 
@@ -802,7 +821,7 @@ def q_dct8_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features, rounded to 6 dp for cross-engine floats."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     q = text.quality_score(docs)
     return q.select(
         "doc_id",
@@ -933,8 +952,8 @@ def q_composite_tiled_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-keyed mean composite (the 10^12-scale grouping) — per-column
     values checked against the same closed form as the whole-image path."""
     n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(
-        spark, min(n, 900), scalar_filter="i % 3 = 0 AND fmt = 'raw'"
+    imgs = _staged_images(spark, sf_dir).filter(
+        f"i % 3 = 0 AND fmt = 'raw' AND i < {min(n, 900)}"
     )
     tiles = composite.composite_tiled(imgs, "mean", tile_h=20, tile_w=20)
     return _tiled_column_profile(tiles, "mean_v")
@@ -1113,14 +1132,14 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return dedup.simhash_df(docs, bits=16, n=5)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle Jaccard for consecutive doc pairs (verification-stage
     op of the dedup pipeline)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     pairs = docs.filter("doc_id < 100").select(
         F.col("doc_id").alias("doc_id_a"), (F.col("doc_id") + 1).alias("doc_id_b")
     )
@@ -1128,12 +1147,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text.lang_id(docs)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text.fingerprint(docs)
 
 
@@ -1265,7 +1284,7 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_doc_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return dedup.exact_dup_counts(docs)
 
 
@@ -1288,7 +1307,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as _drained_events_stream
     base = tempfile.mkdtemp(prefix="geedim_stream_dedup_")
     try:
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs = _tw(spark, sf_dir, "documents")
         docs.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
 
         _STREAM_DEDUP_SEQ[0] += 1
@@ -1306,14 +1325,14 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text.token_stats(docs).select(
         "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_alpha", "n_digit", "n_punct"
     )
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     sigs = dedup.minhash_sig_df(docs, n_hashes=4, n=5)
     s = F.col("sig")
     return sigs.select(
@@ -1324,7 +1343,7 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4, n=5)
 
 
@@ -1335,13 +1354,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves the same pairs with a recursive CTE — the full pipeline
     (shingle -> minhash -> bands -> bucket join -> components) value-checks
     end to end."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4, n=5)
     return dedup.dup_components(docs, pairs)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _tw(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, n_queries=5, k=10)
 
 
@@ -1353,7 +1372,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed top-k with integer-quantised hyperplanes: the bucket key
     is exact int64 arithmetic (floor(x*4096) x small-int planes), so the
     whole approximate query is reproducible bit-for-bit in the SQL oracle."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _tw(spark, sf_dir, "embeddings")
     dim = similarity.embedding_dim(emb)
     if dim != ORACLE_EMB_DIM:
         raise ValueError(
@@ -1369,6 +1388,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     this table is ~0.2%, so the assertion is a real index-quality check
     while staying hashable (the Lloyd centroids themselves are not
     SQL-expressible; measured recall is 56-60% at sf0.01/sf0.1)."""
+    # plain read, NOT _tw: ivf_topk's centroid training uses a seeded
+    # Bernoulli .sample whose draw depends on the partition split — the
+    # widening repartition would change the trained index (still above
+    # the gate, but not byte-stable across layouts)
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     rec = similarity.ivf_recall_at_k(emb, n_queries=5, k=10, nlist=8, nprobe=2)
     return rec.agg(
@@ -1383,7 +1406,7 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe/equi-join plan with closed-form centroids (first nlist
     vectors, round-6 cosine argmax assignment) — value-checkable twin of
     the Lloyd-trained ann_ivf."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _tw(spark, sf_dir, "embeddings")
     return similarity.ivf_flat_topk(emb, n_queries=5, k=10, nlist=8, nprobe=2)
 
 
@@ -1391,7 +1414,7 @@ def q_embed_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding dedup groups: planted byte-identical copies
     (vec_id+200000) must count; the quantised-hash key is reproducible in
     SQL (floor(x*4096) is exact — power-of-two scale)."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", "embedding")
+    emb = _tw(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter("vec_id < 40").select(
         (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
     )
@@ -1402,7 +1425,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via LSH buckets.  Duplicates are planted
     (vec_id+100000 = 2x the vector — exact float scaling, so LSH signs and
     direction are bit-identical) and must be exactly recovered."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", "embedding")
+    emb = _tw(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter("vec_id < 50").select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0).cast("float"))
@@ -1422,7 +1445,7 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a completeness proof of the pigeonhole banding; the real-phash
     path over synth images is pytest-covered (test_dedup)."""
     docs = (
-        spark.read.parquet(_t(sf_dir, "documents"))
+        _tw(spark, sf_dir, "documents")
         .select("doc_id", "text").filter("doc_id < 2000")
     )
     h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
@@ -1650,7 +1673,7 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersections."""
     from geedim_spark.operators import dedup
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     bench = docs.where("doc_id % 499 = 0").select(
         F.col("doc_id").alias("bench_id"), "text"
     )
@@ -1668,7 +1691,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     window cumsum."""
     from geedim_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text_ops.pack_stats(docs, max_tokens=512, n_shards=16,
                                salt="pack-v1")
 
@@ -1682,7 +1705,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin counts identically."""
     from geedim_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     aug = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
@@ -1705,7 +1728,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional-gram histogram."""
     from geedim_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text_ops.repetition_stats(docs, n=10)
 
 
@@ -1720,7 +1743,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes."""
     from geedim_spark.operators import sampling
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _tw(spark, sf_dir, "documents").select(
         "doc_id", "lang"
     )
     mixed = sampling.stratified_sample(
@@ -1747,7 +1770,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every line occurring >= 3 times corpus-wide is dropped and the
     survivors rejoined in order.  n_lines / n_kept / the rebuilt text are
     the hashed contract — the reassembly order check is exact."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     words = F.split(F.coalesce(F.col("text"), F.lit("")), F.lit(" "), F.lit(-1))
     n_chunks = F.greatest(
         F.ceil(F.size(words) / F.lit(6)).cast("int"), F.lit(1)
@@ -1816,7 +1839,7 @@ def q_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the decision path and the per-row contract hashes bit-for-bit."""
     from geedim_spark.operators import multimodal
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _tw(spark, sf_dir, "documents").select(
         "doc_id",
         (256 + (F.col("doc_id") * 37) % 769).cast("int").alias("w"),
         (256 + (F.col("doc_id") * 53) % 769).cast("int").alias("h"),
@@ -1834,7 +1857,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole ranking value-checks exactly."""
     from geedim_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("text")
+    docs = _tw(spark, sf_dir, "documents").select("text")
     return text_ops.top_ngrams(docs, n=3, k=50)
 
 
@@ -1847,7 +1870,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     data can flip."""
     from geedim_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text_ops.gopher_rules(docs, min_words=40, min_stop_words=1)
 
 
@@ -1858,7 +1881,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     join).  Complements doc_dup_counts (which measures, per doc)."""
     from geedim_spark.operators import dedup as dedup_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return dedup_ops.apply_exact(docs)
 
 
@@ -1871,7 +1894,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation and per-shard ranking."""
     from geedim_spark.operators import sampling
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _tw(spark, sf_dir, "documents").select("doc_id")
     return sampling.epoch_shuffle(docs, "doc_id", epoch=3, n_shards=8)
 
 
@@ -1883,7 +1906,7 @@ def q_near_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is their own id."""
     from geedim_spark.operators import dedup as dedup_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     pairs = dedup_ops.minhash_lsh_pairs(docs, n_hashes=16, bands=4, n=5)
     comps = dedup_ops.dup_components(docs, pairs)
     return dedup_ops.apply_components(docs, comps).select(
@@ -1898,7 +1921,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; the oracle replays the identical counts and ln() sums."""
     from geedim_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text_ops.token_rarity(docs)
 
 
@@ -1912,7 +1935,7 @@ def q_cdc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, boundary rule, and chunk accounting in SQL."""
     from geedim_spark.operators import dedup as dedup_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return dedup_ops.cdc_dup_spans(docs, w=8, modulus=16)
 
 
@@ -1922,7 +1945,7 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucket neighbours — the Confident-Learning curation signal.
     Integer-quantised buckets + round(cos,6) ranking keep the whole
     query bit-reproducible in the SQL oracle."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _tw(spark, sf_dir, "embeddings")
     dim = similarity.embedding_dim(emb)
     if dim != ORACLE_EMB_DIM:
         raise ValueError(
@@ -1939,7 +1962,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     score.  The oracle replays the full model fit in DuckDB."""
     from geedim_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text_ops.dsir_weights(
         docs, F.col("lang") == "en", n_buckets=256, alpha=1.0
     )
@@ -1960,7 +1983,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_Q_SEQ[0] += 1
     sink = f"q_stream_nd_sink_{_STREAM_Q_SEQ[0]}"
     try:
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs = _tw(spark, sf_dir, "documents")
         docs.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
         q = snd.stream_near_dup(
             spark, f"{base}/in", f"{base}/ckpt",
@@ -2044,7 +2067,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-permille thresholds (no float in the cut rule)."""
     from geedim_spark.operators import text as text_ops
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text_ops.length_quantiles(
         docs, permille=(100, 250, 500, 750, 900, 990, 1000)
     )
@@ -2077,7 +2100,7 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health table (operators/text.domain_stats):
     RefinedWeb-style per-domain counts / size / exact-dup ratio /
     language spread.  Dup counting shuffles md5(text), never the text."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text.domain_stats(docs)
 
 
@@ -2095,7 +2118,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard_negatives): top-3 most-similar OTHER-label vectors per vector
     from the quantised LSH buckets; round(cos,6) + id tiebreaks keep the
     ranking reproducible cross-engine."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _tw(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(emb, k=3, n_planes=4)
 
 
@@ -2103,7 +2126,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc tf-idf keywords (operators/text.tfidf_top_terms): ranking
     on exact integer keys (tf DESC, df ASC, term ASC); the rounded float
     score is informational only."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, k=3)
 
 
@@ -2218,7 +2241,7 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top 400‰ per language by exact integer alpha-permille; the cut
     comes from the bounded-domain histogram (the corpus never sorts),
     ties at the cut kept."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text.quality_prune(docs, permille=400)
 
 
@@ -2228,7 +2251,7 @@ def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted benchmark (every 50th doc with its last 3 chars cut — a
     light edit exact n-gram decontam would miss), verified with exact
     shingle Jaccard; the verdict is integer cross-multiplied."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     bench = docs.filter("doc_id % 50 = 0").select(
         (F.col("doc_id") + 900000).alias("bench_id"),
         F.expr("substr(text, 1, greatest(length(text) - 3, 1))")
@@ -2242,7 +2265,7 @@ def q_quantize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _stats): exact IEEE floor(x*127/max_abs) per component — the
     oracle replays every step; outputs are the hashable per-vector
     summary (the driver canonicalizer cannot hash array columns)."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _tw(spark, sf_dir, "embeddings")
     return similarity.quantize_int8_stats(emb)
 
 
@@ -2253,7 +2276,7 @@ def q_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as ``phash_near_dup`` (see that docstring); the oracle
     resolves the identical brute-force pair graph with a recursive CTE."""
     docs = (
-        spark.read.parquet(_t(sf_dir, "documents"))
+        _tw(spark, sf_dir, "documents")
         .select("doc_id", "text").filter("doc_id < 2000")
     )
     h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
@@ -2276,7 +2299,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the RAG splitter): size 200 / overlap 50 character chunks with exact
     start arithmetic; the oracle replays the ceil/stride math and every
     substring."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _tw(spark, sf_dir, "documents")
     return text.chunk_documents(docs, size=200, overlap=50)
 
 
@@ -2298,8 +2321,7 @@ def q_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     region reduce): the Arrow kernel np.unique's REAL decoded pixels;
     the oracle is the strip world's closed form (value 0 x f_px*h fill
     columns, value v x (w-f_px)*h)."""
-    n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    imgs = _staged_images(spark, sf_dir).filter("fmt = 'raw'")
     return export_ops.pixel_histogram(imgs, band=0)
 
 

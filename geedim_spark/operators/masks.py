@@ -360,6 +360,20 @@ def edt_squared(sources: np.ndarray, max_r: int | None = None) -> np.ndarray:
     d1sq = np.where(d1 > h, INF, d1.astype(np.float64) ** 2)
 
     R = w - 1 if max_r is None else max(0, min(w - 1, int(max_r)))
+    if h * w * w * 8 <= (8 << 20):
+        # small rasters (the decimated cloud-distance grids, halo tiles):
+        # the offset sweep costs 2R numpy dispatches on arrays of a few
+        # hundred elements — pure interpreter overhead.  One (h, w, w)
+        # broadcast min evaluates the identical candidates
+        # d1sq[y, x'] + (x - x')^2 (same doubles, min is order-free;
+        # offsets beyond R masked to +inf exactly like the loop's absent
+        # terms) in ~3 vectorised ops.  Gated by the 8 MB temp size; wide
+        # rasters keep the O(h*w) memory sweep.
+        cols = np.arange(w, dtype=np.int64)
+        off = cols[:, None] - cols[None, :]
+        sq_off = off.astype(np.float64) ** 2
+        sq_off[np.abs(off) > R] = np.inf
+        return (d1sq[:, None, :] + sq_off[None, :, :]).min(axis=2)
     out = d1sq.copy()
     for dx in range(1, R + 1):
         sq = float(dx * dx)

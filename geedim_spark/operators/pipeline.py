@@ -86,7 +86,14 @@ def mask_and_tile(
     """
     mask_opts.setdefault("scale", scale)
     def _batch(pdf: pd.DataFrame):
-        all_rows = []
+        # columnar accumulators: building one dict per tile row cost more
+        # than a third of the non-kernel batch time at 16 tiles/image
+        cols_acc: dict[str, list] = {
+            "image_id": [], "caption": [], "band_start": [], "band_stop": [],
+            "row_start": [], "row_stop": [], "col_start": [], "col_stop": [],
+            "fill_px": [], "cloudless_px": [], "dist_sum": [],
+            "tile_bytes": [],
+        }
         for image_id, caption, buf, coll, ts in zip(
             pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["collection"],
             pdf["time_start"],
@@ -171,25 +178,27 @@ def mask_and_tile(
                 np.add.reduceat(cl.astype(np.int64), r_idx, axis=0),
                 c_idx, axis=1,
             )
+            n_img_tiles = 0
             for b0 in range(0, nbands, tb):
                 for ri, r0 in enumerate(range(0, h, th)):
                     for ci, c0 in enumerate(range(0, w, tw)):
                         b1 = min(b0 + tb, nbands)
                         r1, c1 = min(r0 + th, h), min(c0 + tw, w)
-                        all_rows.append({
-                            "image_id": image_id, "caption": caption,
-                            "band_start": b0, "band_stop": b1,
-                            "row_start": r0, "row_stop": r1,
-                            "col_start": c0, "col_stop": c1,
-                            "fill_px": int(fsum[ri, ci]),
-                            "cloudless_px": int(clsum[ri, ci]),
-                            "dist_sum": dist_sum,
-                            "tile_bytes": codecs.encode_raw(px[b0:b1, r0:r1, c0:c1]),
-                        })
-        cols = ["image_id", "caption", "band_start", "band_stop", "row_start",
-                "row_stop", "col_start", "col_stop", "fill_px", "cloudless_px",
-                "dist_sum", "tile_bytes"]
-        return pd.DataFrame(all_rows, columns=cols)
+                        cols_acc["band_start"].append(b0)
+                        cols_acc["band_stop"].append(b1)
+                        cols_acc["row_start"].append(r0)
+                        cols_acc["row_stop"].append(r1)
+                        cols_acc["col_start"].append(c0)
+                        cols_acc["col_stop"].append(c1)
+                        cols_acc["fill_px"].append(int(fsum[ri, ci]))
+                        cols_acc["cloudless_px"].append(int(clsum[ri, ci]))
+                        cols_acc["tile_bytes"].append(
+                            codecs.encode_raw(px[b0:b1, r0:r1, c0:c1]))
+                        n_img_tiles += 1
+            cols_acc["image_id"].extend([image_id] * n_img_tiles)
+            cols_acc["caption"].extend([caption] * n_img_tiles)
+            cols_acc["dist_sum"].extend([dist_sum] * n_img_tiles)
+        return pd.DataFrame(cols_acc)
 
     src = masks._with_time_start(images).select(
         "image_id", "caption", "bytes", "collection", "time_start"

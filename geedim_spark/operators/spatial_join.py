@@ -263,33 +263,47 @@ def nearest_roi(images: DataFrame, rois: DataFrame) -> DataFrame:
 
     Output: (image_id, roi_id, d2) with d2 rounded to 6 dp.
     """
+    import numpy as np
+    import pandas as pd
+
     roi_rows = sorted(
         rois.select("roi_id", "rx0", "ry0", "rx1", "ry1").collect(),
         key=lambda r: r["roi_id"],
     )
     if not roi_rows:
         raise ValueError("rois is empty — nothing to assign to")
+    # ROI centres as plain float arrays, ids in roi_id ASC order so the
+    # kernel's argmin (first minimum) reproduces the struct-compare tie
+    # rule (min d2, then min roi_id) exactly
+    ecx = np.array([(r["rx0"] + r["rx1"]) / 2 for r in roi_rows])
+    ecy = np.array([(r["ry0"] + r["ry1"]) / 2 for r in roi_rows])
+    rids = np.array([r["roi_id"] for r in roi_rows])  # any orderable id type
+    id_t = images.schema["image_id"].dataType.simpleString()
+    rid_t = rois.schema["roi_id"].dataType.simpleString()
+
+    def _assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            # one multiply + one add per (image, roi) — the identical
+            # IEEE sequence the r5 Catalyst struct fold evaluated
+            # per-element ~m times per row in the interpreter
+            dx = pdf["cx"].to_numpy()[:, None] - ecx[None, :]
+            dy = pdf["cy"].to_numpy()[:, None] - ecy[None, :]
+            d2 = dx * dx + dy * dy
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"],
+                "roi_id": rids[best],
+                "d2": d2[np.arange(len(pdf)), best],
+            })
+
     cx = (F.col("x0") + F.col("x1")) / 2
     cy = (F.col("y0") + F.col("y1")) / 2
-    arr = F.array(*[
-        F.struct(
-            F.lit((r["rx0"] + r["rx1"]) / 2).alias("ecx"),
-            F.lit((r["ry0"] + r["ry1"]) / 2).alias("ecy"),
-            F.lit(r["roi_id"]).alias("roi_id"),
-        )
-        for r in roi_rows
-    ])
-    scored = F.transform(
-        arr,
-        lambda e: F.struct(
-            ((cx - e["ecx"]) * (cx - e["ecx"])
-             + (cy - e["ecy"]) * (cy - e["ecy"])).alias("d2"),
-            e["roi_id"].alias("roi_id"),
-        ),
-    )
-    best = F.array_min(scored)
-    return images.select(
-        "image_id",
-        best["roi_id"].alias("roi_id"),
-        F.round(best["d2"], 6).alias("d2"),
-    )
+    scored = images.select(
+        "image_id", cx.alias("cx"), cy.alias("cy")
+    ).mapInPandas(_assign, schema=f"image_id {id_t}, roi_id {rid_t}, d2 double")
+    # round stays in Catalyst: the JVM HALF_UP decimal rounding is the
+    # oracle-checked form (replicating it bit-exactly in numpy is not)
+    return scored.select(
+        "image_id", "roi_id", F.round(F.col("d2"), 6).alias("d2"))

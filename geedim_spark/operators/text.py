@@ -507,9 +507,14 @@ def dsir_weights(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # explode_OUTER keeps zero-feature documents as one NULL-feat row
+    # (NULL bucket below), so the per-doc rollup already covers the whole
+    # corpus and the r5 plan's final documents-side sort-merge join (two
+    # exchanges + a corpus re-scan, purely to re-attach empty docs) is
+    # gone
     ex = base.withColumn("bi", bigrams).select(
         "doc_id", "is_target",
-        F.explode(F.concat(F.col("t"), F.col("bi"))).alias("feat"),
+        F.explode_outer(F.concat(F.col("t"), F.col("bi"))).alias("feat"),
     )
     bucket = (
         F.conv(
@@ -523,12 +528,15 @@ def dsir_weights(
         .agg(F.count(F.lit(1)).cast("long").alias("k"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    model = per_doc.groupBy("bucket").agg(
+    model = per_doc.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(F.lit(0)))
         .cast("long").alias("t_cnt"),
         F.sum(F.when(~F.col("is_target"), F.col("k")).otherwise(F.lit(0)))
         .cast("long").alias("r_cnt"),
-    )
+    # lazy checkpoint: the totals broadcast materialises the (<= n_buckets
+    # row) model once; the ratio projection reuses the cached rows instead
+    # of re-aggregating per_doc a second time
+    ).localCheckpoint(eager=False)
     totals = model.agg(
         F.sum("t_cnt").cast("double").alias("t_total"),
         F.sum("r_cnt").cast("double").alias("r_total"),
@@ -539,16 +547,20 @@ def dsir_weights(
         (F.log((F.col("t_cnt") + a) / (F.col("t_total") + ab))
          - F.log((F.col("r_cnt") + a) / (F.col("r_total") + ab))).alias("lr"),
     )
-    per = per_doc.join(F.broadcast(ratio), "bucket").groupBy("doc_id").agg(
-        F.sum("k").cast("long").alias("n_feats"),
-        F.sum(F.col("k") * F.col("lr")).alias("_lw"),
+    per = (
+        per_doc.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.sum(F.when(F.col("bucket").isNotNull(), F.col("k"))
+                  .otherwise(F.lit(0))).cast("long").alias("n_feats"),
+            F.sum(F.when(F.col("bucket").isNotNull(),
+                         F.col("k") * F.col("lr")).otherwise(F.lit(0.0)))
+            .alias("_lw"),
+        )
     )
-    out = documents.select(
-        "doc_id", target.cast("boolean").alias("is_target")
-    ).join(per, "doc_id", "left")
-    return out.select(
+    return per.select(
         "doc_id", "is_target",
-        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        F.col("n_feats"),
         F.round(F.coalesce("_lw", F.lit(0.0)), 6).alias("log_weight"),
     )
 
