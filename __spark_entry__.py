@@ -1152,7 +1152,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text.fingerprint(docs)
 
 
@@ -1284,7 +1284,7 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_doc_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return dedup.exact_dup_counts(docs)
 
 
@@ -1307,7 +1307,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as _drained_events_stream
     base = tempfile.mkdtemp(prefix="geedim_stream_dedup_")
     try:
-        docs = _tw(spark, sf_dir, "documents")
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
         docs.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
 
         _STREAM_DEDUP_SEQ[0] += 1
@@ -1325,7 +1325,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text.token_stats(docs).select(
         "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_alpha", "n_digit", "n_punct"
     )
@@ -1360,7 +1360,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _tw(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     return similarity.cosine_topk(emb, n_queries=5, k=10)
 
 
@@ -1372,7 +1372,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed top-k with integer-quantised hyperplanes: the bucket key
     is exact int64 arithmetic (floor(x*4096) x small-int planes), so the
     whole approximate query is reproducible bit-for-bit in the SQL oracle."""
-    emb = _tw(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     dim = similarity.embedding_dim(emb)
     if dim != ORACLE_EMB_DIM:
         raise ValueError(
@@ -1406,7 +1406,7 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe/equi-join plan with closed-form centroids (first nlist
     vectors, round-6 cosine argmax assignment) — value-checkable twin of
     the Lloyd-trained ann_ivf."""
-    emb = _tw(spark, sf_dir, "embeddings")
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     return similarity.ivf_flat_topk(emb, n_queries=5, k=10, nlist=8, nprobe=2)
 
 
@@ -1414,7 +1414,7 @@ def q_embed_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding dedup groups: planted byte-identical copies
     (vec_id+200000) must count; the quantised-hash key is reproducible in
     SQL (floor(x*4096) is exact — power-of-two scale)."""
-    emb = _tw(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", "embedding")
     planted = emb.filter("vec_id < 40").select(
         (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
     )
@@ -1445,7 +1445,7 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a completeness proof of the pigeonhole banding; the real-phash
     path over synth images is pytest-covered (test_dedup)."""
     docs = (
-        _tw(spark, sf_dir, "documents")
+        spark.read.parquet(_t(sf_dir, "documents"))
         .select("doc_id", "text").filter("doc_id < 2000")
     )
     h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
@@ -1691,7 +1691,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     window cumsum."""
     from geedim_spark.operators import text as text_ops
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text_ops.pack_stats(docs, max_tokens=512, n_shards=16,
                                salt="pack-v1")
 
@@ -1743,7 +1743,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes."""
     from geedim_spark.operators import sampling
 
-    docs = _tw(spark, sf_dir, "documents").select(
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
         "doc_id", "lang"
     )
     mixed = sampling.stratified_sample(
@@ -1881,7 +1881,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     join).  Complements doc_dup_counts (which measures, per doc)."""
     from geedim_spark.operators import dedup as dedup_ops
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return dedup_ops.apply_exact(docs)
 
 
@@ -1894,7 +1894,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation and per-shard ranking."""
     from geedim_spark.operators import sampling
 
-    docs = _tw(spark, sf_dir, "documents").select("doc_id")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
     return sampling.epoch_shuffle(docs, "doc_id", epoch=3, n_shards=8)
 
 
@@ -1921,7 +1921,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; the oracle replays the identical counts and ln() sums."""
     from geedim_spark.operators import text as text_ops
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text_ops.token_rarity(docs)
 
 
@@ -1983,7 +1983,7 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_Q_SEQ[0] += 1
     sink = f"q_stream_nd_sink_{_STREAM_Q_SEQ[0]}"
     try:
-        docs = _tw(spark, sf_dir, "documents")
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
         docs.coalesce(4).write.parquet(f"{base}/in")  # 4 files -> 2 batches
         q = snd.stream_near_dup(
             spark, f"{base}/in", f"{base}/ckpt",
@@ -2067,7 +2067,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-permille thresholds (no float in the cut rule)."""
     from geedim_spark.operators import text as text_ops
 
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text_ops.length_quantiles(
         docs, permille=(100, 250, 500, 750, 900, 990, 1000)
     )
@@ -2100,7 +2100,7 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health table (operators/text.domain_stats):
     RefinedWeb-style per-domain counts / size / exact-dup ratio /
     language spread.  Dup counting shuffles md5(text), never the text."""
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text.domain_stats(docs)
 
 
@@ -2126,7 +2126,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc tf-idf keywords (operators/text.tfidf_top_terms): ranking
     on exact integer keys (tf DESC, df ASC, term ASC); the rounded float
     score is informational only."""
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text.tfidf_top_terms(docs, k=3)
 
 
@@ -2241,7 +2241,7 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top 400‰ per language by exact integer alpha-permille; the cut
     comes from the bounded-domain histogram (the corpus never sorts),
     ties at the cut kept."""
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text.quality_prune(docs, permille=400)
 
 
@@ -2276,7 +2276,7 @@ def q_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction as ``phash_near_dup`` (see that docstring); the oracle
     resolves the identical brute-force pair graph with a recursive CTE."""
     docs = (
-        _tw(spark, sf_dir, "documents")
+        spark.read.parquet(_t(sf_dir, "documents"))
         .select("doc_id", "text").filter("doc_id < 2000")
     )
     h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
@@ -2299,7 +2299,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the RAG splitter): size 200 / overlap 50 character chunks with exact
     start arithmetic; the oracle replays the ceil/stride math and every
     substring."""
-    docs = _tw(spark, sf_dir, "documents")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
     return text.chunk_documents(docs, size=200, overlap=50)
 
 

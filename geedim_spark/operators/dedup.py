@@ -534,10 +534,7 @@ def dup_components(
     localCheckpoints — the plan stays O(1) per round, but the round's only
     JOB is the fixpoint aggregate (the eager form paid two extra
     materialisation jobs per round: pure driver-barrier latency at any
-    data size).  For numeric ids the fixpoint is additionally probed only
-    every 2nd round: labels are monotonically non-increasing, so an
-    unchanged sum across TWO rounds still certifies the fixpoint exactly,
-    at half the action count.  The loop runs over the EDGE-NODE subgraph
+    data size).  The loop runs over the EDGE-NODE subgraph
     only (labels seeded with min({self} ∪ neighbours)); singleton nodes
     join back after the loop — at corpus scale the rounds shuffle the
     duplicate-pair node set, not the whole corpus.  Deterministic: labels
@@ -546,17 +543,26 @@ def dup_components(
     """
     from pyspark.sql.types import NumericType
 
+    # EAGER pair checkpoint FIRST: the symmetric edge union below consumes
+    # ``pairs`` twice, and the candidate-pair chain behind it (LSH
+    # banding, signature kernels, the bucket self-join) is the expensive
+    # part of the whole op — without this the union executed that chain
+    # TWICE (a latent r5 cost, visible as the edges materialisation taking
+    # 2x the pairs plan).  The edges checkpoint after it is then a cheap
+    # union+distinct over cached rows, and the per-round lazy folds can
+    # never race back into the chain either.
+    pairs_ck = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs_ck
+        .union(pairs_ck.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
         .distinct()
-        # EAGER: the candidate-pair chain above (LSH banding, signature
-        # kernels) is the expensive part — materialise it exactly once
-        # before the loop.  The per-round folds below are lazy
-        # checkpoints whose two jump-join consumers may race and compute
-        # a fold twice; with edges already materialised that race costs
-        # only the small fold itself, never the upstream chain.
-        .localCheckpoint(eager=True)
+        # lazy: materialises inside the first probe job from the CACHED
+        # pairs (a concurrent-consumer race can only replay the cheap
+        # union+distinct, never the chain) — one driver barrier saved
+        .localCheckpoint(eager=False)
     )
     # SUBGRAPH restriction: only nodes on an edge can ever change label —
     # singletons label themselves and are unioned back after the loop, so
@@ -592,7 +598,11 @@ def dup_components(
     _UNSET = object()
     prev_sum = _UNSET
     rounds = 0
-    check_every = 2 if numeric else 1
+    # probe EVERY round: a probe is one cheap aggregate job (~0.1 s at any
+    # tested size) while an extra no-op round pays planning + two shuffles
+    # (~5x the probe) — probing less often traded cheap probes for
+    # expensive extra rounds, measured net-negative
+    check_every = 1
     for it in range(max_iters):
         rounds += 1
         prop = (
