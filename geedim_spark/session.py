@@ -22,6 +22,18 @@ _DEFAULTS = {
     # belt, AQE is the braces).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce to the TARGET SIZE, not the core count: with the default
+    # parallelismFirst=true AQE refuses to merge post-shuffle partitions
+    # below defaultParallelism, so every small shuffle still launched
+    # 32-64 tasks of pure scheduling overhead.  false is the setting the
+    # Spark SQL performance-tuning docs themselves recommend ("respect
+    # the configured target size"); at production volumes partitions land
+    # at the 64 MB advisory (guide §2.2's 100 MB-1 GB band) regardless of
+    # cluster width, so this is scale-neutral, not a local[32] tune.
+    # Measured: 52-query bench section 83.4 s -> 63.5 s with no query
+    # slower (BENCH/BASELINE.md r6 session log).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.shuffle.partitions": "64",
     # Arrow transport for all pandas UDFs / mapInPandas / applyInPandas.
