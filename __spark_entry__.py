@@ -1599,8 +1599,9 @@ def q_reproject_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geedim_spark.api import Collection
     from geedim_spark import synth as _synth
 
-    n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n, scalar_filter="fmt = 'raw'")
+    # staged parquet: pruned blob scan -> resample kernel (see
+    # q_mask_portions)
+    imgs = _staged_images(spark, sf_dir).filter("fmt = 'raw'")
     coll = Collection(imgs).prepare_for_export(scale=2 * _synth.SCALE)
 
     def _batch(it):
@@ -1807,7 +1808,7 @@ def q_wds_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n, _ = _sizes(sf_dir)
     cap = min(n, 400)
-    imgs = synth.images_df(spark, cap).select(
+    imgs = _staged_images(spark, sf_dir).filter(f"i < {cap}").select(
         "image_id", "bytes", "caption", "w", "h", "fmt"
     )
     out = f"/tmp/geedim_spark_wdsq_{synth.recipe_hash()}_{cap}"
@@ -2082,7 +2083,8 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geedim_spark.operators import zonal
 
     n, m = _sizes(sf_dir)
-    imgs = synth.images_df(spark, min(n, 900), scalar_filter="fmt = 'raw'")
+    imgs = _staged_images(spark, sf_dir).filter(
+        f"fmt = 'raw' AND i < {min(n, 900)}")
     half = F.lit(0.5)
     zones = synth.rois_df(spark, m).select(
         F.col("roi_id").alias("zone_id"),
@@ -2197,8 +2199,7 @@ def q_image_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of (v, f_px, c_px, w, h, fmt, qa-bit kind), all
     available in the synth SQL twin — so a value match proves the
     byte-level hash path groups exactly like the recipe says it must."""
-    n, _ = _sizes(sf_dir)
-    imgs = synth.images_df(spark, n)
+    imgs = _staged_images(spark, sf_dir)
     keyed = imgs.select(
         F.md5(F.col("bytes")).alias("content_key"), "caption", "image_id")
     return keyed.groupBy("content_key").agg(
