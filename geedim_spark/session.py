@@ -27,13 +27,19 @@ _DEFAULTS = {
     # below defaultParallelism, so every small shuffle still launched
     # 32-64 tasks of pure scheduling overhead.  false is the setting the
     # Spark SQL performance-tuning docs themselves recommend ("respect
-    # the configured target size"); at production volumes partitions land
-    # at the 64 MB advisory (guide §2.2's 100 MB-1 GB band) regardless of
-    # cluster width, so this is scale-neutral, not a local[32] tune.
-    # Measured: 52-query bench section 83.4 s -> 63.5 s with no query
-    # slower (BENCH/BASELINE.md r6 session log).
+    # the configured target size").  Measured: 52-query bench section
+    # 83.4 s -> 63.5 s with no query slower (BENCH/BASELINE.md r6 log).
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    # Advisory target, env-tunable.  16m local default: a 64m advisory
+    # folded the skew bench's ~600 MB salted shuffle into ~10 partitions
+    # and cost the salted join its width (salted 4.4 s @16m vs 10.6 s
+    # @64m; tiny shuffles coalesce to a handful of tasks either way).
+    # A multi-node production deployment wants the guide §2.2 100 MB-1 GB
+    # band — set SPARK_GRAFT_ADVISORY_PARTITION=128m (or higher) there;
+    # the per-NODE width math that makes 16m right for one 32-core box
+    # does not change the plan, only the post-shuffle partition count.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.shuffle.partitions": "64",
     # Arrow transport for all pandas UDFs / mapInPandas / applyInPandas.
