@@ -65,32 +65,34 @@ def line_dedup(
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     text = F.coalesce(F.col("text"), F.lit(""))
+    # stage the split array once, carry its size through the explode:
+    # every document has >= 1 line (split of "" is [""]), so the per-doc
+    # rollup below covers the whole corpus and the r5 final left join
+    # (re-splitting every document a second time just to count lines)
+    # is gone
     lines = documents.select(
+        "doc_id", F.split(text, F.lit(delim), -1).alias("_arr")
+    ).select(
         "doc_id",
-        F.posexplode(F.split(text, F.lit(delim), -1)).alias("pos", "line"),
+        F.size("_arr").cast("long").alias("n_lines"),
+        F.posexplode("_arr").alias("pos", "line"),
     ).withColumn("lh", F.md5(F.col("line")))
     counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("cnt"))
-    kept = lines.join(counts, "lh").filter(F.col("cnt") < min_count)
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    keep = F.col("cnt") < min_count
+    rebuilt = lines.join(counts, "lh").groupBy("doc_id").agg(
+        F.first("n_lines").alias("n_lines"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
         F.concat_ws(
             delim,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                # collect_list drops NULLs, so dropped lines vanish here
+                F.array_sort(F.collect_list(
+                    F.when(keep, F.struct("pos", "line")))),
                 lambda s: s["line"],
             ),
         ).alias("clean_text"),
     )
-    per_doc = documents.select(
-        "doc_id",
-        F.size(F.split(text, F.lit(delim), -1)).cast("long").alias("n_lines"),
-    )
-    return per_doc.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-    )
+    return rebuilt.select("doc_id", "n_lines", "n_kept", "clean_text")
 
 
 def shingles(text: Column, n: int = 5) -> Column:

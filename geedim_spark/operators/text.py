@@ -587,23 +587,31 @@ def token_rarity(documents: DataFrame) -> DataFrame:
     """
     toks = F.transform(whitespace_tokens(F.coalesce(F.col("text"),
                                                     F.lit(""))), F.lower)
-    ex = documents.select("doc_id", F.explode(toks).alias("token"))
+    # explode_OUTER keeps zero-token documents as one NULL-token row, so
+    # the per-doc rollup already covers the whole corpus and the final
+    # documents-side left join (two exchanges + a corpus re-scan, purely
+    # to re-attach empty docs) is gone — same restructure as dsir_weights
+    ex = documents.select("doc_id", F.explode_outer(toks).alias("token"))
     dt = ex.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("k"))
-    counts = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
+    counts = dt.filter(F.col("token").isNotNull()).groupBy("token").agg(
+        F.sum("k").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("n_total"))
-    j = dt.join(counts, "token").crossJoin(F.broadcast(total))
+    j = dt.join(counts, "token", "left").crossJoin(F.broadcast(total))
+    real = F.col("token").isNotNull()
     per = j.groupBy("doc_id").agg(
-        F.sum("k").cast("long").alias("n_tokens"),
-        F.sum(F.col("k") * F.col("cnt")).cast("long").alias("sum_freq"),
-        (-F.sum(F.col("k") * F.log(F.col("cnt") / F.col("n_total")))
-         / F.sum("k")).alias("_nll"),
+        F.coalesce(F.sum(F.when(real, F.col("k"))), F.lit(0))
+        .cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(real, F.col("k") * F.col("cnt"))), F.lit(0))
+        .cast("long").alias("sum_freq"),
+        (-F.sum(F.when(real,
+                       F.col("k") * F.log(F.col("cnt") / F.col("n_total"))))
+         / F.sum(F.when(real, F.col("k")))).alias("_nll"),
     )
-    out = documents.select("doc_id").join(per, "doc_id", "left")
-    return out.select(
+    return per.select(
         "doc_id",
-        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-        F.coalesce("sum_freq", F.lit(0).cast("long")).alias("sum_freq"),
+        "n_tokens",
+        "sum_freq",
         F.round(
             F.when(F.col("n_tokens") > 0,
                    F.col("sum_freq").cast("double") / F.col("n_tokens"))
