@@ -425,6 +425,81 @@ def _drop_oversized_buckets(
     return capped, report
 
 
+def _capped_bucket_lists(
+    keyed: DataFrame,
+    key_cols: list[str],
+    member: Column,
+    max_bucket_size: int | None,
+    op: str,
+) -> tuple[DataFrame, BucketCapReport | None]:
+    """One-shuffle bucket materialisation for LSH candidate generation:
+    ``groupBy(key_cols).collect_list(member)`` with the oversized-bucket
+    cap applied as a SIZE FILTER on the aggregated row and the standard
+    lazy :class:`BucketCapReport` observed in the same plan.
+
+    Versus :func:`_drop_oversized_buckets` + a bucket self-join (the r5
+    shape), this shuffles the keyed frame ONCE by the bucket key instead
+    of three times (size aggregate + both join sides) and needs no
+    persist, no broadcast job and no anti-join — the r6 A/B read the
+    text-LSH pairs chain 2.4-2.6 s -> 1.5-1.8 s at sf0.1 (guide §2.4:
+    remove shuffles outright).  The trade: an oversized bucket's member
+    list is built BEFORE the filter drops it — O(bucket) transient memory
+    in one (spillable, ObjectHashAggregate->sort fallback) aggregation
+    buffer, ~80 MB for a 10M-copy cluster — where the count-based cap
+    stayed O(1) per bucket.  Bounded and linear, and the common case
+    (capped buckets) holds <= max_bucket_size members by definition.
+
+    NULL ``member`` values are excluded by ``collect_list`` semantics;
+    they could never form a pair anyway (NULL compares as NULL in the
+    ``a < b`` pair filter), so pair output is unaffected.
+
+    Returns ``(buckets_df with key_cols + _members, report)``; with
+    ``max_bucket_size=None`` no filter/observe is added and report is
+    None.  Plan construction stays job-free (observe is lazy)."""
+    from pyspark.sql import Observation
+
+    agg = keyed.groupBy(*key_cols).agg(F.collect_list(member).alias("_members"))
+    if max_bucket_size is None:
+        return agg, None
+    sized = agg.withColumn("_bn", F.size("_members"))
+    obs = Observation(f"{op}_bucket_cap")
+    sized = sized.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.when(F.col("_bn") > max_bucket_size,
+                         F.col("_bn").cast("long"))),
+            F.lit(0).cast("long"),
+        ).alias("rows_dropped"),
+        F.max(
+            F.when(F.col("_bn") > max_bucket_size, F.col("_bn").cast("long"))
+        ).alias("largest_bucket"),
+    )
+
+    def _recompute() -> dict:
+        # diagnostic fallback only (observation lost to plan rewriting):
+        # a clean-lineage count-based re-aggregate — pays one extra pass
+        # over ``keyed``, acceptable on this pathological path
+        row = (
+            keyed.groupBy(*key_cols)
+            .agg(F.count(member).alias("_bn"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_bn") > max_bucket_size,
+                                 F.col("_bn"))), F.lit(0),
+                ).alias("rows_dropped"),
+                F.max(
+                    F.when(F.col("_bn") > max_bucket_size, F.col("_bn"))
+                ).alias("largest_bucket"),
+            ).first()
+        )
+        return {"rows_dropped": row["rows_dropped"],
+                "largest_bucket": row["largest_bucket"]}
+
+    report = BucketCapReport(obs, op, max_bucket_size, recompute=_recompute)
+    kept = sized.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    return kept, report
+
+
 def banded_sigs(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     """(doc_id, sig) -> exploded (doc_id, band, bhash) band-bucket keys —
     the shared banding step of the batch LSH join and the streaming
@@ -470,35 +545,28 @@ def minhash_lsh_pairs(
     executes (returned frame carries ``_bucket_cap_report`` — see
     :class:`BucketCapReport`); ``None`` disables.
 
-    NOTE the banded-signature frame is ``persist``-ed (MEMORY_AND_DISK,
-    populated lazily on first action) so the expensive signature kernel
-    runs once across the self-join's two sides; long-lived sessions doing
-    many parameter sweeps should ``spark.catalog.clearCache()`` between
-    runs to release it.
+    Plan shape (r6, guide §2.4): banded keys are aggregated into per-bucket
+    member LISTS (one shuffle by the bucket key), the cap is a size filter
+    on the aggregated row, and pairs come from exploding each list against
+    itself — the signature kernel has a single consumer (no persist), and
+    the r5 shape's size-aggregate pass, broadcast anti-join and two
+    self-join exchanges are gone (A/B at sf0.1: 2.4-2.6 s -> 1.5-1.8 s).
+    See :func:`_capped_bucket_lists` for the memory trade on oversized
+    buckets.
     """
-    from pyspark import StorageLevel
-
     _check_n_hashes(n_hashes, bands)
     sigs = minhash_sig_df(documents, n_hashes, n)
     banded = banded_sigs(sigs, n_hashes, bands)
-    # persist BEFORE the cap: the signature kernel is the expensive stage
-    # and is consumed by the cap's size aggregate plus both self-join
-    # sides — one kernel pass total.  Lazy — the cache fills on the first
-    # action, so plan construction stays job-free.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    report = None
-    if max_bucket_size is not None:
-        banded, report = _drop_oversized_buckets(
-            banded, ["band", "bhash"], max_bucket_size, "minhash_lsh_pairs"
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets, report = _capped_bucket_lists(
+        banded, ["band", "bhash"], F.col("doc_id"), max_bucket_size,
+        "minhash_lsh_pairs",
+    )
     out = (
-        a.join(b, ["band", "bhash"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
-        )
+        buckets
+        .select(F.explode("_members").alias("_a"), "_members")
+        .select("_a", F.explode("_members").alias("_b"))
+        .where(F.col("_a") < F.col("_b"))
+        .groupBy(F.col("_a").alias("doc_id_a"), F.col("_b").alias("doc_id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
     out._bucket_cap_report = report
@@ -778,11 +846,11 @@ def phash_near_dup_pairs(
     over 2^(64/n_bands) buckets; ``max_bucket_size`` applies the same
     lazy oversized-bucket cap as the text LSH (giant buckets = exact
     phash clusters — recover those as GROUPS via a hash-groupBy on the
-    phash itself).  Output: (id_a, id_b, n_shared_bands, hamming), one
-    row per unordered pair.
+    phash itself).  Like the text LSH (r6), candidates come from
+    per-bucket member lists (:func:`_capped_bucket_lists`) — one shuffle
+    by (band, bval), no persist/broadcast/anti-join.  Output:
+    (id_a, id_b, n_shared_bands, hamming), one row per unordered pair.
     """
-    from pyspark import StorageLevel
-
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64 (got {n_bands})")
     if not 0 <= max_hamming < n_bands:
@@ -809,26 +877,24 @@ def phash_near_dup_pairs(
         .select("_id", "_ph", F.explode(bands_arr).alias("bb"))
         .select("_id", "_ph", "bb.band", "bb.bval")
     )
-    # persist before the cap: consumed by the size aggregate + both join
-    # sides (lazy — no job at plan time)
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    report = None
-    if max_bucket_size is not None:
-        banded, report = _drop_oversized_buckets(
-            banded, ["band", "bval"], max_bucket_size, "phash_near_dup_pairs"
-        )
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets, report = _capped_bucket_lists(
+        banded, ["band", "bval"],
+        F.struct(F.col("_id"), F.col("_ph")), max_bucket_size,
+        "phash_near_dup_pairs",
+    )
     out = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("a._id") < F.col("b._id"))
+        buckets
+        .select(F.explode("_members").alias("_ma"), "_members")
+        .select("_ma", F.explode("_members").alias("_mb"))
+        .where(F.col("_ma._id") < F.col("_mb._id"))
         .groupBy(
-            F.col("a._id").alias(f"{id_col}_a"),
-            F.col("b._id").alias(f"{id_col}_b"),
+            F.col("_ma._id").alias(f"{id_col}_a"),
+            F.col("_mb._id").alias(f"{id_col}_b"),
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shared_bands"),
             F.bit_count(
-                F.first(F.col("a._ph")).bitwiseXOR(F.first(F.col("b._ph")))
+                F.first(F.col("_ma._ph")).bitwiseXOR(F.first(F.col("_mb._ph")))
             ).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)

@@ -498,3 +498,24 @@ def test_md5_u32_batch_matches_hashlib():
     assert (ref == got).all()
     with pytest.raises(ValueError, match="single-block"):
         dedup._md5_u32_batch([b"y" * 56])
+
+
+def test_lsh_pairs_bucket_list_plan_has_no_join(spark, docs):
+    """r6 restructure guard: candidate pairs come from per-bucket member
+    lists (one shuffle by the bucket key + the pair aggregate), so the
+    capped pairs plan must contain NO join of any kind — the r5 shape's
+    size-aggregate pass, broadcast anti-join and bucket self-join are
+    gone — while the observed cap-metrics node stays in the lineage."""
+    for out in (
+        dedup.minhash_lsh_pairs(docs, n_hashes=16, bands=4,
+                                max_bucket_size=1000),
+        dedup.phash_near_dup_pairs(
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+            .select(F.col("vec_id").alias("image_id"),
+                    F.col("vec_id").alias("phash")),
+            max_hamming=1, max_bucket_size=1000),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan          # no self-join / anti-join
+        assert "CollectMetrics" in plan    # cap report still observed
+        assert "InMemoryRelation" not in plan  # no persist needed
