@@ -1,5 +1,7 @@
-"""Text-analysis operators over the documents table — all pure Catalyst
-column expressions (JVM-side regex/string ops, no UDFs).
+"""Text-analysis operators over the documents table — pure Catalyst
+column expressions (JVM-side regex/string ops; the one exception is the
+dsir_weights bucket-count Arrow kernel, bit-identical to its Catalyst
+form and tested so).
 
 - token counting (whitespace + a BPE-ish word/punct regex)
 - quality scoring (length / punctuation / stopword / alpha ratios)
@@ -472,10 +474,16 @@ def dsir_weights(
 
     Scale shape (100 TB): the model is <= n_buckets rows — broadcast on
     the scoring join, so corpus text shuffles only as (doc_id, bucket)
-    count pairs bounded by n_buckets per doc; feature explode is linear;
-    both model fits are 2-phase hash aggregates.  The per-doc bucket
-    frame is persisted once (MEMORY_AND_DISK) because model fit and
-    scoring both consume it.  No UDF, no window, no global sort.
+    count pairs bounded by n_buckets per doc; per-doc bucket counts are
+    computed MAP-SIDE by a vectorised Arrow kernel (r6: tokenisation
+    stays in Catalyst for exact JVM regex/lower semantics; the kernel
+    only hashes batch-unique features with the shared single-block MD5
+    and counts buckets per doc — the r5 feature explode plus its wide
+    (doc, bucket) exchange and 2-phase aggregate are gone; A/B at sf0.1:
+    ~2.0 s -> ~1.0 s, bit-identical output); both model fits are 2-phase
+    hash aggregates over the (already tiny) per-doc frame.  The per-doc
+    bucket frame is persisted once (MEMORY_AND_DISK) because model fit
+    and scoring both consume it.  No window, no global sort.
 
     No reference analog — training-data curation capability, same tier
     as the dedup/quality block.
@@ -507,25 +515,78 @@ def dsir_weights(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # explode_OUTER keeps zero-feature documents as one NULL-feat row
-    # (NULL bucket below), so the per-doc rollup already covers the whole
-    # corpus and the r5 plan's final documents-side sort-merge join (two
-    # exchanges + a corpus re-scan, purely to re-attach empty docs) is
-    # gone
-    ex = base.withColumn("bi", bigrams).select(
-        "doc_id", "is_target",
-        F.explode_outer(F.concat(F.col("t"), F.col("bi"))).alias("feat"),
+    staged = base.withColumn("bi", bigrams).select(
+        "doc_id", "is_target", F.concat(F.col("t"), F.col("bi")).alias("_feats"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("feat"), F.lit(salt))), 1, 8),
-            16, 10,
-        ).cast("long") % F.lit(n_buckets)
-    )
+    # Map-side bucket counting (guide §4.2): one Arrow kernel pass emits
+    # (doc_id, is_target, bucket, k) with bucket bit-identical to the
+    # Catalyst form  conv(substring(md5(concat(feat, salt)), 1, 8), 16,
+    # 10) % n_buckets  — pinned by test_dsir_kernel_buckets_match_catalyst.
+    # Zero-feature documents emit one NULL-bucket row (the explode_outer
+    # convention the rollup below relies on).  Batch-unique features hash
+    # once (Zipf head dedup); >55-byte salted features (multi-block MD5)
+    # fall back to hashlib.
+    import numpy as np
+    import pandas as pd
+
+    from geedim_spark.operators.dedup import _md5_u32_batch
+
+    salt_b = salt.encode("utf-8")
+    nb = int(n_buckets)
+    id_type = documents.schema["doc_id"].dataType.simpleString()
+    kschema = f"doc_id {id_type}, is_target boolean, bucket long, k long"
+
+    def _bucket_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        uniq: dict = {}
+        idx_parts = []
+        for feats in pdf["_feats"]:
+            idx = np.empty(len(feats), dtype=np.int64)
+            for j, s in enumerate(feats):
+                u = uniq.get(s)
+                if u is None:
+                    u = len(uniq)
+                    uniq[s] = u
+                idx[j] = u
+            idx_parts.append(idx)
+        if uniq:
+            msgs = [s.encode("utf-8") + salt_b for s in uniq]
+            lens_m = np.fromiter(map(len, msgs), np.int64, len(msgs))
+            buck = np.empty(len(msgs), np.int64)
+            short = lens_m <= 55
+            if short.all():
+                buck = _md5_u32_batch(msgs) % nb
+            else:
+                buck[short] = _md5_u32_batch(
+                    [m for m, ok in zip(msgs, short) if ok]) % nb
+                buck[~short] = np.array(
+                    [int(hashlib.md5(m).hexdigest()[:8], 16) % nb
+                     for m, ok in zip(msgs, short) if not ok], dtype=np.int64)
+        out_doc: list = []
+        out_tgt: list = []
+        out_bucket: list = []
+        out_k: list = []
+        doc_vals = pdf["doc_id"].values
+        tgt_vals = pdf["is_target"].values
+        for i, idx in enumerate(idx_parts):
+            if len(idx) == 0:
+                out_doc.append(doc_vals[i])
+                out_tgt.append(tgt_vals[i])
+                out_bucket.append(None)
+                out_k.append(1)
+                continue
+            u, c = np.unique(buck[idx], return_counts=True)
+            out_doc.extend([doc_vals[i]] * len(u))
+            out_tgt.extend([tgt_vals[i]] * len(u))
+            out_bucket.extend(u.tolist())
+            out_k.extend(c.tolist())
+        return pd.DataFrame({"doc_id": out_doc, "is_target": out_tgt,
+                             "bucket": out_bucket, "k": out_k})
+
     per_doc = (
-        ex.select("doc_id", "is_target", bucket.alias("bucket"))
-        .groupBy("doc_id", "is_target", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        staged.mapInPandas(lambda it: (_bucket_batch(p) for p in it),
+                           schema=kschema)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     model = per_doc.filter(F.col("bucket").isNotNull()).groupBy("bucket").agg(

@@ -472,3 +472,31 @@ def test_chunk_documents_closed_form(spark):
     # exact-cover boundary: len == size -> exactly one chunk
     one = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["abcd"]}))
     assert text_ops.chunk_documents(one, size=4, overlap=1).count() == 1
+
+
+def test_dsir_kernel_buckets_match_catalyst(spark):
+    """The r6 map-side bucket kernel must replay the Catalyst bucket
+    expression exactly — conv(substring(md5(concat(feat, salt)),1,8),16,10)
+    % n_buckets — including multi-byte UTF-8 features and features whose
+    salted form exceeds one MD5 block (>55 bytes, hashlib fallback), and
+    full output parity must hold on such a corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geedim_spark.operators import text as text_ops
+
+    long_tok = "x" * 80                       # salted feature > 55 bytes
+    rows = [
+        (0, f"héllo wörld {long_tok} the the", True),
+        (1, f"{long_tok} {long_tok}", False),  # long bigram too
+        (2, "", False),
+        (3, "plain ascii words", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {r["doc_id"]: r for r in text_ops.dsir_weights(
+        df, F.col("tgt"), n_buckets=64).collect()}
+    want = _dsir_ref(rows, n_buckets=64)
+    for d, (n_feats, lw) in want.items():
+        assert out[d]["n_feats"] == n_feats, d
+        assert out[d]["log_weight"] == pytest.approx(lw, abs=2e-6), d
+    assert (out[2]["n_feats"], out[2]["log_weight"]) == (0, 0.0)
