@@ -266,39 +266,56 @@ def near_dup_pairs(
     dropped clusters as GROUPS via :func:`exact_embed_dup_counts`;
     ``None`` disables.
 
-    NOTE with the cap enabled the bucketed frame is ``persist``-ed
-    (MEMORY_AND_DISK, populated lazily on first action) so the n_planes
-    sign-fold expressions run once across the self-join's two sides;
-    long-lived sessions doing many parameter sweeps should
-    ``spark.catalog.clearCache()`` between runs to release it.
+    Plan shape (r6, guide §4.2/§2.4): buckets and norms come from ONE
+    Arrow base kernel (bit-identical to the Catalyst
+    :func:`lsh_bucket`/:func:`norm` folds — pinned by
+    test_near_dup_base_kernel_matches_catalyst — with the hyperplanes
+    derived from the batch's vector width, so the old plan-construction
+    ``embedding_dim()`` job is gone); candidates come from per-bucket
+    member lists (:func:`~geedim_spark.operators.dedup._capped_bucket_lists`
+    — one shuffle by bucket, no persist/broadcast/anti-join/self-join);
+    the exact cosine filter stays in Catalyst over the staged norms.
     """
-    from pyspark import StorageLevel
+    from geedim_spark.operators.dedup import _capped_bucket_lists
 
-    from geedim_spark.operators.dedup import _drop_oversized_buckets
+    np_planes = int(n_planes)
+    id_type = embeddings.schema["vec_id"].dataType.simpleString()
+    kschema = f"vec_id {id_type}, e array<double>, bucket long, nrm double"
 
-    planes = lsh_signature(embedding_dim(embeddings), n_planes)
-    emb = embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("bucket", lsh_bucket(F.col("e"), planes)) \
-     .withColumn("nrm", norm(F.col("e")))
-    report = None
-    if max_bucket_size is not None:
-        # persist BEFORE the cap: the n_planes sign-fold expressions are
-        # consumed by the cap's size aggregate plus both self-join sides
-        emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
-        emb, report = _drop_oversized_buckets(
-            emb, ["bucket"], max_bucket_size, "near_dup_pairs"
-        )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
-                   F.col("bucket").alias("ba"), F.col("nrm").alias("na"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
-                   F.col("bucket").alias("bb"), F.col("nrm").alias("nb"))
-    cand = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+    def _base_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"vec_id": [], "e": [], "bucket": [],
+                                 "nrm": []})
+        E = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"]])
+        planes = lsh_signature(E.shape[1], np_planes)
+        buckets = np.zeros(len(pdf), dtype=np.int64)
+        for i in range(np_planes):
+            proj = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(E.shape[1]):
+                proj += E[:, j] * planes[i, j]
+            buckets += np.where(proj > 0, np.int64(1 << i), np.int64(0))
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"], "e": list(E),
+            "bucket": buckets, "nrm": _np_fold_norm(E),
+        })
+
+    base = embeddings.select("vec_id", "embedding").mapInPandas(
+        lambda it: (_base_batch(p) for p in it), schema=kschema)
+    buckets_df, report = _capped_bucket_lists(
+        base, ["bucket"], F.struct("vec_id", "e", "nrm"), max_bucket_size,
+        "near_dup_pairs",
+    )
     out = (
-        cand.where(
-            cosine_prenormed(F.col("ea"), F.col("eb"),
-                             F.col("na"), F.col("nb")) >= threshold)
-        .select("id_a", "id_b")
+        buckets_df
+        .select(F.explode("_members").alias("_ma"), "_members")
+        .select("_ma", F.explode("_members").alias("_mb"))
+        .where(F.col("_ma.vec_id") < F.col("_mb.vec_id"))
+        .where(
+            cosine_prenormed(F.col("_ma.e"), F.col("_mb.e"),
+                             F.col("_ma.nrm"), F.col("_mb.nrm")) >= threshold)
+        .select(F.col("_ma.vec_id").alias("id_a"),
+                F.col("_mb.vec_id").alias("id_b"))
     )
     out._bucket_cap_report = report
     return out

@@ -335,3 +335,43 @@ def test_label_noise_and_hard_negatives_mega_bucket_cap(spark):
     # capped vectors fall back to the no-neighbour row, never a pair scan
     assert out[0]["n_nbrs"] == 0 and not out[0]["is_suspect"]
     assert out[n_dup]["n_nbrs"] == 1
+
+
+def test_near_dup_base_kernel_matches_catalyst(spark):
+    """The r6 near_dup_pairs base kernel (bucket + norm, planes derived
+    from the batch's vector width) must replay the Catalyst
+    lsh_bucket/norm folds bit-for-bit, including float32 inputs and
+    exactly-scaled duplicates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    rows = [{"vec_id": i, "embedding": rng.standard_normal(16)
+             .astype(np.float32).tolist()} for i in range(80)]
+    rows += [{"vec_id": 1000 + i,
+              "embedding": (2.0 * np.asarray(rows[i]["embedding"],
+                                             dtype=np.float32)).tolist()}
+             for i in range(10)]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+
+    n_planes = 8
+    planes = sim.lsh_signature(16, n_planes)
+    out = sim.near_dup_pairs(emb, threshold=0.99, n_planes=n_planes,
+                             max_bucket_size=None)
+    # pair-level parity: kernel-based pairs == Catalyst-fold pairs
+    e = emb.select("vec_id", sim._as_double(F.col("embedding")).alias("e"),
+                   ).withColumn("bucket", sim.lsh_bucket(F.col("e"), planes)
+                   ).withColumn("nrm", sim.norm(F.col("e")))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+                 F.col("bucket").alias("ba"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+                 F.col("bucket").alias("bb"), F.col("nrm").alias("nb"))
+    want = sorted(
+        (r["id_a"], r["id_b"]) for r in a.join(
+            b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .where(sim.cosine_prenormed(F.col("ea"), F.col("eb"),
+                                    F.col("na"), F.col("nb")) >= 0.99)
+        .collect())
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    assert got == want and len(got) >= 10  # planted 2x copies recovered
