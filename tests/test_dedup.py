@@ -519,3 +519,36 @@ def test_lsh_pairs_bucket_list_plan_has_no_join(spark, docs):
         assert "Join" not in plan          # no self-join / anti-join
         assert "CollectMetrics" in plan    # cap report still observed
         assert "InMemoryRelation" not in plan  # no persist needed
+
+
+def test_fuzzy_decontam_kernel_jaccard_matches_catalyst(spark):
+    """The r6 set-cardinality kernel must reproduce the Catalyst
+    array_intersect/array_union sizes over shingles() exactly, including
+    multi-byte UTF-8, short (<n) and empty texts."""
+    import pandas as pd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "héllo wörld ünïcode ¡stuff! \U0001d11e music",
+        "hi", "", "aaaaaaaaaa",
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"bench_id": [100 + i for i in range(len(texts))], "text": texts}))
+    got = {(r["doc_id"], r["bench_id"]): (r["n_intersect"], r["n_union"])
+           for r in dedup.fuzzy_decontam(docs, bench, bands=16,
+                                         n_hashes=16).collect()}
+    # Catalyst reference: exact sizes for EVERY (doc, bench) combination
+    sh_a = docs.select("doc_id", dedup.shingles(F.col("text")).alias("a"))
+    sh_b = bench.select("bench_id", dedup.shingles(F.col("text")).alias("b"))
+    want = {(r["doc_id"], r["bench_id"]):
+            (r["ni"], r["nu"]) for r in sh_a.crossJoin(sh_b).select(
+                "doc_id", "bench_id",
+                F.size(F.array_intersect("a", "b")).cast("long").alias("ni"),
+                F.size(F.array_union("a", "b")).cast("long").alias("nu"),
+            ).collect()}
+    assert got  # candidates exist (identical texts co-bucket)
+    for k, v in got.items():
+        assert want[k] == v, k
