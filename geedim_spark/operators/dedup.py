@@ -611,8 +611,6 @@ def dup_components(
     are pure min() folds, independent of partitioning.  ``_stats``
     (diagnostic): a dict that receives {"rounds": n}.
     """
-    from pyspark.sql.types import NumericType
-
     # EAGER pair checkpoint FIRST: the symmetric edge union below consumes
     # ``pairs`` twice, and the candidate-pair chain behind it (LSH
     # banding, signature kernels, the bucket self-join) is the expensive
@@ -648,40 +646,37 @@ def dup_components(
         .select("id", F.least(F.col("id"), F.col("_nmin")).alias("comp"))
         .localCheckpoint(eager=False)
     )
-    # Fixpoint test is type-dispatched: for NUMERIC ids labels only ever
-    # DECREASE, so an unchanged exact decimal(38,0) sum means a fixpoint —
-    # one scalar aggregate per round.  For non-numeric (e.g. string) ids
-    # the decimal cast would yield NULL == NULL and stop after one round
-    # (silently wrong for clusters of diameter > 1), so those use an exact
-    # changed-row anti-join instead (min() is still well-defined:
-    # lexicographic for strings).
-    numeric = isinstance(labels.schema["comp"].dataType, NumericType)
-
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-
-    # numeric path: no upfront sum job — the first probe's sum is compared
-    # against the NEXT probe's (labels only decrease, so two equal probes
-    # two rounds apart certify that neither round changed anything)
-    _UNSET = object()
-    prev_sum = _UNSET
+    # Fixpoint probe (r6): each round's fold carries the PRE-round label
+    # through the min-aggregate and the jump join as ``_old``, so ONE
+    # aggregate — the count of rows whose label changed this round —
+    # certifies the fixpoint for ANY id type (min() is lexicographic for
+    # strings).  This replaced the r5 type dispatch: numeric ids compared
+    # exact decimal sums across consecutive probes (same round count,
+    # same probe cost), while string ids paid a changed-row ANTI-JOIN per
+    # round — strictly more stages than the aggregate.  A round with zero
+    # changes is exactly the old convergence criterion; as a bonus a
+    # clique-shaped graph whose min(self ∪ neighbours) seeding is already
+    # the fixpoint now converges at round 1 (the sum comparison needed a
+    # second probe to see equality).  Probe EVERY round: a probe is one
+    # cheap aggregate job while an extra no-op round pays planning + two
+    # shuffles (~5x the probe) — probing less often was measured
+    # net-negative in r6.
+    comp_type = labels.schema["comp"].dataType
     rounds = 0
-    # probe EVERY round: a probe is one cheap aggregate job (~0.1 s at any
-    # tested size) while an extra no-op round pays planning + two shuffles
-    # (~5x the probe) — probing less often traded cheap probes for
-    # expensive extra rounds, measured net-negative
-    check_every = 1
     for it in range(max_iters):
         rounds += 1
         prop = (
             edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "comp")
+            .select(F.col("dst").alias("id"), "comp",
+                    F.lit(None).cast(comp_type).alias("_old"))
         )
         new = (
-            labels.unionByName(prop)
-            .groupBy("id").agg(F.min("comp").alias("comp"))
+            labels.select("id", "comp", F.col("comp").alias("_old"))
+            .unionByName(prop)
+            # max(_old) keeps the single non-NULL pre-round label per id
+            # (every edge node has exactly one labels row)
+            .groupBy("id").agg(F.min("comp").alias("comp"),
+                               F.max("_old").alias("_old"))
             # LAZY checkpoint: truncates lineage immediately (the plan
             # wraps a LogicalRDD) and materialises/caches within the
             # fixpoint-probe job, so the jump join's two consumers share
@@ -698,24 +693,24 @@ def dup_components(
                            F.col("comp").alias("_lcomp"))
             new = (
                 new.join(lk, new.comp == lk._lid, "left")
-                .select("id", F.coalesce("_lcomp", "comp").alias("comp"))
+                .select("id", F.coalesce("_lcomp", "comp").alias("comp"),
+                        "_old")
                 # lazy too: cached when the probe job below first runs it,
                 # reused by the next round's edge join + union
                 .localCheckpoint(eager=False)
             )
-        converged = False
-        if (it + 1) % check_every == 0 or it == max_iters - 1:
-            if numeric:
-                new_sum = _label_sum(new)
-                # None == empty subgraph (no edges): trivially a fixpoint
-                converged = new_sum is None or (
-                    prev_sum is not _UNSET and new_sum == prev_sum)
-                prev_sum = new_sum
-            else:
-                converged = new.join(
-                    labels, ["id", "comp"], "left_anti").isEmpty()
-        labels = new
-        if converged:
+        changed = new.agg(
+            F.sum(F.when(F.col("comp") != F.col("_old"), 1).otherwise(0))
+            .alias("c")
+        ).first()["c"]
+        labels = new.drop("_old")
+        # None == empty subgraph (no edges): trivially a fixpoint.
+        # Zero-change certifies convergence: with symmetric edges a stable
+        # min-fold forces equal labels across every edge, the component
+        # minimum seeds at <= itself and labels never increase, so the
+        # constant per component is exactly its minimum and the jump is
+        # the identity.
+        if changed is None or changed == 0:
             break
     else:
         import warnings
