@@ -188,11 +188,42 @@ def lsh_bucket_topk_quantised(
 ) -> DataFrame:
     """:func:`lsh_bucket_topk` with exact integer bucketing — same plan shape
     (bucket equi-join prunes candidates), but the bucket key is reproducible
-    bit-for-bit in ANSI SQL, so the whole query is value-checkable."""
-    planes = lsh_int_planes(embedding_dim(embeddings), n_planes)
-    return _bucket_topk(
-        embeddings, lambda e: lsh_bucket_quantised(e, planes), n_queries, k
+    bit-for-bit in ANSI SQL, so the whole query is value-checkable.
+
+    r6: buckets and norms come from one Arrow base kernel
+    (:func:`_np_quantised_buckets` / :func:`_np_fold_norm` — exact int64 /
+    IEEE-fold arithmetic, bit-identical to the Catalyst expressions, planes
+    derived from the batch's vector width so no plan-construction job);
+    the exact cosine ranking stays in Catalyst over the staged norms."""
+    np_planes = int(n_planes)
+    id_type = embeddings.schema["vec_id"].dataType.simpleString()
+    kschema = f"vec_id {id_type}, e array<double>, bucket long, nrm double"
+
+    def _base_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"vec_id": [], "e": [], "bucket": [],
+                                 "nrm": []})
+        E = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"]])
+        planes = lsh_int_planes(E.shape[1], np_planes)
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"], "e": list(E),
+            "bucket": _np_quantised_buckets(E, planes),
+            "nrm": _np_fold_norm(E),
+        })
+
+    emb = embeddings.select("vec_id", "embedding").mapInPandas(
+        lambda it: (_base_batch(p) for p in it), schema=kschema)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("bucket").alias("qbucket"), F.col("nrm").alias("qnrm"),
     )
+    pairs = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    return _rank_topk(sims_with(pairs), k)
 
 
 def ivf_flat_topk(

@@ -375,3 +375,18 @@ def test_near_dup_base_kernel_matches_catalyst(spark):
         .collect())
     got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
     assert got == want and len(got) >= 10  # planted 2x copies recovered
+
+
+def test_ann_lsh_quantised_kernel_matches_catalyst(spark, emb):
+    """The r6 quantised-bucket base kernel behind lsh_bucket_topk_quantised
+    must reproduce the Catalyst lsh_bucket_quantised plan's ranking
+    exactly (same buckets, same staged norms, same round-6 ranks)."""
+    from pyspark.sql import functions as F
+
+    got = sorted(map(tuple, sim.lsh_bucket_topk_quantised(
+        emb, n_queries=4, k=6, n_planes=4).collect()))
+    planes = sim.lsh_int_planes(sim.embedding_dim(emb), 4)
+    want = sorted(map(tuple, sim._bucket_topk(
+        emb, lambda e: sim.lsh_bucket_quantised(e, planes),
+        n_queries=4, k=6).collect()))
+    assert got == want and got
