@@ -455,7 +455,12 @@ def _capped_bucket_lists(
 
     Returns ``(buckets_df with key_cols + _members, report)``; with
     ``max_bucket_size=None`` no filter/observe is added and report is
-    None.  Plan construction stays job-free (observe is lazy)."""
+    None — note the uncapped path still materialises one member list PER
+    BUCKET, so a degenerate mega-bucket becomes one multi-GB aggregation
+    row (the r5 uncapped self-join streamed it, quadratically); disabling
+    the cap on corpora that may contain exact-duplicate mega-clusters is
+    wrong in either shape — run exact dedup first.  Plan construction
+    stays job-free (observe is lazy)."""
     from pyspark.sql import Observation
 
     agg = keyed.groupBy(*key_cols).agg(F.collect_list(member).alias("_members"))
@@ -1178,10 +1183,18 @@ def fuzzy_decontam(
         d_banded.join(F.broadcast(b_banded), ["band", "bhash"])
         .select("doc_id", "bench_id").distinct()
     )
+    # candidate doc ids broadcast back onto the corpus (the r5 semi-join
+    # shape): corpus text is scanned linearly and only CANDIDATE rows'
+    # text ever enters a join — without the explicit broadcast the
+    # planner's pre-AQE estimate of cand can pick a sort-merge join that
+    # shuffles the whole corpus text
+    cand_docs = (
+        documents.join(F.broadcast(cand.select("doc_id").distinct()),
+                       "doc_id")
+        .select("doc_id", F.col("text").alias("_ta"))
+    )
     j = (
-        cand
-        .join(documents.select("doc_id", F.col("text").alias("_ta")),
-              "doc_id")
+        cand.join(cand_docs, "doc_id")
         .join(F.broadcast(benchmark.select(
             "bench_id", F.col("text").alias("_tb"))), "bench_id")
     )
@@ -1202,8 +1215,14 @@ def fuzzy_decontam(
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
         inter = np.empty(len(pdf), dtype=np.int64)
         union = np.empty(len(pdf), dtype=np.int64)
+        # bounded memo of shingle sets (a set holds ~len(text) short
+        # strings — far heavier than the text); Arrow batches are small
+        # (maxRecordsPerBatch) but clear defensively so a wide batch of
+        # huge documents cannot pin O(batch x doc) sets at once
         cache: dict = {}
         for i, (ta, tb) in enumerate(zip(pdf["_ta"], pdf["_tb"])):
+            if len(cache) > 1024:
+                cache.clear()
             a = cache.get(ta)
             if a is None:
                 a = _sh_set(ta)

@@ -155,6 +155,71 @@ def lsh_bucket_quantised(emb_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _np_float_buckets(E: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit buckets over FLOAT hyperplanes, bit-identical to
+    :func:`lsh_bucket`: per-plane left-fold double projections
+    (acc + e_j*p_j, j ascending — the exact Catalyst aggregate order) and
+    Spark's total-order sign test (NaN > 0 is TRUE under Spark SQL's
+    ordering, so a NaN projection sets the bit — replicated with isnan;
+    plain numpy comparison would clear it)."""
+    buckets = np.zeros(E.shape[0], dtype=np.int64)
+    for i in range(planes.shape[0]):
+        proj = np.zeros(E.shape[0], dtype=np.float64)
+        for j in range(E.shape[1]):
+            proj += E[:, j] * planes[i, j]
+        buckets += np.where((proj > 0) | np.isnan(proj),
+                            np.int64(1 << i), np.int64(0))
+    return buckets
+
+
+def _embed_base_kernel(embeddings: DataFrame, bucket_of):
+    """Shared Arrow base pass for the LSH embedding ops: one mapInPandas
+    batch function computing (vec_id, e float64, bucket, nrm), with the
+    hyperplanes derived from the batch's vector width (no
+    plan-construction job).  ``bucket_of(E)`` maps the batch's (n, d)
+    float64 matrix to int64 bucket ids.
+
+    Rows with a NULL embedding replicate the r5 Catalyst convention:
+    every ``when(NULL > 0)`` branch fell through, so they land in bucket
+    0 with NULL e/nrm — the downstream exact-cosine expressions evaluate
+    NULL and the filters/rank drop them, exactly as before.
+
+    Returns ``(iterator_fn, schema_string)`` for ``mapInPandas``."""
+    id_type = embeddings.schema["vec_id"].dataType.simpleString()
+    kschema = f"vec_id {id_type}, e array<double>, bucket long, nrm double"
+
+    def _batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if not n:
+            return pd.DataFrame({"vec_id": [], "e": [], "bucket": [],
+                                 "nrm": []})
+        vals = list(pdf["embedding"])
+        ok = np.array([v is not None for v in vals])
+        if ok.all():
+            E = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+            return pd.DataFrame({
+                "vec_id": pdf["vec_id"], "e": list(E),
+                "bucket": bucket_of(E), "nrm": _np_fold_norm(E),
+            })
+        e_out: list = [None] * n
+        bucket = np.zeros(n, dtype=np.int64)
+        nrm: list = [None] * n
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            E = np.stack([np.asarray(vals[i], dtype=np.float64)
+                          for i in idx])
+            bk = bucket_of(E)
+            nm = _np_fold_norm(E)
+            for t, i in enumerate(idx):
+                e_out[i] = E[t]
+                bucket[i] = bk[t]
+                nrm[i] = float(nm[t])
+        return pd.DataFrame({"vec_id": pdf["vec_id"], "e": e_out,
+                             "bucket": bucket, "nrm": nrm})
+
+    return (lambda it: (_batch(p) for p in it)), kschema
+
+
 def embedding_dim(embeddings: DataFrame) -> int:
     """Vector width from the first row (loud error on an empty table)."""
     row = embeddings.select("embedding").first()
@@ -194,29 +259,27 @@ def lsh_bucket_topk_quantised(
     (:func:`_np_quantised_buckets` / :func:`_np_fold_norm` — exact int64 /
     IEEE-fold arithmetic, bit-identical to the Catalyst expressions, planes
     derived from the batch's vector width so no plan-construction job);
-    the exact cosine ranking stays in Catalyst over the staged norms."""
+    the exact cosine ranking stays in Catalyst over the staged norms.  The
+    query side runs the kernel over the pre-filtered n_queries rows (the
+    filter sits below the Python map), and an EMPTY embeddings table
+    yields an empty result rather than the r5 plan-time ValueError."""
     np_planes = int(n_planes)
-    id_type = embeddings.schema["vec_id"].dataType.simpleString()
-    kschema = f"vec_id {id_type}, e array<double>, bucket long, nrm double"
-
-    def _base_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(pdf):
-            return pd.DataFrame({"vec_id": [], "e": [], "bucket": [],
-                                 "nrm": []})
-        E = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in pdf["embedding"]])
-        planes = lsh_int_planes(E.shape[1], np_planes)
-        return pd.DataFrame({
-            "vec_id": pdf["vec_id"], "e": list(E),
-            "bucket": _np_quantised_buckets(E, planes),
-            "nrm": _np_fold_norm(E),
-        })
-
-    emb = embeddings.select("vec_id", "embedding").mapInPandas(
-        lambda it: (_base_batch(p) for p in it), schema=kschema)
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"), F.col("nrm").alias("qnrm"),
+    fn, kschema = _embed_base_kernel(
+        embeddings,
+        lambda E: _np_quantised_buckets(
+            E, lsh_int_planes(E.shape[1], np_planes)),
+    )
+    emb = embeddings.select("vec_id", "embedding").mapInPandas(fn, kschema)
+    # filter BELOW the kernel: predicates cannot push through a Python
+    # map, so building q from the kernel output would re-run the full
+    # base pass over every row just to keep n_queries of them
+    q = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding").mapInPandas(fn, kschema)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+            F.col("bucket").alias("qbucket"), F.col("nrm").alias("qnrm"),
+        )
     )
     pairs = emb.join(
         F.broadcast(q),
@@ -306,33 +369,18 @@ def near_dup_pairs(
     member lists (:func:`~geedim_spark.operators.dedup._capped_bucket_lists`
     — one shuffle by bucket, no persist/broadcast/anti-join/self-join);
     the exact cosine filter stays in Catalyst over the staged norms.
+    NULL-embedding rows keep the r5 convention (bucket 0, NULL sim →
+    filtered); an EMPTY table yields an empty result rather than the r5
+    plan-time ValueError.
     """
     from geedim_spark.operators.dedup import _capped_bucket_lists
 
     np_planes = int(n_planes)
-    id_type = embeddings.schema["vec_id"].dataType.simpleString()
-    kschema = f"vec_id {id_type}, e array<double>, bucket long, nrm double"
-
-    def _base_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(pdf):
-            return pd.DataFrame({"vec_id": [], "e": [], "bucket": [],
-                                 "nrm": []})
-        E = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in pdf["embedding"]])
-        planes = lsh_signature(E.shape[1], np_planes)
-        buckets = np.zeros(len(pdf), dtype=np.int64)
-        for i in range(np_planes):
-            proj = np.zeros(len(pdf), dtype=np.float64)
-            for j in range(E.shape[1]):
-                proj += E[:, j] * planes[i, j]
-            buckets += np.where(proj > 0, np.int64(1 << i), np.int64(0))
-        return pd.DataFrame({
-            "vec_id": pdf["vec_id"], "e": list(E),
-            "bucket": buckets, "nrm": _np_fold_norm(E),
-        })
-
-    base = embeddings.select("vec_id", "embedding").mapInPandas(
-        lambda it: (_base_batch(p) for p in it), schema=kschema)
+    fn, kschema = _embed_base_kernel(
+        embeddings,
+        lambda E: _np_float_buckets(E, lsh_signature(E.shape[1], np_planes)),
+    )
+    base = embeddings.select("vec_id", "embedding").mapInPandas(fn, kschema)
     buckets_df, report = _capped_bucket_lists(
         base, ["bucket"], F.struct("vec_id", "e", "nrm"), max_bucket_size,
         "near_dup_pairs",

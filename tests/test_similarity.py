@@ -390,3 +390,31 @@ def test_ann_lsh_quantised_kernel_matches_catalyst(spark, emb):
         emb, lambda e: sim.lsh_bucket_quantised(e, planes),
         n_queries=4, k=6).collect()))
     assert got == want and got
+
+
+def test_embed_base_kernel_null_embedding_rows(spark):
+    """A NULL embedding row must keep the r5 Catalyst convention (bucket
+    0, NULL norm -> dropped by the exact-cosine filters), not crash the
+    kernel — for both the float-plane and quantised-plane paths."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    rows = [{"vec_id": i,
+             "embedding": rng.standard_normal(8).astype(np.float32).tolist()}
+            for i in range(20)]
+    emb = spark.createDataFrame(pd.DataFrame(rows),
+                                "vec_id long, embedding array<float>")
+    nulls = spark.createDataFrame(
+        [(999, None)], "vec_id long, embedding array<float>")
+    both = emb.unionByName(nulls)
+    dup = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    pairs = sim.near_dup_pairs(both.unionByName(dup), threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got
+    assert not any(999 in p for p in got)
+    topk = sim.lsh_bucket_topk_quantised(both, n_queries=3, k=5)
+    out = topk.collect()
+    assert out and all(r["neighbor_id"] != 999 for r in out)
