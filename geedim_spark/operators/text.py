@@ -651,7 +651,11 @@ def token_rarity(documents: DataFrame) -> DataFrame:
     # explode_OUTER keeps zero-token documents as one NULL-token row, so
     # the per-doc rollup already covers the whole corpus and the final
     # documents-side left join (two exchanges + a corpus re-scan, purely
-    # to re-attach empty docs) is gone — same restructure as dsir_weights
+    # to re-attach empty docs) is gone — same restructure as dsir_weights.
+    # (A map-side Counter kernel — the tfidf_top_terms r6 shape — was
+    # A/B'd here and REVERTED: 0.66-0.78 s explode+codegen-agg vs
+    # 0.89-1.03 s kernel at sf0.1; without tfidf's persist + second
+    # consumer the JVM explode wins.)
     ex = documents.select("doc_id", F.explode_outer(toks).alias("token"))
     dt = ex.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("k"))
@@ -728,26 +732,52 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     so the selected rows are reproducible cross-engine regardless of
     float ulps.
 
-    Scale shape (100 TB): explode -> two 2-phase hash aggs (per-doc tf,
-    corpus df); the df join is an equi-join on the term key (AQE
-    skew-split absorbs stop-word heat); the corpus size is a 1-row
-    broadcast; the ONLY window is PARTITIONED BY doc_id — bounded by a
-    document's distinct vocabulary, never corpus-global.
+    Scale shape (100 TB): per-doc tf is counted MAP-SIDE by an Arrow
+    kernel (r6: tokenisation stays in Catalyst for exact JVM lower/regex
+    semantics; the kernel is a plain Counter over the staged term array,
+    exact integers, so the r5 term explode and its wide (doc, term)
+    exchange + 2-phase aggregate are gone); corpus df is a 2-phase hash
+    agg over the (already distinct-per-doc) tf frame; the df join is an
+    equi-join on the term key (AQE skew-split absorbs stop-word heat);
+    the corpus size is a 1-row broadcast; the ONLY window is PARTITIONED
+    BY doc_id — bounded by a document's distinct vocabulary, never
+    corpus-global.
 
     Returns (doc_id, rank, term, tf, df, score), ``k`` rows per
     non-empty document.
     """
+    import pandas as pd
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     terms = F.filter(
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+"),
         lambda x: x != "")
-    ex = documents.select("doc_id", F.explode(terms).alias("term"))
-    # tf is already one row per (doc, term), so df derives from it
-    # directly — one corpus explode feeds both aggregates, and the frame
-    # both sides consume is persisted once (far smaller than the corpus).
-    tf = ex.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")).persist()
+    staged = documents.select("doc_id", terms.alias("_terms"))
+    id_type = documents.schema["doc_id"].dataType.simpleString()
+    kschema = f"doc_id {id_type}, term string, tf long"
+
+    def _tf_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        out_doc: list = []
+        out_term: list = []
+        out_tf: list = []
+        for doc, t in zip(pdf["doc_id"], pdf["_terms"]):
+            if len(t) == 0:
+                continue  # empty docs emit nothing (explode semantics)
+            c = Counter(t)
+            out_doc.extend([doc] * len(c))
+            out_term.extend(c.keys())
+            out_tf.extend(c.values())
+        return pd.DataFrame({"doc_id": out_doc, "term": out_term,
+                             "tf": out_tf})
+
+    # tf is one row per (doc, term); df derives from it directly — one
+    # corpus pass feeds both aggregates, and the frame both sides consume
+    # is persisted once (far smaller than the corpus).
+    tf = staged.mapInPandas(
+        lambda it: (_tf_batch(p) for p in it), schema=kschema).persist()
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = documents.agg(
